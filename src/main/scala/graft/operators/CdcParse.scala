@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC envelope classification + typed row assembly (SURVEY.md §2 O2/O3).
+  *
+  * Reference semantics (CdcMsgParser.java:45-83):
+  *   - `update` present and a JSON object  -> update op
+  *         (empty object => keys-only row: non-key columns null,
+  *          CdcMsgParser.java:62)
+  *   - `update` present but NOT an object, and `newImage` present
+  *         -> use newImage as the row payload (CdcMsgParser.java:66-70)
+  *   - `erase` present -> delete op (CdcMsgParser.java:76-79)
+  *   - anything else (incl. newImage alone) -> dropped (:81-82)
+  *   - key columns are POSITIONAL in PK order from the `key` array
+  *         (YqlQuery.java:46-53); non-key columns by name from payload.
+  *
+  * Everything here is pure `Column` expressions (get_json_object + casts
+  * + when/otherwise): whole-stage-codegen'd, no UDFs, trivially
+  * distributed — the 100 TB path is a single narrow projection stage.
+  */
+object CdcParse {
+
+  /** Schema of the CDC-maintained table: typed columns + PK order. */
+  case class CdcSchema(columns: StructType, pk: Seq[String]) {
+    require(pk.forall(columns.fieldNames.contains),
+      s"pk ${pk.mkString(",")} not subset of columns")
+    def nonKey: Seq[StructField] =
+      columns.fields.toSeq.filterNot(f => pk.contains(f.name))
+    def keyFields: Seq[StructField] =
+      pk.map(n => columns.fields(columns.fieldIndex(n)))
+  }
+
+  val OpUpdate = "update"
+  val OpKeysOnly = "update_keys_only"
+  val OpNewImage = "update_newimage"
+  val OpErase = "erase"
+  val OpDrop = "drop"
+
+  /** JSON scalar -> Spark value coercion per SURVEY.md §1.2
+    * (YqlQuery.java:89-166). Bytes arrive base64-encoded
+    * (YqlQuery.java:137-138).
+    */
+  def coerce(raw: Column, dt: DataType): Column = dt match {
+    case BinaryType => unbase64(raw)
+    case TimestampType => raw.cast(TimestampType)
+    case other => raw.cast(other)
+  }
+
+  /** Classify the envelope column into an op label. */
+  def opOf(env: Column): Column = {
+    val upd = get_json_object(env, "$.update")
+    val img = get_json_object(env, "$.newImage")
+    val ers = get_json_object(env, "$.erase")
+    val key = get_json_object(env, "$.key")
+    val updIsObj = upd.startsWith("{")
+    when(key.isNull, OpDrop)
+      .when(upd.isNotNull && updIsObj && upd === "{}", OpKeysOnly)
+      .when(upd.isNotNull && updIsObj, OpUpdate)
+      .when(upd.isNotNull && img.isNotNull, OpNewImage)
+      .when(ers.isNotNull, OpErase)
+      .otherwise(OpDrop)
+  }
+
+  /** Parse a DataFrame carrying a raw-JSON envelope column into typed
+    * rows: adds `op` plus one column per table column (PK columns from
+    * the positional key array, others from the routed payload; null for
+    * keys-only and erase ops). Pass-through columns are kept.
+    */
+  def parseEnvelope(df: DataFrame, envCol: String,
+      schema: CdcSchema): DataFrame = {
+    val env = col(envCol)
+    val op = opOf(env)
+    val payload = when(op === OpNewImage,
+        get_json_object(env, "$.newImage"))
+      .otherwise(get_json_object(env, "$.update"))
+    val keyCols = schema.pk.zipWithIndex.map { case (name, i) =>
+      val f = schema.columns.fields(schema.columns.fieldIndex(name))
+      coerce(get_json_object(env, s"$$.key[$i]"), f.dataType).as(name)
+    }
+    val dataCols = schema.nonKey.map { f =>
+      when(op.isin(OpUpdate, OpNewImage),
+        coerce(get_json_object(payload, s"$$.${f.name}"), f.dataType))
+        .otherwise(lit(null).cast(f.dataType)).as(f.name)
+    }
+    df.select((col("*") +: (op.as("op") +: (keyCols ++ dataCols))): _*)
+  }
+}

@@ -1,0 +1,258 @@
+package graft.operators
+
+import graft.Tables.t
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC operator queries (SURVEY.md §2 O2/O3/O4-part/O8): a
+  * deterministic CDC changelog is derived from the `events` table (so
+  * the DuckDB oracle can construct byte-identical envelopes), then the
+  * graft CDC library (CdcParse / KeyedMerge) parses, routes, dedups and
+  * applies it. Entity key = user_id; sequence = event_id.
+  *
+  * Envelope mix per `event_id % 10` (covers FIXTURES.md A4 cases):
+  *   0 -> erase;  1 -> keys-only update `{}`;  2 -> update non-object +
+  *   newImage (fallback path, CdcMsgParser.java:66-70);  3 -> newImage
+  *   alone (dropped, CdcMsgParser.java:81-82);  else -> normal update.
+  */
+object CdcQueries {
+
+  private val payloadSchema = CdcParse.CdcSchema(
+    StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value_milli", LongType))),
+    pk = Seq("user_id"))
+
+  /** value scaled to an exact integer so JSON round-trips bit-exactly. */
+  private def vm: Column = round(col("value") * 1000).cast("long")
+
+  private def s(c: Column): Column = c.cast("string")
+
+  /** Build the envelope JSON string — concatenation only, so the DuckDB
+    * oracle produces the identical bytes.
+    */
+  private def envelope: Column = {
+    val payload = concat(lit("{\"user_id\":"), s(col("user_id")),
+      lit(",\"event_type\":\""), col("event_type"),
+      lit("\",\"value_milli\":"), s(vm), lit("}"))
+    val keyPart = concat(lit("{\"key\":["), s(col("user_id")), lit("]"))
+    val sel = col("event_id") % 10
+    when(sel === 0, concat(keyPart, lit(",\"erase\":{}}")))
+      .when(sel === 1, concat(keyPart, lit(",\"update\":{}}")))
+      .when(sel === 2, concat(keyPart, lit(",\"update\":7,\"newImage\":"),
+        payload, lit("}")))
+      .when(sel === 3, concat(keyPart, lit(",\"newImage\":"), payload,
+        lit("}")))
+      .otherwise(concat(keyPart, lit(",\"update\":"), payload, lit("}")))
+  }
+
+  /** events -> (event_id, env) -> parsed typed rows with `op`. */
+  private def parsed(spark: SparkSession, dir: String,
+      filterExpr: Column = lit(true)): DataFrame = {
+    val ev = t(spark, dir, "events").filter(filterExpr)
+      .select(col("event_id"), envelope.as("env"))
+    CdcParse.parseEnvelope(ev, "env", payloadSchema)
+      .select("event_id", "op", "user_id", "event_type", "value_milli")
+  }
+
+  /** Pre-existing state: per-user aggregate of even-event_id rows. */
+  private def state0(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").filter(col("event_id") % 2 === 0)
+      .groupBy(col("user_id"))
+      .agg(max(col("event_type")).as("event_type"),
+        max(round(col("value") * 1000).cast("long")).as("value_milli"))
+
+  private def odd: Column = col("event_id") % 2 === 1
+
+  def parseRoute(spark: SparkSession, dir: String): DataFrame =
+    parsed(spark, dir).select("event_id", "op").orderBy("event_id")
+
+  def typedAssembly(spark: SparkSession, dir: String): DataFrame =
+    parsed(spark, dir).filter(col("op") =!= CdcParse.OpDrop)
+      .orderBy("event_id")
+
+  def lwwDedup(spark: SparkSession, dir: String): DataFrame =
+    KeyedMerge.lww(
+        parsed(spark, dir).filter(col("op") =!= CdcParse.OpDrop),
+        Seq("user_id"), "event_id")
+      .select("user_id", "op", "event_type", "value_milli", "event_id")
+      .orderBy("user_id")
+
+  private def oddLww(spark: SparkSession, dir: String): DataFrame =
+    KeyedMerge.lww(
+      parsed(spark, dir, odd).filter(col("op") =!= CdcParse.OpDrop),
+      Seq("user_id"), "event_id")
+
+  def applyUpsert(spark: SparkSession, dir: String): DataFrame =
+    KeyedMerge.applyCdc(state0(spark, dir), oddLww(spark, dir),
+      Seq("user_id")).orderBy("user_id")
+
+  def applyInsert(spark: SparkSession, dir: String): DataFrame =
+    KeyedMerge.applyInsert(state0(spark, dir), oddLww(spark, dir),
+      Seq("user_id")).orderBy("user_id")
+
+  def applyUpdateOn(spark: SparkSession, dir: String): DataFrame =
+    KeyedMerge.applyUpdateOn(state0(spark, dir), oddLww(spark, dir),
+      Seq("user_id")).orderBy("user_id")
+
+  def applyDelete(spark: SparkSession, dir: String): DataFrame =
+    KeyedMerge.applyDelete(state0(spark, dir),
+      oddLww(spark, dir).filter(col("op") === CdcParse.OpErase),
+      Seq("user_id")).orderBy("user_id")
+
+  /** README mat_view1 analog (README.md:80-101): Text event time ->
+    * Timestamp via parse + Unwrap (graft custom expression).
+    */
+  def matView1(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        date_format(graft.Tables.eventsTsMicros, "yyyy-MM-dd HH:mm:ss")
+          .as("event_time_text"),
+        col("event_type"), col("user_id"))
+      .select(col("event_id"),
+        GraftFunctions.unwrap(to_timestamp(col("event_time_text"),
+          "yyyy-MM-dd HH:mm:ss")).as("event_time"),
+        col("event_type"), col("user_id"))
+      .orderBy("event_id")
+  }
+
+  /** README mat_view2 analog (README.md:103-115): SELECT * under a
+    * DIFFERENT primary key (user_id, event_type) with LWW on the new key.
+    */
+  def matView2(spark: SparkSession, dir: String): DataFrame =
+    KeyedMerge.lww(
+        parsed(spark, dir)
+          .filter(col("op").isin(CdcParse.OpUpdate, CdcParse.OpNewImage)),
+        Seq("user_id", "event_type"), "event_id")
+      .select("user_id", "event_type", "value_milli", "event_id")
+      .orderBy("user_id", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_parse_route" -> parseRoute _,
+    "cdc_typed_assembly" -> typedAssembly _,
+    "cdc_lww_dedup" -> lwwDedup _,
+    "cdc_apply_upsert" -> applyUpsert _,
+    "cdc_apply_insert" -> applyInsert _,
+    "cdc_apply_update_on" -> applyUpdateOn _,
+    "cdc_apply_delete" -> applyDelete _,
+    "cdc_mat_view1" -> matView1 _,
+    "cdc_mat_view2" -> matView2 _,
+  )
+
+  /** Shared DuckDB CTE text: envelope construction + parse + route +
+    * typed assembly, mirroring CdcParse exactly.
+    */
+  private val baseCte: String =
+    """WITH env AS (
+      |  SELECT event_id,
+      |    CASE
+      |      WHEN event_id % 10 = 0 THEN '{"key":[' || user_id || '],"erase":{}}'
+      |      WHEN event_id % 10 = 1 THEN '{"key":[' || user_id || '],"update":{}}'
+      |      WHEN event_id % 10 = 2 THEN '{"key":[' || user_id || '],"update":7,"newImage":{"user_id":' || user_id || ',"event_type":"' || event_type || '","value_milli":' || CAST(ROUND(value*1000) AS BIGINT) || '}}'
+      |      WHEN event_id % 10 = 3 THEN '{"key":[' || user_id || '],"newImage":{"user_id":' || user_id || ',"event_type":"' || event_type || '","value_milli":' || CAST(ROUND(value*1000) AS BIGINT) || '}}'
+      |      ELSE '{"key":[' || user_id || '],"update":{"user_id":' || user_id || ',"event_type":"' || event_type || '","value_milli":' || CAST(ROUND(value*1000) AS BIGINT) || '}}'
+      |    END AS env
+      |  FROM events
+      |), routed AS (
+      |  SELECT event_id, env,
+      |    json_extract(env, '$.update')::VARCHAR AS upd,
+      |    json_extract(env, '$.newImage')::VARCHAR AS img,
+      |    json_extract(env, '$.erase')::VARCHAR AS ers,
+      |    json_extract(env, '$.key')::VARCHAR AS k
+      |  FROM env
+      |), ops AS (
+      |  SELECT event_id, env,
+      |    CASE
+      |      WHEN k IS NULL THEN 'drop'
+      |      WHEN upd IS NOT NULL AND left(upd,1) = '{' AND upd = '{}' THEN 'update_keys_only'
+      |      WHEN upd IS NOT NULL AND left(upd,1) = '{' THEN 'update'
+      |      WHEN upd IS NOT NULL AND img IS NOT NULL THEN 'update_newimage'
+      |      WHEN ers IS NOT NULL THEN 'erase'
+      |      ELSE 'drop'
+      |    END AS op,
+      |    CASE WHEN upd IS NOT NULL AND left(upd,1) <> '{' AND img IS NOT NULL
+      |         THEN json_extract(env, '$.newImage') ELSE json_extract(env, '$.update') END AS payload
+      |  FROM routed
+      |), typed AS (
+      |  SELECT event_id, op,
+      |    CAST(json_extract_string(env, '$.key[0]') AS BIGINT) AS user_id,
+      |    CASE WHEN op IN ('update','update_newimage')
+      |         THEN json_extract_string(payload, '$.event_type') END AS event_type,
+      |    CASE WHEN op IN ('update','update_newimage')
+      |         THEN CAST(json_extract_string(payload, '$.value_milli') AS BIGINT) END AS value_milli
+      |  FROM ops
+      |), state0 AS (
+      |  SELECT user_id, MAX(event_type) AS event_type,
+      |         MAX(CAST(ROUND(value*1000) AS BIGINT)) AS value_milli
+      |  FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+      |), odd_lww AS (
+      |  SELECT user_id, op, event_type, value_milli, event_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |    FROM typed WHERE op <> 'drop' AND event_id % 2 = 1) x
+      |  WHERE rn = 1
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "cdc_parse_route" -> (baseCte +
+      "\nSELECT event_id, op FROM ops ORDER BY event_id"),
+    "cdc_typed_assembly" -> (baseCte +
+      """
+        |SELECT event_id, op, user_id, event_type, value_milli
+        |FROM typed WHERE op <> 'drop' ORDER BY event_id""".stripMargin),
+    "cdc_lww_dedup" -> (baseCte +
+      """
+        |SELECT user_id, op, event_type, value_milli, event_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM typed WHERE op <> 'drop') x
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    "cdc_apply_upsert" -> (baseCte +
+      """
+        |SELECT user_id, event_type, value_milli FROM (
+        |  SELECT s.user_id, s.event_type, s.value_milli FROM state0 s
+        |  WHERE NOT EXISTS (SELECT 1 FROM odd_lww b WHERE b.user_id = s.user_id)
+        |  UNION ALL
+        |  SELECT user_id, event_type, value_milli FROM odd_lww WHERE op <> 'erase') f
+        |ORDER BY user_id""".stripMargin),
+    "cdc_apply_insert" -> (baseCte +
+      """
+        |SELECT user_id, event_type, value_milli FROM (
+        |  SELECT user_id, event_type, value_milli FROM state0
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_type, b.value_milli FROM odd_lww b
+        |  WHERE b.op <> 'erase'
+        |    AND NOT EXISTS (SELECT 1 FROM state0 s WHERE s.user_id = b.user_id)) f
+        |ORDER BY user_id""".stripMargin),
+    "cdc_apply_update_on" -> (baseCte +
+      """
+        |SELECT user_id, event_type, value_milli FROM (
+        |  SELECT s.user_id, s.event_type, s.value_milli FROM state0 s
+        |  WHERE NOT EXISTS (SELECT 1 FROM odd_lww b
+        |                    WHERE b.user_id = s.user_id AND b.op <> 'erase')
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_type, b.value_milli FROM odd_lww b
+        |  WHERE b.op <> 'erase'
+        |    AND EXISTS (SELECT 1 FROM state0 s WHERE s.user_id = b.user_id)) f
+        |ORDER BY user_id""".stripMargin),
+    "cdc_apply_delete" -> (baseCte +
+      """
+        |SELECT s.user_id, s.event_type, s.value_milli FROM state0 s
+        |WHERE NOT EXISTS (SELECT 1 FROM odd_lww b
+        |                  WHERE b.user_id = s.user_id AND b.op = 'erase')
+        |ORDER BY s.user_id""".stripMargin),
+    "cdc_mat_view1" ->
+      """SELECT event_id,
+        |  strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS event_time,
+        |  event_type, user_id
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_mat_view2" -> (baseCte +
+      """
+        |SELECT user_id, event_type, value_milli, event_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        |  FROM typed WHERE op IN ('update','update_newimage')) x
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+  )
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md §7.5): exact content dedup,
+  * n-gram Jaccard near-dup, MinHash+LSH. Designed scale-first:
+  *   - exact dedup = one hash-partitioned groupBy on the content hash;
+  *   - Jaccard via shingle inverted-index join (the classic pattern) —
+  *     correct at any SF but O(pairs sharing a shingle), so the 100 TB
+  *     path is MinHash-LSH banding which bounds candidate pairs by
+  *     band-bucket collisions instead of full shingle fan-out.
+  *
+  * Hashes are md5-hex (identical in Spark and DuckDB) so every step is
+  * oracle-checkable; MinHash uses lexicographic MIN over seeded md5 of
+  * shingles — a valid random permutation family, portable across engines.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word 3-gram shingles, one row per (id, distinct shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // sequence(1,0) would run DOWNWARD in Spark — guard short docs
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val sh = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    df.select(col(idCol).as("id"), explode(sh).as("shingle")).distinct()
+  }
+
+  /** Pairwise Jaccard similarity over shingle sets for all pairs that
+    * share at least one shingle; returns pairs with jaccard >= minJ.
+    * Exact integer-count division => bit-identical across engines.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      minJ: Double, n: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "common", "jaccard")
+  }
+
+  /** MinHash signature component for one seed: lexicographic min of
+    * md5(seed || '|' || shingle) — identical in any engine with md5.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
+    sh.select(col("id"), col("shingle"), seeds)
+      .groupBy(col("id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"),
+        col("shingle")))).as("mh"))
+  }
+
+  /** MinHash-LSH banding: group signature rows into bands, bucket on the
+    * concatenated band signature, emit candidate pairs per bucket, then
+    * verify with exact Jaccard. At scale: candidates are bounded by
+    * bucket collisions; no all-pairs or full shingle join on the
+    * verification side fan-in.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, minJ: Double, n: Int = 3)
+      : DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sig = minhashSignatures(sh, numHashes)
+      .withColumn("band", floor(col("seed") / rowsPerBand))
+    val bandSig = sig.groupBy(col("id"), col("band"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("seed"), col("mh")))), s => s.getField("mh")), ",")
+        .as("bsig"))
+    val cands = bandSig.as("a").join(bandSig.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // verify candidates with exact jaccard over the cached shingle sets
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = cands
+      .join(sh.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("shingle", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("shingle", "sh_b"), "id_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash (32-bit, from md5 nibbles of tokens): each token votes
+    * +1/-1 per bit; fingerprint bit i is the sign of the vote sum.
+    * Near-dups = fingerprints within a small Hamming distance.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = explode(TextAnalysis.tokens(col(textCol))).as("tok")
+    val hexDigit = (h: Column, i: Int) =>
+      (instr(lit("0123456789abcdef"),
+        substring(h, i + 1, 1)) - 1).cast("long")
+    val exploded = df.select(col(idCol).as("id"), tok)
+      .withColumn("h", md5(col("tok")))
+    // 32 bits from the first 8 hex nibbles (4 bits each)
+    val bitCols = (0 until 32).map { bit =>
+      val nib = hexDigit(col("h"), bit / 4)
+      val mask = 1L << (3 - bit % 4)
+      sum(when((nib.bitwiseAND(mask)) > 0, 1L).otherwise(-1L))
+        .as(s"b$bit")
+    }
+    val votes = exploded.groupBy(col("id")).agg(bitCols.head,
+      bitCols.tail: _*)
+    val fp = (0 until 32).map(bit =>
+      when(col(s"b$bit") > 0, lit(1L << (31 - bit))).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(col("id"), fp.as("simhash"))
+  }
+}

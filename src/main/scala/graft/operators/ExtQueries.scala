@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the §7.5 extension operators (dedup, similarity,
+  * text analysis, multimodal metadata) with DuckDB oracles. Each query
+  * delegates to the operator library so the oracle verifies the library.
+  */
+object ExtQueries {
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("content_hash")
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+      minJ = 0.1).orderBy("id_a", "id_b")
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(t(spark, dir, "documents"), "text")
+      .select("doc_id", "n_tokens", "n_chars_calc").orderBy("doc_id")
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(t(spark, dir, "documents"), "text")
+      .select("doc_id", "len", "n_tokens", "avg_tok_len", "stop_ratio",
+        "quality_ok").orderBy("doc_id")
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(t(spark, dir, "documents"), "text")
+      .select("doc_id", "en_hits", "es_hits", "lang_guess")
+      .orderBy("doc_id")
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(t(spark, dir, "documents"), "text")
+      .select("doc_id", "fp").orderBy("doc_id")
+
+  def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
+      "embedding", k = 10).orderBy("q_id", "rank")
+  }
+
+  def embedNorms(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    emb.select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(Similarity.norm(col("embedding")), 6).as("norm_r"))
+      .orderBy("vec_id")
+  }
+
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.attachMedia(t(spark, dir, "documents"), "doc_id", "text")
+      .select(col("media_id"), col("media.meta.format").as("format"),
+        col("media.meta.n_bytes").as("n_bytes"),
+        col("media.meta.checksum").as("checksum"))
+      .orderBy("media_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_ngram_jaccard" -> dedupJaccard _,
+    "text_token_stats" -> tokenStats _,
+    "text_quality" -> quality _,
+    "text_langid" -> langId _,
+    "text_fingerprint" -> fingerprint _,
+    "sim_cosine_topk" -> simTopK _,
+    "embed_norms" -> embedNorms _,
+    "mm_meta" -> mmMeta _,
+  )
+
+  private val enList = TextAnalysis.enStopwords
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+  private val esList = TextAnalysis.esStopwords
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i)
+        |), sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |common AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, common,
+        |  CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" -> (
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS len,
+         |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+         |    string_split_regex(trim(text), '\\s+') AS tk
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, len, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len - n_spaces AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS avg_tok_len,
+         |    CAST(len(list_filter(tk, x -> list_contains($enList, lower(x)))) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE) AS stop_ratio
+         |  FROM base)
+         |SELECT doc_id, len, n_tokens, avg_tok_len, stop_ratio,
+         |  (stop_ratio >= 0.02 AND avg_tok_len BETWEEN 2.0 AND 12.0) AS quality_ok
+         |FROM m ORDER BY doc_id""".stripMargin),
+    "text_langid" -> (
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(tk, x -> list_contains($enList, lower(x)))) AS BIGINT) AS en_hits,
+         |    CAST(len(list_filter(tk, x -> list_contains($esList, lower(x)))) AS BIGINT) AS es_hits
+         |  FROM base)
+         |SELECT doc_id, en_hits, es_hits,
+         |  CASE WHEN en_hits > es_hits AND en_hits > 0 THEN 'en'
+         |       WHEN es_hits > en_hits AND es_hits > 0 THEN 'es'
+         |       ELSE 'unk' END AS lang_guess
+         |FROM m ORDER BY doc_id""".stripMargin),
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sim_cosine_topk" ->
+      """WITH qe AS (
+        |  SELECT vec_id AS q_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings WHERE vec_id < 8
+        |), ee AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
+        |), dots AS (
+        |  SELECT qe.q_id, ee.vec_id, SUM(qe.x * ee.x) AS dot
+        |  FROM qe JOIN ee ON qe.i = ee.i AND qe.q_id <> ee.vec_id
+        |  GROUP BY qe.q_id, ee.vec_id
+        |), sims AS (
+        |  SELECT d.q_id, d.vec_id AS n_id,
+        |    ROUND(d.dot / (nq.nrm * ne.nrm), 6) AS sim
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.q_id
+        |  JOIN norms ne ON ne.vec_id = d.vec_id
+        |), ranked AS (
+        |  SELECT q_id, n_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |  FROM sims)
+        |SELECT q_id, n_id, sim, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "embed_norms" ->
+      """WITH ee AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT e.vec_id, CAST(len(e.embedding) AS BIGINT) AS dim,
+        |  ROUND(sqrt(SUM(ee.x * ee.x)), 6) AS norm_r
+        |FROM embeddings e JOIN ee ON ee.vec_id = e.vec_id
+        |GROUP BY e.vec_id, len(e.embedding)
+        |ORDER BY e.vec_id""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id AS media_id, 'raw/utf-8' AS format,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
+}

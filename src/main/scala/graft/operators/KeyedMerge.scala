@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed merge semantics (SURVEY.md §7.3): the one genuinely
+  * non-built-in piece. Reproduces the reference's four write actions
+  * (CdcMsgParser.java:225-248) over keyed state:
+  *
+  *   upsertInto  -> replace-or-insert whole row
+  *   insertInto  -> insert only keys absent from state
+  *   updateOn    -> replace only keys present in state
+  *   deleteFrom  -> remove keys (payload ignored)
+  *
+  * All ops are idempotent (apply twice == apply once), which is what
+  * makes Structured Streaming's batch replay satisfy the reference's
+  * at-least-once contract (YqlWriter.java:181-206, SURVEY.md O10).
+  *
+  * Scale notes: `lww` is one shuffle on the key (window + row_number);
+  * the merges are key-equi joins — at 100 TB both sides shuffle on the
+  * same key so AQE can co-partition, and a small batch side is
+  * broadcast by Catalyst automatically.
+  */
+object KeyedMerge {
+
+  /** Last-writer-wins dedup per key by descending sequence column.
+    * Subsumes the reference's order-boundary flush (YqlWriter.java:
+    * 186-192): a later erase supersedes an earlier update of the key.
+    */
+  def lww(batch: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** UPSERT: state rows whose key is touched are dropped, then all
+    * non-erase batch rows are inserted. Expects `batch` already LWW'd
+    * with an `op` column (CdcParse.Op*).
+    */
+  def applyUpsert(state: DataFrame, batch: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val touched = batch.select(keys.map(col): _*)
+    val upserts = batch.filter(col("op") =!= CdcParse.OpErase)
+      .select(state.columns.map(col).toIndexedSeq: _*)
+    state.join(touched, keys, "left_anti").unionByName(upserts)
+  }
+
+  /** INSERT: only rows whose key is absent from state are added. */
+  def applyInsert(state: DataFrame, batch: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val fresh = batch.filter(col("op") =!= CdcParse.OpErase)
+      .join(state.select(keys.map(col): _*), keys, "left_anti")
+      .select(state.columns.map(col).toIndexedSeq: _*)
+    state.unionByName(fresh)
+  }
+
+  /** UPDATE ON: only rows whose key exists in state are replaced. */
+  def applyUpdateOn(state: DataFrame, batch: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val upd = batch.filter(col("op") =!= CdcParse.OpErase)
+    val replaced = upd
+      .join(state.select(keys.map(col): _*), keys, "left_semi")
+      .select(state.columns.map(col).toIndexedSeq: _*)
+    val updKeys = replaced.select(keys.map(col): _*)
+    state.join(updKeys, keys, "left_anti").unionByName(replaced)
+  }
+
+  /** DELETE ... ON: remove keys, payload ignored. */
+  def applyDelete(state: DataFrame, deletes: DataFrame,
+      keys: Seq[String]): DataFrame =
+    state.join(deletes.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Full CDC apply: LWW'd batch with mixed update/erase ops. */
+  def applyCdc(state: DataFrame, batch: DataFrame,
+      keys: Seq[String]): DataFrame =
+    applyUpsert(state, batch, keys) // erase rows drop state, add nothing
+}

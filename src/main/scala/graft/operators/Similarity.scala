@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators (SURVEY.md §7.5) over an embedding
+  * column (array<float>).
+  *
+  * Scale design: `cosineTopK` broadcasts the (small) query set against
+  * the (huge) corpus — a broadcast nested-loop with codegen'd
+  * higher-order dot products, no shuffle of the corpus; top-k per query
+  * is a single window. The 100 TB path is `lshTopK`: sign-random-
+  * projection bucketing prunes the corpus to matching buckets before
+  * the exact rerank.
+  *
+  * Dots are computed with `aggregate(zip_with(...))` — a sequential
+  * in-order fold, so results are deterministic (no shuffle-order FP
+  * noise); cosine is rounded to 6 decimals for cross-engine parity.
+  */
+object Similarity {
+
+  /** In-order dot product of two float vectors, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k neighbours for each query vector.
+    * `queries` must be small (it is broadcast).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val sim = corpus.join(broadcast(q), col(idCol) =!= col("q_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col(vecCol)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol).as("n_id"), col("sim"), col("rank"))
+  }
+
+  /** ±1 component j of pseudo-random hyperplane p: parity of the first
+    * hex digit of md5("p,j"). Any engine with md5 reproduces it.
+    */
+  def planeComponent(p: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p,$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Sign-random-projection LSH bucket id: `planes` pseudo-random
+    * hyperplanes with ±1 components derived from md5 hex parity — fully
+    * deterministic and engine-portable. Bucket = bit-string of
+    * sign(dot(v, plane)).
+    */
+  def srpBucket(v: Column, planes: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val weights = lit((0 until dims).map(planeComponent(p, _)).toArray)
+      val contrib = aggregate(
+        zip_with(v, weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(contrib >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** ANN: restrict candidate pairs to equal SRP buckets, then exact
+    * cosine rerank within the bucket. Misses across bucket boundaries
+    * are the usual LSH trade-off (raise `planes` tables to tune recall).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
+    val withB = corpus.withColumn("bucket", srpBucket(col(vecCol), planes, dims))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_bucket", srpBucket(col("q_vec"), planes, dims))
+    val sim = withB.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col(idCol) =!= col("q_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col(vecCol)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol).as("n_id"), col("bucket"),
+        col("sim"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
+    * pruned by SRP bucket equality (scale path) — exact within buckets.
+    */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, planes: Int, dims: Int): DataFrame = {
+    val withB = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", srpBucket(col("vec"), planes, dims))
+    withB.as("a").join(withB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", round(cosine(col("a.vec"), col("b.vec")), 6))
+      .filter(col("sim") >= minSim)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+}
