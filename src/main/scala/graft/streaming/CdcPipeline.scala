@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.operators.{CdcParse, KeyedMerge}
+import graft.sinks.KeyedTableSink
+import graft.sources.Changelog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** End-to-end CDC pipeline (SURVEY.md §3.2 data plane):
+  *
+  *   changelog stream -> envelope parse/route -> typed rows -> LWW per
+  *   key -> user transform (spark.sql over temp view `rows`, the
+  *   AS_TABLE($rows) analog) -> keyed merge sink with action semantics
+  *   -> offsets committed via checkpoint only after sink success.
+  *
+  * Mapping to the reference:
+  *  - micro-batcher (O4): Trigger + maxFilesPerTrigger instead of the
+  *    hand-rolled 1000-row buffer (YqlWriter.java:184-203); the
+  *    update/erase order-boundary flush is subsumed by per-key LWW
+  *    inside the batch (a later erase supersedes earlier updates);
+  *  - partition-affine write (O5): Spark partitions the merge join by
+  *    key hash — no hand-rolled queues;
+  *  - at-least-once + retry (O10): checkpoint commits after foreachBatch
+  *    returns; the idempotent keyed merge makes replay safe;
+  *  - skip-sink (O9): no transform configured -> count + log only.
+  */
+object CdcPipeline {
+
+  /** Per-query status for the monitoring surface (O14). */
+  final case class Status(id: String, var ok: Boolean = true,
+    var status: String = "RUNNING", var lastReaded: Long = 0L,
+    var lastWrited: Long = 0L, var rowsWritten: Long = 0L)
+
+  val statuses = new java.util.concurrent.ConcurrentHashMap[String, Status]()
+
+  case class Pipeline(
+    consumer: String,
+    changelogDir: String,
+    checkpointDir: String,
+    schema: CdcParse.CdcSchema,
+    updateSql: Option[String], // None -> skip-sink (O9)
+    deleteSql: Option[String],
+    sink: KeyedTableSink,
+    action: String = "upsertInto",
+    maxFilesPerTrigger: Int = 10)
+
+  /** Run one micro-batch through parse -> LWW -> transform -> apply.
+    * Public so batch jobs and tests can drive the identical code path
+    * (two-phase read-then-act, O7).
+    */
+  def applyBatch(spark: SparkSession, p: Pipeline, batch: DataFrame): Unit = {
+    val st = statuses.computeIfAbsent(p.consumer, new Status(_))
+    st.lastReaded = System.currentTimeMillis()
+    val typed = CdcParse.parseEnvelope(batch, "value", p.schema)
+      .filter(col("op") =!= CdcParse.OpDrop)
+    val lww = KeyedMerge.lww(typed, p.schema.pk, "seq").cache()
+    try {
+      p.updateSql match {
+        case None =>
+          st.rowsWritten += lww.count() // skip-sink: count + commit (O9)
+        case Some(sql) =>
+          val updates = lww.filter(col("op") =!= CdcParse.OpErase)
+          // foreachBatch hands us a micro-batch-cloned session; the
+          // temp view must be registered AND queried on that clone
+          val session = batch.sparkSession
+          updates.createOrReplaceTempView("rows")
+          val transformed = session.sql(sql)
+            .withColumn("op", lit(CdcParse.OpUpdate))
+          // erase rows skip the transform; they carry keys only
+          val erases = lww.filter(col("op") === CdcParse.OpErase)
+            .select(transformed.columns.map(c =>
+              if (p.schema.pk.contains(c) || c == "op") col(c)
+              else lit(null).cast(
+                p.schema.columns.find(_.name == c)
+                  .map(_.dataType.catalogString).getOrElse("string"))
+                .as(c)).toIndexedSeq: _*)
+            .withColumn("op", lit(CdcParse.OpErase))
+          p.sink.apply(transformed.unionByName(erases), p.action)
+          st.rowsWritten += lww.count()
+      }
+      st.lastWrited = System.currentTimeMillis()
+      st.ok = true
+    } finally lww.unpersist()
+  }
+
+  /** Start the streaming query (one per consumer, own checkpoint —
+    * the reference's independent consumer progress, Application.java:
+    * 93-102).
+    */
+  def start(spark: SparkSession, p: Pipeline): StreamingQuery =
+    Changelog.readStream(spark, p.changelogDir, p.maxFilesPerTrigger)
+      .writeStream
+      .queryName(p.consumer)
+      .option("checkpointLocation", p.checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(spark, p, batch)
+      }
+      .start()
+
+  /** Monitoring JSON (WebController.java:62-83 shape). */
+  def statusJson: String = {
+    import scala.jdk.CollectionConverters._
+    statuses.asScala.values.toSeq.sortBy(_.id).map { s =>
+      s"""{"id":"${s.id}","ok":${s.ok},"status":"${s.status}",""" +
+        s""""lastReaded":${s.lastReaded},"lastWrited":${s.lastWrited},""" +
+        s""""rowsWritten":${s.rowsWritten}}"""
+    }.mkString("[", ",", "]")
+  }
+}

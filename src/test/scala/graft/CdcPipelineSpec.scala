@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.{CdcParse, KeyedMerge}
+import graft.sinks.KeyedTableSink
+import graft.sources.Changelog
+import graft.streaming.CdcPipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end golden test (SURVEY.md §5.2): replay the deterministic
+  * events changelog through stream -> parse -> transform -> keyed sink;
+  * compare the final table to the batch-computed expectation; prove
+  * replay idempotence by re-running with a fresh checkpoint.
+  */
+class CdcPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val schema = CdcParse.CdcSchema(
+    StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value_milli", LongType))),
+    pk = Seq("user_id"))
+
+  val sinkSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value_milli", LongType)))
+
+  def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  /** Batch-computed golden: LWW over the whole changelog, erase wins
+    * removed, identical envelope parse path.
+    */
+  def golden(changelogDir: String): Set[(Long, String, Option[Long])] = {
+    val all = Changelog.readBatch(spark, changelogDir)
+    val typed = CdcParse.parseEnvelope(all, "value", schema)
+      .filter(col("op") =!= CdcParse.OpDrop)
+    val lww = KeyedMerge.lww(typed, Seq("user_id"), "seq")
+      .filter(col("op") =!= CdcParse.OpErase)
+    lww.select("user_id", "event_type", "value_milli").collect()
+      .map(tuple3).toSet
+  }
+
+  /** keys-only updates leave non-key columns null — read defensively */
+  def tuple3(r: org.apache.spark.sql.Row): (Long, String, Option[Long]) =
+    (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))
+
+  def sinkRows(sink: KeyedTableSink): Set[(Long, String, Option[Long])] =
+    sink.load().collect().map(tuple3).toSet
+
+  def runPipeline(changelog: String, sinkDir: String,
+      ckpt: String): KeyedTableSink = {
+    val sink = new KeyedTableSink(spark, sinkDir, Seq("user_id"),
+      sinkSchema)
+    val p = CdcPipeline.Pipeline(
+      consumer = s"test-${ckpt.hashCode.abs}",
+      changelogDir = changelog,
+      checkpointDir = ckpt,
+      schema = schema,
+      updateSql = Some(
+        "SELECT user_id, event_type, value_milli FROM rows"),
+      deleteSql = None,
+      sink = sink,
+      maxFilesPerTrigger = 2) // force multiple micro-batches
+    val q = CdcPipeline.start(spark, p)
+    q.awaitTermination(120000)
+    sink
+  }
+
+  test("stream replay equals batch golden; multiple micro-batches") {
+    val changelog = freshDir("changelog")
+    val n = Changelog.writeFromEvents(spark,
+      s"${TestSpark.sfDir}/events.parquet", changelog, numFiles = 6)
+    assert(n === 1000L)
+    val sink = runPipeline(changelog, freshDir("sink"), freshDir("ckpt"))
+    val got = sinkRows(sink)
+    val want = golden(changelog)
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("re-run from scratch (replay) converges to same state: idempotent") {
+    val changelog = freshDir("changelog2")
+    Changelog.writeFromEvents(spark,
+      s"${TestSpark.sfDir}/events.parquet", changelog, numFiles = 3)
+    val sinkDir = freshDir("sink2")
+    val s1 = runPipeline(changelog, sinkDir, freshDir("ckpt2a"))
+    val after1 = sinkRows(s1)
+    // same sink, fresh checkpoint -> full replay over existing state
+    val s2 = runPipeline(changelog, sinkDir, freshDir("ckpt2b"))
+    val after2 = sinkRows(s2)
+    assert(after1 === after2)
+    assert(after1 === golden(changelog))
+  }
+
+  test("restart with same checkpoint is a no-op (offsets committed)") {
+    val changelog = freshDir("changelog3")
+    Changelog.writeFromEvents(spark,
+      s"${TestSpark.sfDir}/events.parquet", changelog, numFiles = 3)
+    val sinkDir = freshDir("sink3")
+    val ckpt = freshDir("ckpt3")
+    val s1 = runPipeline(changelog, sinkDir, ckpt)
+    val after1 = sinkRows(s1)
+    val s2 = runPipeline(changelog, sinkDir, ckpt) // nothing new to read
+    assert(sinkRows(s2) === after1)
+  }
+
+  test("skip-sink pipeline (no transform) counts without writing (O9)") {
+    val changelog = freshDir("changelog4")
+    Changelog.writeFromEvents(spark,
+      s"${TestSpark.sfDir}/events.parquet", changelog, numFiles = 2)
+    val sinkDir = freshDir("sink4")
+    val sink = new KeyedTableSink(spark, sinkDir, Seq("user_id"),
+      sinkSchema)
+    val p = CdcPipeline.Pipeline("test-skip", changelog,
+      freshDir("ckpt4"), schema, updateSql = None, deleteSql = None,
+      sink = sink)
+    CdcPipeline.start(spark, p).awaitTermination(120000)
+    assert(!sink.exists) // nothing written
+    assert(CdcPipeline.statuses.get("test-skip").rowsWritten > 0)
+  }
+
+  test("status surface reports progress (O14)") {
+    assert(CdcPipeline.statusJson.contains("\"ok\":true"))
+  }
+}

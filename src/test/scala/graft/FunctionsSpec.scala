@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("unwrap passes non-null values through (README.md:94 semantics)") {
+    GraftFunctions.register(spark)
+    val out = Seq("x", "y").toDF("s")
+      .select(GraftFunctions.unwrap($"s").as("u"))
+      .as[String].collect().toSet
+    assert(out === Set("x", "y"))
+  }
+
+  test("unwrap throws on null") {
+    GraftFunctions.register(spark)
+    val ex = intercept[Exception] {
+      Seq(Some("x"), None).toDF("s")
+        .select(GraftFunctions.unwrap($"s")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c =>
+        Option(c.getMessage).exists(_.contains("unwrap"))))
+  }
+
+  test("unwrap result is non-nullable in the schema") {
+    GraftFunctions.register(spark)
+    val df = Seq("x").toDF("s").select(GraftFunctions.unwrap($"s").as("u"))
+    assert(!df.schema("u").nullable)
+  }
+
+  test("strptime translation covers the README format") {
+    // DateTime::Parse('%Y-%m-%d %H:%M:%S %Z') — README.md:91
+    assert(GraftFunctions.strptimeToSpark("%Y-%m-%d %H:%M:%S %Z") ===
+      "yyyy-MM-dd HH:mm:ss zz")
+  }
+
+  test("translated pattern parses with to_timestamp") {
+    val fmt = GraftFunctions.strptimeToSpark("%Y-%m-%d %H:%M:%S")
+    val ts = Seq("2024-05-06 07:08:09").toDF("s")
+      .select(to_timestamp($"s", fmt).as("t")).head().getTimestamp(0)
+    assert(ts.toInstant.toString === "2024-05-06T07:08:09Z")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{CdcParse, KeyedMerge}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-action semantics + idempotence (SURVEY.md §7.3, O8/O10). */
+class KeyedMergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def state: DataFrame = Seq(
+    (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)
+  ).toDF("id", "name", "v")
+
+  // batch already LWW'd: update id=2, insert id=4, erase id=3
+  def batch: DataFrame = Seq(
+    (2L, "B", 200L, CdcParse.OpUpdate, 101L),
+    (4L, "D", 400L, CdcParse.OpUpdate, 102L),
+    (3L, null.asInstanceOf[String], 0L, CdcParse.OpErase, 103L)
+  ).toDF("id", "name", "v", "op", "seq")
+
+  def rows(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("id", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("upsert: replace matched, insert new, erase removes") {
+    val out = KeyedMerge.applyUpsert(state, batch, Seq("id"))
+    assert(rows(out) === Set((1L, "a", 10L), (2L, "B", 200L),
+      (4L, "D", 400L)))
+  }
+
+  test("insert: only absent keys added, matched untouched") {
+    val out = KeyedMerge.applyInsert(state, batch, Seq("id"))
+    assert(rows(out) === Set((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "c", 30L), (4L, "D", 400L)))
+  }
+
+  test("updateOn: only matched keys replaced, no inserts") {
+    val out = KeyedMerge.applyUpdateOn(state, batch, Seq("id"))
+    assert(rows(out) === Set((1L, "a", 10L), (2L, "B", 200L),
+      (3L, "c", 30L)))
+  }
+
+  test("deleteFrom: erase keys removed, payload ignored") {
+    val out = KeyedMerge.applyDelete(state,
+      batch.filter($"op" === CdcParse.OpErase), Seq("id"))
+    assert(rows(out) === Set((1L, "a", 10L), (2L, "b", 20L)))
+  }
+
+  test("apply twice == apply once (at-least-once replay safety, O10)") {
+    val once = KeyedMerge.applyUpsert(state, batch, Seq("id"))
+    val twice = KeyedMerge.applyUpsert(once, batch, Seq("id"))
+    assert(rows(once) === rows(twice))
+  }
+
+  test("lww keeps highest-seq row per key; later erase supersedes") {
+    val b = Seq(
+      (5L, "old", 1L, CdcParse.OpUpdate, 1L),
+      (5L, "new", 2L, CdcParse.OpUpdate, 9L),
+      (6L, "x", 3L, CdcParse.OpUpdate, 4L),
+      (6L, null.asInstanceOf[String], 0L, CdcParse.OpErase, 8L)
+    ).toDF("id", "name", "v", "op", "seq")
+    val lww = KeyedMerge.lww(b, Seq("id"), "seq")
+    val got = lww.select("id", "op", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((5L, CdcParse.OpUpdate, "new"),
+      (6L, CdcParse.OpErase, null)))
+  }
+}
