@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.CdcQueries.queries ++
-      operators.ExtQueries.queries
+      operators.ExtQueries.queries ++
+      operators.EventTimeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,5 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
       operators.CdcQueries.oracle ++
-      operators.ExtQueries.oracle
+      operators.ExtQueries.oracle ++
+      operators.EventTimeQueries.oracle
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregations (SURVEY.md §2.3 "streaming
+  * windows"): tumbling and session windows over the events table. The
+  * same expressions run under Structured Streaming with
+  * `withWatermark` (exercised in EventTimeSpec); here they are declared
+  * as batch queries so the DuckDB oracle can check the window algebra.
+  */
+object EventTimeQueries {
+
+  /** Tumbling 1-hour window per event type. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(Tables.eventsTsMicros, "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000).cast("long")).as("sum_vm"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("sum_vm"))
+      .orderBy("hour", "event_type")
+
+  /** Session windows (30-minute inactivity gap) per user. */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(session_window(Tables.eventsTsMicros, "30 minutes")
+        .as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n"))
+      .orderBy("user_id", "session_start")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_window_tumbling" -> tumbling _,
+    "ev_window_session" -> sessions _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ev_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(ROUND(value*1000) AS BIGINT)) AS sum_vm
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin,
+    // gaps-and-islands replica of session_window semantics: a gap of
+    // exactly the threshold starts a NEW session (half-open windows)
+    "ev_window_session" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}

@@ -50,6 +50,25 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
+      numHashes = 16, bands = 4, minJ = 0.1).orderBy("id_a", "id_b")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("id")
+
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
+      "embedding", k = 5, planes = 6, dims = 64).orderBy("q_id", "rank")
+  }
+
+  def embedNearDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDups(t(spark, dir, "embeddings"), "vec_id",
+      "embedding", minSim = 0.35, planes = 4, dims = 64)
+      .orderBy("id_a", "id_b")
+
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.attachMedia(t(spark, dir, "documents"), "doc_id", "text")
       .select(col("media_id"), col("media.meta.format").as("format"),
@@ -67,6 +86,10 @@ object ExtQueries {
     "sim_cosine_topk" -> simTopK _,
     "embed_norms" -> embedNorms _,
     "mm_meta" -> mmMeta _,
+    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_simhash" -> dedupSimhash _,
+    "sim_ann_lsh" -> simAnnLsh _,
+    "embed_near_dups" -> embedNearDups _,
   )
 
   private val enList = TextAnalysis.enStopwords
@@ -179,5 +202,127 @@ object ExtQueries {
       """SELECT doc_id AS media_id, 'raw/utf-8' AS format,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i)
+        |), sig AS (
+        |  SELECT id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+        |  FROM sh, UNNEST(range(0, 16)) AS sd(seed)
+        |  GROUP BY id, seed
+        |), bandsig AS (
+        |  SELECT id, seed // 4 AS band,
+        |    string_agg(mh, ',' ORDER BY seed) AS bsig
+        |  FROM sig GROUP BY id, seed // 4
+        |), cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bandsig a JOIN bandsig b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+        |), sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |common AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS common
+        |  FROM cands c
+        |  JOIN sh a ON a.id = c.id_a
+        |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b,
+        |  CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tokrows AS (
+        |  SELECT doc_id AS id,
+        |    md5(unnest(string_split_regex(trim(text), '\s+'))) AS h
+        |  FROM documents
+        |), votes AS (
+        |  SELECT id, bit,
+        |    SUM(CASE WHEN
+        |      ((strpos('0123456789abcdef', substr(h, bit // 4 + 1, 1)) - 1)
+        |        & (1 << (3 - bit % 4))) > 0 THEN 1 ELSE -1 END) AS v
+        |  FROM tokrows, UNNEST(range(0, 32)) AS b(bit)
+        |  GROUP BY id, bit)
+        |SELECT id,
+        |  SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (31 - bit)
+        |      ELSE 0 END) AS simhash
+        |FROM votes GROUP BY id ORDER BY id""".stripMargin,
+    "sim_ann_lsh" ->
+      """WITH ee AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), contrib AS (
+        |  SELECT vec_id, p,
+        |    SUM(x * CASE WHEN substr(md5(p || ',' || (i - 1)), 1, 1)
+        |      IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END)
+        |      AS c
+        |  FROM ee, UNNEST(range(0, 6)) AS pl(p)
+        |  GROUP BY vec_id, p
+        |), buckets AS (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN c >= 0 THEN '1' ELSE '0' END, ''
+        |      ORDER BY p) AS bucket
+        |  FROM contrib GROUP BY vec_id
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
+        |), dots AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id, SUM(q.x * e.x) AS dot
+        |  FROM ee q JOIN ee e ON q.i = e.i AND q.vec_id <> e.vec_id
+        |  WHERE q.vec_id < 8
+        |  GROUP BY q.vec_id, e.vec_id
+        |), sims AS (
+        |  SELECT d.q_id, d.n_id, be.bucket,
+        |    ROUND(d.dot / (nq.nrm * ne.nrm), 6) AS sim
+        |  FROM dots d
+        |  JOIN buckets bq ON bq.vec_id = d.q_id
+        |  JOIN buckets be ON be.vec_id = d.n_id AND be.bucket = bq.bucket
+        |  JOIN norms nq ON nq.vec_id = d.q_id
+        |  JOIN norms ne ON ne.vec_id = d.n_id
+        |), ranked AS (
+        |  SELECT q_id, n_id, bucket, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+        |      AS rank
+        |  FROM sims)
+        |SELECT q_id, n_id, bucket, sim, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "embed_near_dups" ->
+      """WITH ee AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), contrib AS (
+        |  SELECT vec_id, p,
+        |    SUM(x * CASE WHEN substr(md5(p || ',' || (i - 1)), 1, 1)
+        |      IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END)
+        |      AS c
+        |  FROM ee, UNNEST(range(0, 4)) AS pl(p)
+        |  GROUP BY vec_id, p
+        |), buckets AS (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN c >= 0 THEN '1' ELSE '0' END, ''
+        |      ORDER BY p) AS bucket
+        |  FROM contrib GROUP BY vec_id
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
+        |), dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+        |  FROM ee a JOIN ee b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  JOIN buckets ba ON ba.vec_id = a.vec_id
+        |  JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+        |  GROUP BY a.vec_id, b.vec_id
+        |)
+        |SELECT id_a, id_b,
+        |  ROUND(dot / (na.nrm * nb.nrm), 6) AS sim
+        |FROM dots
+        |JOIN norms na ON na.vec_id = id_a
+        |JOIN norms nb ON nb.vec_id = id_b
+        |WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }
