@@ -1,9 +1,17 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver bench contract: one JSON line with total + per-query seconds.
+  * A warmup query runs first so JVM/codegen startup is not billed to
+  * whichever query happens to run first; `cdc_rows_per_sec` mirrors the
+  * reference's rows/s self-measurement (YqlWriter.java:217-231) over
+  * the full parse->route->LWW->apply path.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,15 +20,25 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // warmup: exercise scan+shuffle+window codegen paths once
+    SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    SparkEntry.queries("cdc_lww_dedup")(spark, sfDir).count()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
     }
+    // headline: end-to-end changelog-apply throughput (rows/s)
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val t0 = System.nanoTime()
+    SparkEntry.queries("cdc_apply_upsert")(spark, sfDir).count()
+    val applySec = (System.nanoTime() - t0) / 1e9
+    val rps = (nEvents / 2) / applySec // odd half is the changelog
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc_rows_per_sec":$rps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -68,23 +68,53 @@ object CdcParse {
     * rows: adds `op` plus one column per table column (PK columns from
     * the positional key array, others from the routed payload; null for
     * keys-only and erase ops). Pass-through columns are kept.
+    *
+    * Performance: the raw `$.update` / `$.newImage` / `$.erase` / key
+    * extractions each fully re-parse the JSON, and Spark's
+    * CollapseProject would inline them into EVERY output column
+    * (~25 parses/row). They are therefore computed once into a struct
+    * emitted through `explode(array(...))` — a Generate node is a
+    * projection-collapse barrier, so downstream columns are cheap
+    * GetStructField reads. Remaining parses per row: 4 envelope + one
+    * small payload parse per non-key column.
     */
   def parseEnvelope(df: DataFrame, envCol: String,
       schema: CdcSchema): DataFrame = {
     val env = col(envCol)
-    val op = opOf(env)
-    val payload = when(op === OpNewImage,
-        get_json_object(env, "$.newImage"))
-      .otherwise(get_json_object(env, "$.update"))
-    val keyCols = schema.pk.zipWithIndex.map { case (name, i) =>
-      val f = schema.columns.fields(schema.columns.fieldIndex(name))
-      coerce(get_json_object(env, s"$$.key[$i]"), f.dataType).as(name)
-    }
-    val dataCols = schema.nonKey.map { f =>
-      when(op.isin(OpUpdate, OpNewImage),
-        coerce(get_json_object(payload, s"$$.${f.name}"), f.dataType))
-        .otherwise(lit(null).cast(f.dataType)).as(f.name)
-    }
-    df.select((col("*") +: (op.as("op") +: (keyCols ++ dataCols))): _*)
+    val rawFields = Seq(
+      get_json_object(env, "$.update").as("upd"),
+      get_json_object(env, "$.newImage").as("img"),
+      get_json_object(env, "$.erase").as("ers"),
+      get_json_object(env, "$.key").as("key")) ++
+      schema.pk.indices.map(i =>
+        get_json_object(env, s"$$.key[$i]").as(s"k$i"))
+    val raw = struct(rawFields: _*)
+    val parsed = transform(array(raw), r => {
+      val upd = r.getField("upd")
+      val img = r.getField("img")
+      val ers = r.getField("ers")
+      val updIsObj = upd.startsWith("{")
+      val op = when(r.getField("key").isNull, OpDrop)
+        .when(upd.isNotNull && updIsObj && upd === "{}", OpKeysOnly)
+        .when(upd.isNotNull && updIsObj, OpUpdate)
+        .when(upd.isNotNull && img.isNotNull, OpNewImage)
+        .when(ers.isNotNull, OpErase)
+        .otherwise(OpDrop)
+      val payload = when(op === OpNewImage, img).otherwise(upd)
+      val keyCols = schema.pk.zipWithIndex.map { case (name, i) =>
+        val f = schema.columns.fields(schema.columns.fieldIndex(name))
+        coerce(r.getField(s"k$i"), f.dataType).as(name)
+      }
+      val dataCols = schema.nonKey.map { f =>
+        when(op.isin(OpUpdate, OpNewImage),
+          coerce(get_json_object(payload, s"$$.${f.name}"), f.dataType))
+          .otherwise(lit(null).cast(f.dataType)).as(f.name)
+      }
+      struct((op.as("op") +: (keyCols ++ dataCols)): _*)
+    })
+    val parsedCols = ("op" +: schema.columns.fieldNames.toSeq)
+    df.select(col("*"), explode(parsed).as("__parsed"))
+      .select((df.columns.map(col) ++
+        parsedCols.map(n => col(s"__parsed.$n").as(n))).toIndexedSeq: _*)
   }
 }

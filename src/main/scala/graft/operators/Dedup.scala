@@ -22,15 +22,25 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word 3-gram shingles, one row per (id, distinct shingle). */
+  /** Word 3-gram shingles, one row per (id, distinct shingle).
+    *
+    * The token array is bound as a lambda variable (via a one-element
+    * array wrapper) so the regex tokenizer runs ONCE per row —
+    * referencing the split column directly would get inlined by
+    * CollapseProject into every element_at and re-tokenize per shingle
+    * element (n x shingle-count splits per row).
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    // sequence(1,0) would run DOWNWARD in Spark — guard short docs
-    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    val sh = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    def shinglesOf(tk: Column): Column = {
+      // sequence(1,0) would run DOWNWARD in Spark — guard short docs
+      val idx = when(size(tk) >= n, sequence(lit(1), size(tk) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+      transform(idx, i =>
+        concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
+    }
+    val sh = flatten(transform(array(toks), tk => shinglesOf(tk)))
     df.select(col(idCol).as("id"), explode(sh).as("shingle")).distinct()
   }
 
@@ -81,23 +91,27 @@ object Dedup {
     val sh = shingles(df, idCol, textCol, n).cache()
     val sig = minhashSignatures(sh, numHashes)
       .withColumn("band", floor(col("seed") / rowsPerBand))
+    // cached: both sides of the candidate self-join read this
     val bandSig = sig.groupBy(col("id"), col("band"))
       .agg(array_join(transform(array_sort(collect_list(
         struct(col("seed"), col("mh")))), s => s.getField("mh")), ",")
         .as("bsig"))
+      .cache()
     val cands = bandSig.as("a").join(bandSig.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    // verify candidates with exact jaccard over the cached shingle sets
+    // verify candidates with exact jaccard over the cached shingle
+    // sets; the shingle equality is IN the join condition — joining on
+    // id alone would fan out |sh_a| x |sh_b| rows per candidate pair
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = cands
-      .join(sh.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("shingle", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("shingle", "sh_b"), "id_b")
-      .filter(col("sh_a") === col("sh_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+      .join(sh.select(col("id").as("id_a"), col("shingle").as("s")),
+        Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle").as("s")),
+        Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sz", "sz_a"), "id_a")

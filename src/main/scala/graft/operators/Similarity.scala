@@ -32,18 +32,24 @@ object Similarity {
     dot(a, b) / (norm(a) * norm(b))
 
   /** Exact brute-force top-k neighbours for each query vector.
-    * `queries` must be small (it is broadcast).
+    * `queries` must be small (it is broadcast). Norms are computed once
+    * per vector BEFORE the pair join (one fold per row, not per pair).
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val sim = corpus.join(broadcast(q), col(idCol) =!= col("q_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col(vecCol)), 6))
+      .withColumn("q_nrm", norm(col("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_nrm", norm(col("n_vec")))
+    val sim = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("sim", round(
+        dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")),
+        6))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol))
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     sim.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col(idCol).as("n_id"), col("sim"), col("rank"))
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
   }
 
   /** ±1 component j of pseudo-random hyperplane p: parity of the first
@@ -77,33 +83,46 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
-    val withB = corpus.withColumn("bucket", srpBucket(col(vecCol), planes, dims))
+    val withB = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("bucket", srpBucket(col("n_vec"), planes, dims))
+      .withColumn("n_nrm", norm(col("n_vec")))
     val q = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_bucket", srpBucket(col("q_vec"), planes, dims))
+      .withColumn("q_nrm", norm(col("q_vec")))
     val sim = withB.join(broadcast(q),
-        col("bucket") === col("q_bucket") && col(idCol) =!= col("q_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col(vecCol)), 6))
+        col("bucket") === col("q_bucket") && col("n_id") =!= col("q_id"))
+      .withColumn("sim", round(
+        dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")),
+        6))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol))
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     sim.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col(idCol).as("n_id"), col("bucket"),
-        col("sim"), col("rank"))
+      .select(col("q_id"), col("n_id"), col("bucket"), col("sim"),
+        col("rank"))
   }
 
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
     * pruned by SRP bucket equality (scale path) — exact within buckets.
+    * Norms precomputed per vector.
     */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
       minSim: Double, planes: Int, dims: Int): DataFrame = {
     val withB = corpus
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", srpBucket(col("vec"), planes, dims))
-    withB.as("a").join(withB.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", round(cosine(col("a.vec"), col("b.vec")), 6))
+      .withColumn("nrm", norm(col("vec")))
+    val a = withB.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("bucket"), col("nrm").as("nrm_a"))
+    val b = withB.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("bucket"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(
+        dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")),
+        6))
       .filter(col("sim") >= minSim)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }
