@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.CdcQueries.queries ++
       operators.ExtQueries.queries ++
-      operators.EventTimeQueries.queries
+      operators.EventTimeQueries.queries ++
+      operators.MiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
     operators.Relational.oracle ++
       operators.CdcQueries.oracle ++
       operators.ExtQueries.oracle ++
-      operators.EventTimeQueries.oracle
+      operators.EventTimeQueries.oracle ++
+      operators.MiscQueries.oracle
 }

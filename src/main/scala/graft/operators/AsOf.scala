@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, the most recent right
+  * row with the same key and rightTime <= leftTime.
+  *
+  * Implementation is the scalable union + carry-forward pattern rather
+  * than a per-row range probe: tag both sides, union, ONE shuffle on
+  * the key, sort within partitions by (time, right-first), then a
+  * running `last_value(ignore nulls)` carries the latest right payload
+  * forward onto every left row. O(n log n) per key group, no range-join
+  * blowup, AQE-friendly — this is the plan you want at 100 TB (a
+  * broadcast range join only works when one side is small).
+  */
+object AsOf {
+
+  /** @param left       probe side
+    * @param right      build side (rows carried forward)
+    * @param keys       equi-join key columns (same names both sides)
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param payload    right-side columns to surface (renamed as-is)
+    * @return left rows + nullable right payload columns
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tagged =
+      left.withColumn("__t", col(leftTime))
+        .withColumn("__is_right", lit(false))
+        .withColumn("__p", lit(null).cast(
+          s"struct<${payload.map(p => s"$p:" +
+            right.schema(p).dataType.catalogString).mkString(",")}>"))
+        .select((keys.map(col) :+ col("__t") :+ col("__is_right") :+
+          col("__p") :+ struct(leftCols.map(col): _*).as("__l")): _*)
+      .unionByName(
+        right.withColumn("__t", col(rightTime))
+          .withColumn("__is_right", lit(true))
+          .withColumn("__p", struct(payload.map(col): _*))
+          .select((keys.map(col) :+ col("__t") :+ col("__is_right") :+
+            col("__p") :+ lit(null).cast(
+              s"struct<${left.schema.fields.map(f =>
+                s"${f.name}:${f.dataType.catalogString}").mkString(",")}>")
+            .as("__l")): _*))
+    // right rows sort BEFORE left rows at equal time: asof is `<=`
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = tagged.withColumn("__carry",
+      last(col("__p"), ignoreNulls = true).over(w))
+    carried.filter(!col("__is_right"))
+      .select((leftCols.map(n => col(s"__l.$n").as(n)) ++
+        payload.map(p => col(s"__carry.$p").as(p))): _*)
+  }
+}
