@@ -65,12 +65,64 @@ object GraftFunctions {
     sb.toString
   }
 
+  /** Native float-vector dot product accumulated in double, in index
+    * order — bit-identical to a sequential fold but fully codegen'd
+    * (the `aggregate(zip_with(...))` built-in path is interpreted and
+    * ~10x slower in the pairwise-similarity hot loop).
+    */
+  case class FloatVecDot(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.DoubleType
+    override def prettyName: String = "vec_dot"
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      java.lang.Double.valueOf(s)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+          |double $s = 0.0;
+          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          |for (int $i = 0; $i < $n; $i++) {
+          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          |}
+          |${ev.value} = $s;
+          |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression) = copy(left = l, right = r)
+  }
+
   /** Register all graft SQL functions on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "unwrap", (exprs: Seq[Expression]) => Unwrap(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", (exprs: Seq[Expression]) =>
+        FloatVecDot(exprs.head, exprs(1)), "built-in")
   }
 
-  /** Column-API form of `unwrap` (session must be registered). */
-  def unwrap(c: Column): Column = call_function("unwrap", c)
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column-API form of `unwrap` (no registration needed). */
+  def unwrap(c: Column): Column =
+    ColumnBridge.column(Unwrap(ColumnBridge.expression(c)))
+
+  /** Column-API form of `vec_dot` (no registration needed). */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatVecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

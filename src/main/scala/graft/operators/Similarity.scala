@@ -19,14 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** In-order dot product of two float vectors, accumulated in double. */
+  /** In-order dot product of two float vectors, accumulated in double.
+    * Backed by the codegen'd FloatVecDot expression — identical
+    * summation order (and therefore bits) to a sequential fold. The
+    * caller's session must have run GraftFunctions.register; every
+    * DataFrame-taking method here does so.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.vecDot(a, b)
 
-  def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -68,10 +70,11 @@ object Similarity {
     */
   def srpBucket(v: Column, planes: Int, dims: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val weights = lit((0 until dims).map(planeComponent(p, _)).toArray)
-      val contrib = aggregate(
-        zip_with(v, weights, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
+      // ±1 weights are exact in float; products identical to the
+      // previous double-weight fold
+      val weights = lit((0 until dims)
+        .map(j => planeComponent(p, j).toFloat).toArray)
+      val contrib = dot(v, weights)
       when(contrib >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.CdcParse
+import graft.sinks.KeyedTableSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Bucketed keyed sink: same results as flat mode, but merges rewrite
+  * only the touched bucket directories.
+  */
+class BucketedSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", LongType)))
+
+  def batch(rows: (Long, Long, String)*): DataFrame =
+    rows.toSeq.map { case (id, v, op) => (id, v, op, id) }
+      .toDF("id", "v", "op", "seq")
+
+  def rows(s: KeyedTableSink): Set[(Long, Long)] =
+    s.load().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("bucketed apply matches flat apply across actions") {
+    val flatDir = Files.createTempDirectory("flat").toString
+    val bukDir = Files.createTempDirectory("buk").toString
+    val flat = new KeyedTableSink(spark, flatDir, Seq("id"), schema)
+    val buk = new KeyedTableSink(spark, bukDir, Seq("id"), schema,
+      numBuckets = 8)
+    val b1 = batch((1L, 10L, CdcParse.OpUpdate), (2L, 20L, CdcParse.OpUpdate),
+      (3L, 30L, CdcParse.OpUpdate), (17L, 170L, CdcParse.OpUpdate))
+    flat.apply(b1, "upsertInto"); buk.apply(b1, "upsertInto")
+    assert(rows(flat) === rows(buk))
+    val b2 = batch((2L, 21L, CdcParse.OpUpdate), (3L, 0L, CdcParse.OpErase),
+      (99L, 990L, CdcParse.OpUpdate))
+    flat.apply(b2, "upsertInto"); buk.apply(b2, "upsertInto")
+    assert(rows(flat) === rows(buk))
+    assert(rows(buk) === Set((1L, 10L), (2L, 21L), (17L, 170L),
+      (99L, 990L)))
+    val b3 = batch((1L, 0L, CdcParse.OpErase))
+    flat.apply(b3, "deleteFrom"); buk.apply(b3, "deleteFrom")
+    assert(rows(flat) === rows(buk))
+  }
+
+  test("untouched bucket directories are not rewritten") {
+    val dir = Files.createTempDirectory("buk2").toString
+    val sink = new KeyedTableSink(spark, dir, Seq("id"), schema,
+      numBuckets = 8)
+    // spread keys over several buckets
+    sink.apply(batch((0L to 40L).map(i => (i, i * 10, CdcParse.OpUpdate)): _*),
+      "upsertInto")
+    val dataDir = new java.io.File(s"$dir/data")
+    val before = dataDir.listFiles().map(f =>
+      f.getName -> f.lastModified()).toMap
+    assert(before.size > 1) // multiple bucket dirs exist
+    Thread.sleep(1100)
+    // touch exactly one key -> one bucket rewritten
+    sink.apply(batch((7L, 777L, CdcParse.OpUpdate)), "upsertInto")
+    val after = dataDir.listFiles().map(f =>
+      f.getName -> f.lastModified()).toMap
+    val changed = after.filter { case (n, m) => before.get(n) != Some(m) }
+    assert(changed.size === 1, s"changed=$changed")
+    assert(rows(sink).contains((7L, 777L)))
+  }
+
+  test("emptied bucket disappears; replay is idempotent") {
+    val dir = Files.createTempDirectory("buk3").toString
+    val sink = new KeyedTableSink(spark, dir, Seq("id"), schema,
+      numBuckets = 4)
+    sink.apply(batch((5L, 50L, CdcParse.OpUpdate)), "upsertInto")
+    val del = batch((5L, 0L, CdcParse.OpErase))
+    sink.apply(del, "upsertInto")
+    assert(rows(sink) === Set())
+    sink.apply(del, "upsertInto") // replay
+    assert(rows(sink) === Set())
+  }
+}
