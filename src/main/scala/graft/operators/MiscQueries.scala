@@ -72,11 +72,87 @@ object MiscQueries {
           .as("p99_price"))
       .orderBy("l_returnflag")
 
+  /** CUBE grouping sets. */
+  def cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"), col("n"))
+
+  /** String-function breadth (portable subset). */
+  def stringFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_partkey") % 10 === 0)
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        reverse(col("p_name")).as("name_rev"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("type_novowel"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("brand_dist"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        element_at(split(col("p_type"), " "), 1).as("type_head"))
+      .orderBy("p_partkey")
+
+  /** Datetime-function breadth. */
+  def datetimeFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        last_day(col("o_orderdate")).as("month_end"),
+        add_months(col("o_orderdate").cast("date"), 2).as("plus2m"),
+        datediff(lit("1998-01-01").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("days_to_98"))
+      .orderBy("o_orderkey")
+
+  /** Array explode with position (posexplode / unnest-with-ordinality). */
+  def posexplodeQ(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .filter(col("pos") < 4)
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+        round(col("col").cast("double"), 6).as("x"))
+      .orderBy("vec_id", "i")
+
+  /** Interval self-join via time-bucketing (RangeJoin operator):
+    * event pairs of the same user within 5 minutes.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(Tables.eventsTsMicros).as("tsec"))
+    RangeJoin.withinInterval(ev, Seq("user_id"), "tsec", "event_id",
+        windowSec = 300L)
+      .orderBy("user_id", "id_a", "id_b")
+  }
+
+  /** HLL sketch (approx_count_distinct) — no SQL-exact oracle (sketch
+    * internals differ across engines); declared rows-only.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_asof_attrib" -> asofAttrib _,
     "q15_pivot" -> pivot _,
     "q16_json_access" -> jsonAccess _,
     "q17_percentiles" -> percentiles _,
+    "q18_cube" -> cube _,
+    "q19_string_fns" -> stringFns _,
+    "q20_datetime_fns" -> datetimeFns _,
+    "q21_posexplode" -> posexplodeQ _,
+    "q22_interval_join" -> intervalJoin _,
+    "q23_approx_distinct" -> approxDistinct _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -114,5 +190,52 @@ object MiscQueries {
         |  ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
         |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q18_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, n""".stripMargin,
+    "q19_string_fns" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  reverse(p_name) AS name_rev,
+        |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_novowel,
+        |  levenshtein(p_brand, 'Brand#11') AS brand_dist,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        |  split_part(p_type, ' ', 1) AS type_head
+        |FROM part WHERE p_partkey % 10 = 0
+        |ORDER BY p_partkey""".stripMargin,
+    "q20_datetime_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS plus2m,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q21_posexplode" ->
+      """SELECT vec_id, CAST(i AS BIGINT) AS i,
+        |  ROUND(CAST(x AS DOUBLE), 6) AS x
+        |FROM (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding) AS x
+        |  FROM embeddings WHERE vec_id < 20)
+        |WHERE i <= 4
+        |ORDER BY vec_id, i""".stripMargin,
+    "q22_interval_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events)
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  b.tsec - a.tsec AS dt_sec
+        |FROM ev a JOIN ev b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(a.tsec - b.tsec) <= 300
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
+    // q23_approx_distinct intentionally has NO oracle (sketch)
   )
 }
