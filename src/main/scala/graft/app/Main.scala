@@ -67,8 +67,21 @@ object Main {
           maxFilesPerTrigger = math.max(1, p.batchSize / 100))))
       }
     }
+    // O14 monitoring surface (port via GRAFT_HTTP_PORT; 0 = off)
+    val httpPort = sys.env.getOrElse("GRAFT_HTTP_PORT", "0").toInt
+    val server = if (httpPort > 0) {
+      val s = new StatusServer(httpPort, warnings.toSeq,
+        conf.pipelines.map(_.consumer),
+        () => queries.foreach(q => if (q.isActive) q.stop()))
+      s.start()
+      System.err.println(s"[graft] status server on :$httpPort")
+      Some(s)
+    } else None
     queries.foreach(_.awaitTermination(300000))
     println(CdcPipeline.statusJson)
+    if (sys.env.contains("GRAFT_HTTP_HOLD")) // keep serving for probes
+      Thread.sleep(sys.env("GRAFT_HTTP_HOLD").toLong)
+    server.foreach(_.stop())
     spark.stop()
   }
 }

@@ -142,7 +142,23 @@ object MiscQueries {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** Salted two-phase aggregation (skew mitigation) — must equal the
+    * plain GROUP BY exactly (decimal sums commute), which the oracle
+    * of the unsalted query checks.
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Salting.saltedSumAgg(
+        t(spark, dir, "lineitem"), Seq("l_suppkey"), salts = 16,
+        aggs = Seq(
+          "sum_qty" -> col("l_quantity").cast("decimal(18,2)"),
+          "sum_price" -> col("l_extendedprice").cast("decimal(18,2)")))
+      .select(col("l_suppkey"), col("n"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("sum_price").cast("double").as("sum_price"))
+      .orderBy("l_suppkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_salted_agg" -> saltedAgg _,
     "q14_asof_attrib" -> asofAttrib _,
     "q15_pivot" -> pivot _,
     "q16_json_access" -> jsonAccess _,
@@ -237,5 +253,10 @@ object MiscQueries {
         |  AND abs(a.tsec - b.tsec) <= 300
         |ORDER BY a.user_id, id_a, id_b""".stripMargin,
     // q23_approx_distinct intentionally has NO oracle (sketch)
+    "q24_salted_agg" ->
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
   )
 }
