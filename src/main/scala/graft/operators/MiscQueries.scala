@@ -157,7 +157,32 @@ object MiscQueries {
         col("sum_price").cast("double").as("sum_price"))
       .orderBy("l_suppkey")
 
+  /** Raw-SQL surface: the reference passes user YQL verbatim to the
+    * engine (YqlQuery.java:192-193); the analog here is arbitrary Spark
+    * SQL over the registered catalog (graft.Tables.registerAll), CTEs
+    * and all — Catalyst plans it like any DataFrame query.
+    */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH big_orders AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders
+        |  WHERE o_totalprice > 200000
+        |)
+        |SELECT n.n_name,
+        |  COUNT(*) AS n_big,
+        |  CAST(SUM(b.price) AS DOUBLE) AS sum_price
+        |FROM big_orders b
+        |JOIN customer c ON b.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_sql_surface" -> sqlSurface _,
     "q24_salted_agg" -> saltedAgg _,
     "q14_asof_attrib" -> asofAttrib _,
     "q15_pivot" -> pivot _,
@@ -253,6 +278,18 @@ object MiscQueries {
         |  AND abs(a.tsec - b.tsec) <= 300
         |ORDER BY a.user_id, id_a, id_b""".stripMargin,
     // q23_approx_distinct intentionally has NO oracle (sketch)
+    "q25_sql_surface" ->
+      """WITH big_orders AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_totalprice > 200000)
+        |SELECT n.n_name, COUNT(*) AS n_big,
+        |  CAST(SUM(b.price) AS DOUBLE) AS sum_price
+        |FROM big_orders b
+        |JOIN customer c ON b.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
     "q24_salted_agg" ->
       """SELECT l_suppkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

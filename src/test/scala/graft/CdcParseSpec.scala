@@ -55,6 +55,16 @@ class CdcParseSpec extends AnyFunSuite {
     assert(r.getString(0) === CdcParse.OpDrop)
   }
 
+  test("malformed JSON line -> dropped, no exception (A4 case 5)") {
+    val r = parse("""this is not json at {{ all""")
+    assert(r.getString(0) === CdcParse.OpDrop)
+  }
+
+  test("empty line -> dropped") {
+    val r = parse("")
+    assert(r.getString(0) === CdcParse.OpDrop)
+  }
+
   test("partial update: absent columns null, present coerced") {
     val r = parse("""{"key":[1],"update":{"val":3.25}}""")
     assert(r === Row(CdcParse.OpUpdate, 1L, null, 3.25))
