@@ -35,10 +35,36 @@ object Bench {
     SparkEntry.queries("cdc_apply_upsert")(spark, sfDir).count()
     val applySec = (System.nanoTime() - t0) / 1e9
     val rps = (nEvents / 2) / applySec // odd half is the changelog
+    // full streaming pipeline rows/s: changelog files -> readStream ->
+    // parse -> LWW -> transform -> keyed sink (one merge cycle)
+    val streamRps = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench")
+      val clog = s"$tmp/changelog"
+      val nn = graft.sources.Changelog.writeFromEvents(spark,
+        s"$sfDir/events.parquet", clog, numFiles = 4)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value_milli",
+          org.apache.spark.sql.types.LongType)))
+      val sink = new graft.sinks.KeyedTableSink(spark, s"$tmp/sink",
+        Seq("user_id"), schema, numBuckets = 32)
+      val p = graft.streaming.CdcPipeline.Pipeline("bench", clog,
+        s"$tmp/ckpt", graft.operators.CdcParse.CdcSchema(schema,
+          Seq("user_id")),
+        Some("SELECT user_id, event_type, value_milli FROM rows"),
+        None, sink, maxFilesPerTrigger = 4)
+      val t1 = System.nanoTime()
+      graft.streaming.CdcPipeline.start(spark, p)
+        .awaitTermination(600000)
+      nn / ((System.nanoTime() - t1) / 1e9)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc_rows_per_sec":$rps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc_rows_per_sec":$rps,"cdc_stream_rows_per_sec":$streamRps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -73,6 +73,20 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize analogue: downsample the feature vector to `outDim` by
+    * mean-pooling adjacent components — the plan shape of image
+    * resize (fixed-width in, smaller fixed-width out, pure map).
+    */
+  def resizeFeatures(features: DataFrame, inDim: Int,
+      outDim: Int): DataFrame = {
+    require(inDim % outDim == 0, "inDim must be a multiple of outDim")
+    val k = inDim / outDim
+    val pooled = transform(sequence(lit(0), lit(outDim - 1)), o =>
+      (aggregate(slice(col("feature"), o * k + 1, lit(k)),
+        lit(0.0f), (acc, x) => acc + x) / k).cast("float"))
+    features.withColumn("feature_small", pooled)
+  }
+
   /** Frame-sampling analogue: slice the payload into fixed-size chunks
     * and keep every `stride`-th chunk — the plan shape of video frame
     * sampling (explode to one row per sampled frame).

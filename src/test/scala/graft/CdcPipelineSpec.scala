@@ -111,6 +111,33 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(sinkRows(s2) === after1)
   }
 
+  test("kill-and-restart: checkpoint resumes mid-changelog (O10)") {
+    // stage only the first part of the changelog, run to completion,
+    // then add the rest and restart with the SAME checkpoint: the
+    // second run must process only the new files and converge to the
+    // full-changelog golden state
+    val staging = freshDir("stage5")
+    val n = Changelog.writeFromEvents(spark,
+      s"${TestSpark.sfDir}/events.parquet", staging, numFiles = 6)
+    assert(n === 1000L)
+    val live = freshDir("live5")
+    val files = new java.io.File(staging).listFiles().sortBy(_.getName)
+    def copyIn(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(live, f.getName))
+    }
+    copyIn(files.take(2).toSeq)
+    val sinkDir = freshDir("sink5")
+    val ckpt = freshDir("ckpt5")
+    val s1 = runPipeline(live, sinkDir, ckpt)
+    val partial = sinkRows(s1)
+    copyIn(files.drop(2).toSeq)
+    val s2 = runPipeline(live, sinkDir, ckpt) // resume, same checkpoint
+    val after = sinkRows(s2)
+    assert(after === golden(staging))
+    assert(partial !== after) // the restart actually did new work
+  }
+
   test("skip-sink pipeline (no transform) counts without writing (O9)") {
     val changelog = freshDir("changelog4")
     Changelog.writeFromEvents(spark,

@@ -40,6 +40,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.map(_.toString) === b.map(_.toString))
   }
 
+  test("resizeFeatures mean-pools to the smaller width") {
+    val m = Multimodal.attachMedia(docs, "doc_id", "text")
+    val f = Multimodal.extractFeatures(spark, m, featureDim = 8)
+    val small = Multimodal.resizeFeatures(f, inDim = 8, outDim = 4)
+    val r = small.filter($"media_id" === 1L).head()
+    val full = r.getSeq[Float](r.fieldIndex("feature"))
+    val pooled = r.getSeq[Float](r.fieldIndex("feature_small"))
+    assert(pooled.length === 4)
+    assert(math.abs(pooled(0) - (full(0) + full(1)) / 2) < 1e-6)
+  }
+
   test("sampleFrames: chunked frame rows with stride") {
     val m = Multimodal.attachMedia(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, frameBytes = 4, stride = 2)
