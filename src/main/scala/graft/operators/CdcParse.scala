@@ -78,39 +78,75 @@ object CdcParse {
     * GetStructField reads. Remaining parses per row: 4 envelope + one
     * small payload parse per non-key column.
     */
+  /** from_json target for the fast path: payload objects as
+    * string-string maps (non-string scalars and nested JSON surface as
+    * their raw text, matching get_json_object's output).
+    */
+  private val fastSchema = StructType(Seq(
+    StructField("key", ArrayType(StringType)),
+    StructField("update", MapType(StringType, StringType)),
+    StructField("newImage", MapType(StringType, StringType)),
+    StructField("erase", MapType(StringType, StringType))))
+
   def parseEnvelope(df: DataFrame, envCol: String,
       schema: CdcSchema): DataFrame = {
     val env = col(envCol)
-    val rawFields = Seq(
-      get_json_object(env, "$.update").as("upd"),
-      get_json_object(env, "$.newImage").as("img"),
-      get_json_object(env, "$.erase").as("ers"),
-      get_json_object(env, "$.key").as("key")) ++
-      schema.pk.indices.map(i =>
-        get_json_object(env, s"$$.key[$i]").as(s"k$i"))
-    val raw = struct(rawFields: _*)
+    // 2 parses/row on the fast path: from_json + the raw `$.update`
+    // (needed to distinguish non-object update from absent update).
+    // Envelopes from_json cannot represent (e.g. `"update":7`) null
+    // the whole struct in PERMISSIVE mode and take the slow
+    // get_json_object branch, evaluated lazily per row.
+    val raw = struct(
+      from_json(env, fastSchema).as("fast"),
+      get_json_object(env, "$.update").as("updRaw"),
+      env.as("env"))
     val parsed = transform(array(raw), r => {
-      val upd = r.getField("upd")
-      val img = r.getField("img")
-      val ers = r.getField("ers")
-      val updIsObj = upd.startsWith("{")
-      val op = when(r.getField("key").isNull, OpDrop)
-        .when(upd.isNotNull && updIsObj && upd === "{}", OpKeysOnly)
-        .when(upd.isNotNull && updIsObj, OpUpdate)
-        .when(upd.isNotNull && img.isNotNull, OpNewImage)
-        .when(ers.isNotNull, OpErase)
-        .otherwise(OpDrop)
-      val payload = when(op === OpNewImage, img).otherwise(upd)
-      val keyCols = schema.pk.zipWithIndex.map { case (name, i) =>
-        val f = schema.columns.fields(schema.columns.fieldIndex(name))
-        coerce(r.getField(s"k$i"), f.dataType).as(name)
+      val updRaw = r.getField("updRaw")
+      val updIsObj = updRaw.startsWith("{")
+
+      def branch(key: Column, upd: Column, img: Column, ers: Column,
+          isEmptyUpd: Column, field: (Column, StructField) => Column,
+          keyAt: Int => Column) = {
+        val op = when(key.isNull, OpDrop)
+          .when(updRaw.isNotNull && updIsObj && isEmptyUpd, OpKeysOnly)
+          .when(updRaw.isNotNull && updIsObj, OpUpdate)
+          .when(updRaw.isNotNull && img.isNotNull, OpNewImage)
+          .when(ers.isNotNull, OpErase)
+          .otherwise(OpDrop)
+        val payload = when(op === OpNewImage, img).otherwise(upd)
+        val keyCols = schema.pk.zipWithIndex.map { case (name, i) =>
+          val f = schema.columns.fields(schema.columns.fieldIndex(name))
+          coerce(keyAt(i), f.dataType).as(name)
+        }
+        val dataCols = schema.nonKey.map { f =>
+          when(op.isin(OpUpdate, OpNewImage),
+            coerce(field(payload, f), f.dataType))
+            .otherwise(lit(null).cast(f.dataType)).as(f.name)
+        }
+        struct((op.as("op") +: (keyCols ++ dataCols)): _*)
       }
-      val dataCols = schema.nonKey.map { f =>
-        when(op.isin(OpUpdate, OpNewImage),
-          coerce(get_json_object(payload, s"$$.${f.name}"), f.dataType))
-          .otherwise(lit(null).cast(f.dataType)).as(f.name)
+
+      val fast = r.getField("fast")
+      val fastBranch = {
+        val key = fast.getField("key")
+        branch(key,
+          fast.getField("update"), fast.getField("newImage"),
+          fast.getField("erase"),
+          isEmptyUpd = size(fast.getField("update")) === 0,
+          field = (payload, f) => element_at(payload, f.name),
+          keyAt = i => element_at(key, i + 1))
       }
-      struct((op.as("op") +: (keyCols ++ dataCols)): _*)
+      val slowBranch = {
+        val envR = r.getField("env")
+        branch(get_json_object(envR, "$.key"),
+          updRaw, get_json_object(envR, "$.newImage"),
+          get_json_object(envR, "$.erase"),
+          isEmptyUpd = updRaw === "{}",
+          field = (payload, f) =>
+            get_json_object(payload, s"$$.${f.name}"),
+          keyAt = i => get_json_object(envR, s"$$.key[$i]"))
+      }
+      when(fast.isNotNull, fastBranch).otherwise(slowBranch)
     })
     val parsedCols = ("op" +: schema.columns.fieldNames.toSeq)
     df.select(col("*"), explode(parsed).as("__parsed"))
