@@ -53,6 +53,14 @@ object Main {
         System.err.println(s"[graft] pipeline ${p.consumer} skipped")
         None // invalid pipeline skipped, engine continues
       } else {
+        // YQL-dialect configs (reference README format) are translated;
+        // plain Spark SQL passes through untouched
+        val translated = p.updateQuery.map { q =>
+          if (q.sql.contains("AS_TABLE") || q.sql.contains("DECLARE"))
+            graft.config.YqlTranslate(q.sql)
+          else graft.config.YqlTranslate.Translated(
+            q.actionMode, q.actionTable, q.sql, Nil)
+        }
         val sink = new KeyedTableSink(spark,
           s"$workDir/${p.consumer}", schema.pk, schema.columns)
         Some(CdcPipeline.start(spark, CdcPipeline.Pipeline(
@@ -60,11 +68,12 @@ object Main {
           changelogDir = changelogDir,
           checkpointDir = s"$workDir/${p.consumer}-ckpt",
           schema = schema,
-          updateSql = p.updateQuery.map(_.sql),
+          updateSql = translated.map(_.sql),
           deleteSql = p.deleteQuery.map(_.sql),
           sink = sink,
-          action = p.updateQuery.map(_.actionMode).getOrElse("upsertInto"),
-          maxFilesPerTrigger = math.max(1, p.batchSize / 100))))
+          action = translated.map(_.actionMode).getOrElse("upsertInto"),
+          maxFilesPerTrigger = math.max(1, p.batchSize / 100),
+          viewCols = translated.map(_.declaredCols).getOrElse(Nil))))
       }
     }
     // O14 monitoring surface (port via GRAFT_HTTP_PORT; 0 = off)

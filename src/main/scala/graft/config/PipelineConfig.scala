@@ -83,8 +83,13 @@ object PipelineConfig {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       empty.createOrReplaceTempView("rows")
+      graft.functions.GraftFunctions.register(spark)
+      def toSparkSql(sql: String): String =
+        if (sql.contains("AS_TABLE") || sql.contains("DECLARE"))
+          YqlTranslate(sql).sql
+        else sql
       p.updateQuery.foreach { q =>
-        try spark.sql(q.sql).queryExecution.analyzed
+        try spark.sql(toSparkSql(q.sql)).queryExecution.analyzed
         catch { case e: Exception =>
           warnings += s"${p.consumer}: update query invalid: ${e.getMessage}"
         }

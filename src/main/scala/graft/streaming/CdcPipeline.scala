@@ -43,7 +43,11 @@ object CdcPipeline {
     deleteSql: Option[String],
     sink: KeyedTableSink,
     action: String = "upsertInto",
-    maxFilesPerTrigger: Int = 10)
+    maxFilesPerTrigger: Int = 10,
+    // bind only these source columns into the `rows` view (the
+    // DECLAREd struct members, CdcMsgParser.java:200-214); empty =
+    // all schema columns
+    viewCols: Seq[String] = Nil)
 
   /** Run one micro-batch through parse -> LWW -> transform -> apply.
     * Public so batch jobs and tests can drive the identical code path
@@ -60,7 +64,10 @@ object CdcPipeline {
         case None =>
           st.rowsWritten += lww.count() // skip-sink: count + commit (O9)
         case Some(sql) =>
-          val updates = lww.filter(col("op") =!= CdcParse.OpErase)
+          val allUpdates = lww.filter(col("op") =!= CdcParse.OpErase)
+          val updates =
+            if (p.viewCols.isEmpty) allUpdates
+            else allUpdates.select(p.viewCols.map(col): _*)
           // foreachBatch hands us a micro-batch-cloned session; the
           // temp view must be registered AND queried on that clone
           val session = batch.sparkSession
@@ -88,7 +95,10 @@ object CdcPipeline {
     * the reference's independent consumer progress, Application.java:
     * 93-102).
     */
-  def start(spark: SparkSession, p: Pipeline): StreamingQuery =
+  def start(spark: SparkSession, p: Pipeline): StreamingQuery = {
+    // graft SQL shims (unwrap, vec_dot) must be on the session BEFORE
+    // start: micro-batch session clones inherit the registry
+    graft.functions.GraftFunctions.register(spark)
     Changelog.readStream(spark, p.changelogDir, p.maxFilesPerTrigger)
       .writeStream
       .queryName(p.consumer)
@@ -98,6 +108,7 @@ object CdcPipeline {
         applyBatch(spark, p, batch)
       }
       .start()
+  }
 
   /** Monitoring JSON (WebController.java:62-83 shape). */
   def statusJson: String = {
