@@ -69,13 +69,15 @@ object Dedup {
 
   /** MinHash signature component for one seed: lexicographic min of
     * md5(seed || '|' || shingle) — identical in any engine with md5.
+    * Computed WIDE (one agg column per seed) in a single pass over the
+    * shingle rows: no seed-explosion of the shuffle, no per-seed
+    * regroup. Output: id, mh0..mh{n-1}.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
-    sh.select(col("id"), col("shingle"), seeds)
-      .groupBy(col("id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"),
-        col("shingle")))).as("mh"))
+    val aggs = (0 until numHashes).map(s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("shingle"))))
+        .as(s"mh$s"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH banding: group signature rows into bands, bucket on the
@@ -89,13 +91,17 @@ object Dedup {
       : DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = shingles(df, idCol, textCol, n).cache()
+    // wide signatures -> one row per (id, band) with the concatenated
+    // band signature; cached for both sides of the candidate self-join
     val sig = minhashSignatures(sh, numHashes)
-      .withColumn("band", floor(col("seed") / rowsPerBand))
-    // cached: both sides of the candidate self-join read this
-    val bandSig = sig.groupBy(col("id"), col("band"))
-      .agg(array_join(transform(array_sort(collect_list(
-        struct(col("seed"), col("mh")))), s => s.getField("mh")), ",")
-        .as("bsig"))
+    val bandSig = sig.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (0 until rowsPerBand).map(r =>
+              col(s"mh${b * rowsPerBand + r}")): _*).as("bsig"))
+        }: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"),
+        col("bs.bsig").as("bsig"))
       .cache()
     val cands = bandSig.as("a").join(bandSig.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
