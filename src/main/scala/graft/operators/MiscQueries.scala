@@ -181,7 +181,30 @@ object MiscQueries {
         |ORDER BY n.n_name""".stripMargin)
   }
 
+  /** Grouped top-k via the custom TopKBy TypedImperativeAggregate
+    * (bounded heap, O(k) state/group vs full window sort): top-3
+    * orders per customer-nation by price. Oracle = the window-function
+    * formulation in DuckDB.
+    */
+  def topkPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double")
+          .as("price"),
+        col("o_orderkey"))
+    joined.groupBy(col("c_nationkey"))
+      .agg(graft.functions.TopKBy.topkBy(col("price"), col("o_orderkey"),
+        3).as("top"))
+      .select(col("c_nationkey"), posexplode(col("top")))
+      .select(col("c_nationkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.ord").as("price"), col("col.id").as("o_orderkey"))
+      .orderBy("c_nationkey", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_topk_per_key" -> topkPerKey _,
     "q25_sql_surface" -> sqlSurface _,
     "q24_salted_agg" -> saltedAgg _,
     "q14_asof_attrib" -> asofAttrib _,
@@ -278,6 +301,20 @@ object MiscQueries {
         |  AND abs(a.tsec - b.tsec) <= 300
         |ORDER BY a.user_id, id_a, id_b""".stripMargin,
     // q23_approx_distinct intentionally has NO oracle (sketch)
+    "q26_topk_per_key" ->
+      """WITH j AS (
+        |  SELECT c.c_nationkey,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |    o.o_orderkey
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |), r AS (
+        |  SELECT c_nationkey, price, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY price DESC, o_orderkey) AS rank
+        |  FROM j)
+        |SELECT c_nationkey, CAST(rank AS BIGINT) AS rank, price, o_orderkey
+        |FROM r WHERE rank <= 3
+        |ORDER BY c_nationkey, rank""".stripMargin,
     "q25_sql_surface" ->
       """WITH big_orders AS (
         |  SELECT o_orderkey, o_custkey,
