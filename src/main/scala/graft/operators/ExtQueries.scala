@@ -64,6 +64,12 @@ object ExtQueries {
       "embedding", k = 5, planes = 6, dims = 64).orderBy("q_id", "rank")
   }
 
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
+      "embedding", k = 5, nCells = 16).orderBy("q_id", "rank")
+  }
+
   def embedNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(t(spark, dir, "embeddings"), "vec_id",
       "embedding", minSim = 0.35, planes = 4, dims = 64)
@@ -89,6 +95,7 @@ object ExtQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "sim_ann_lsh" -> simAnnLsh _,
+    "sim_ann_ivf" -> simAnnIvf _,
     "embed_near_dups" -> embedNearDups _,
   )
 
@@ -290,6 +297,46 @@ object ExtQueries {
         |      AS rank
         |  FROM sims)
         |SELECT q_id, n_id, bucket, sim, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "sim_ann_ivf" ->
+      """WITH ee AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
+        |), cdots AS (
+        |  SELECT v.vec_id, c.vec_id AS c_id, SUM(v.x * c.x) AS dot
+        |  FROM ee v JOIN ee c ON v.i = c.i AND c.vec_id < 16
+        |  GROUP BY v.vec_id, c.vec_id
+        |), assign AS (
+        |  SELECT vec_id, c_id AS cell FROM (
+        |    SELECT d.vec_id, d.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+        |        ROUND(d.dot / (nv.nrm * nc.nrm), 6) DESC, d.c_id) AS rn
+        |    FROM cdots d
+        |    JOIN norms nv ON nv.vec_id = d.vec_id
+        |    JOIN norms nc ON nc.vec_id = d.c_id) z
+        |  WHERE rn = 1
+        |), dots AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id, SUM(q.x * e.x) AS dot
+        |  FROM ee q JOIN ee e ON q.i = e.i AND q.vec_id <> e.vec_id
+        |  WHERE q.vec_id < 8
+        |  GROUP BY q.vec_id, e.vec_id
+        |), sims AS (
+        |  SELECT d.q_id, d.n_id, aq.cell,
+        |    ROUND(d.dot / (nq.nrm * ne.nrm), 6) AS sim
+        |  FROM dots d
+        |  JOIN assign aq ON aq.vec_id = d.q_id
+        |  JOIN assign an ON an.vec_id = d.n_id AND an.cell = aq.cell
+        |  JOIN norms nq ON nq.vec_id = d.q_id
+        |  JOIN norms ne ON ne.vec_id = d.n_id
+        |), ranked AS (
+        |  SELECT q_id, n_id, cell, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+        |      AS rank
+        |  FROM sims)
+        |SELECT q_id, n_id, cell, sim, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "embed_near_dups" ->
       """WITH ee AS (

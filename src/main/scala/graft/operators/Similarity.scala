@@ -107,6 +107,49 @@ object Similarity {
         col("rank"))
   }
 
+  /** IVF-style ANN: vectors are assigned to their nearest "centroid"
+    * cell (here: the first `nCells` corpus vectors act as the coarse
+    * quantizer — a k-means fit would slot in identically); queries
+    * probe only their own cell and rerank exactly. The 100 TB shape:
+    * the corpus-side assignment is a broadcast map stage, the search
+    * is an equi-join on cell id — no all-pairs anywhere.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_nrm", norm(col("c_vec")))
+    def assign(df: DataFrame, id: String, vec: String, out: String)
+        : DataFrame = {
+      val sim = df.crossJoin(broadcast(cents))
+        .withColumn("c_sim", round(
+          dot(col(vec), col("c_vec")) / (norm(col(vec)) * col("c_nrm")),
+          6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(id)).orderBy(col("c_sim").desc, col("c_id"))
+      sim.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(df.columns.map(col) :+ col("c_id").as(out): _*)
+    }
+    val corpusCells = assign(
+      corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+        .withColumn("n_nrm", norm(col("n_vec"))), "n_id", "n_vec", "cell")
+    val queryCells = assign(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+        .withColumn("q_nrm", norm(col("q_vec"))), "q_id", "q_vec", "cell")
+    val sim = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", round(
+        dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")),
+        6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cell"), col("sim"),
+        col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
     * pruned by SRP bucket equality (scale path) — exact within buckets.
     * Norms precomputed per vector.
