@@ -115,7 +115,48 @@ object GraftFunctions {
         FloatVecDot(exprs.head, exprs(1)), "built-in")
   }
 
+  /** Karp-Rabin rolling hash of a string (base 257, 64-bit wraparound)
+    * — the classic document-fingerprint primitive; codegen'd single
+    * pass over the UTF-8 bytes. (Wraparound arithmetic is JVM-defined,
+    * so this is deliberately NOT oracle-portable; see text_fingerprint
+    * for the portable md5 canonical-form fingerprint.)
+    */
+  case class RollingHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.LongType
+    override def prettyName: String = "rolling_hash"
+    override protected def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .getBytes
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) { h = h * 257L + (bytes(i) & 0xffL); i += 1 }
+      java.lang.Long.valueOf(h)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val b = ctx.freshName("b")
+        val i = ctx.freshName("i")
+        val h = ctx.freshName("h")
+        s"""
+          |byte[] $b = $c.getBytes();
+          |long $h = 0L;
+          |for (int $i = 0; $i < $b.length; $i++) {
+          |  $h = $h * 257L + ($b[$i] & 0xffL);
+          |}
+          |${ev.value} = $h;
+          |""".stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column-API form of `rolling_hash`. */
+  def rollingHash(c: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
 
   /** Column-API form of `unwrap` (no registration needed). */
   def unwrap(c: Column): Column =

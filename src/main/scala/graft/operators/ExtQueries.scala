@@ -20,7 +20,8 @@ object ExtQueries {
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(t(spark, dir, "documents"), "text")
-      .select("doc_id", "n_tokens", "n_chars_calc").orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_bpeish", "n_chars_calc")
+      .orderBy("doc_id")
 
   def quality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(t(spark, dir, "documents"), "text")
@@ -35,6 +36,17 @@ object ExtQueries {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(t(spark, dir, "documents"), "text")
       .select("doc_id", "fp").orderBy("doc_id")
+
+  /** Rolling-hash fingerprint (custom codegen expression) — rows-only
+    * check: 64-bit wraparound arithmetic is not DuckDB-expressible;
+    * determinism is pinned by FunctionsSpec instead.
+    */
+  def rollingFp(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.rollingHash(col("text"))
+          .as("rolling_fp"))
+      .orderBy("doc_id")
 
   def simTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -89,6 +101,7 @@ object ExtQueries {
     "text_quality" -> quality _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
+    "text_rolling_fp" -> rollingFp _,
     "sim_cosine_topk" -> simTopK _,
     "embed_norms" -> embedNorms _,
     "mm_meta" -> mmMeta _,
@@ -132,6 +145,7 @@ object ExtQueries {
     "text_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
         |  CAST(length(text) AS BIGINT) AS n_chars_calc
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" -> (

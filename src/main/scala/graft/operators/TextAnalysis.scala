@@ -21,10 +21,20 @@ object TextAnalysis {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, x => lower(x).isin(words.map(lit): _*)))
 
-  /** Token counting: n_tokens + byte/char lengths. */
+  /** BPE-ish subword pre-tokenizer regex (letter runs / digit runs /
+    * single punctuation — the GPT-2-style split shape, engine-portable).
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counting: whitespace tokens, BPE-ish subword count,
+    * char length.
+    */
   def tokenStats(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_bpeish",
+        size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0)))
+          .cast("long"))
       .withColumn("n_chars_calc", length(col(textCol)).cast("long"))
   }
 

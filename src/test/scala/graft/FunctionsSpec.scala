@@ -35,6 +35,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!df.schema("u").nullable)
   }
 
+  test("rolling_hash: deterministic, order-sensitive, codegen==eval") {
+    val df = Seq("abc", "acb", "abc", "").toDF("s")
+      .select(GraftFunctions.rollingHash($"s").as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) === hs(2)) // deterministic
+    assert(hs(0) !== hs(1)) // order-sensitive
+    assert(hs(3) === 0L)
+    // reference value: h("abc") = (('a'*257)+'b')*257+'c'
+    assert(hs(0) === (('a'.toLong * 257 + 'b') * 257 + 'c'))
+  }
+
   test("strptime translation covers the README format") {
     // DateTime::Parse('%Y-%m-%d %H:%M:%S %Z') — README.md:91
     assert(GraftFunctions.strptimeToSpark("%Y-%m-%d %H:%M:%S %Z") ===
