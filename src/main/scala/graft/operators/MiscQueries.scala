@@ -203,7 +203,26 @@ object MiscQueries {
       .orderBy("c_nationkey", "rank")
   }
 
+  /** Array/map function breadth over the embedding column. */
+  def arrayFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6)
+          .as("first"),
+        round(element_at(col("embedding"), -1).cast("double"), 6)
+          .as("last"),
+        round(array_max(col("embedding")).cast("double"), 6).as("mx"),
+        round(array_min(col("embedding")).cast("double"), 6).as("mn"),
+        round(element_at(array_sort(col("embedding")), 2).cast("double"),
+          6).as("second_smallest"),
+        round(element_at(slice(col("embedding"), 3, 4), 1).cast("double"),
+          6).as("slice_head"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_array_fns" -> arrayFns _,
     "q26_topk_per_key" -> topkPerKey _,
     "q25_sql_surface" -> sqlSurface _,
     "q24_salted_agg" -> saltedAgg _,
@@ -301,6 +320,17 @@ object MiscQueries {
         |  AND abs(a.tsec - b.tsec) <= 300
         |ORDER BY a.user_id, id_a, id_b""".stripMargin,
     // q23_approx_distinct intentionally has NO oracle (sketch)
+    "q27_array_fns" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first,
+        |  ROUND(CAST(embedding[-1] AS DOUBLE), 6) AS last,
+        |  ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
+        |  ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS mn,
+        |  ROUND(CAST(list_sort(embedding)[2] AS DOUBLE), 6) AS second_smallest,
+        |  ROUND(CAST(embedding[3:6][1] AS DOUBLE), 6) AS slice_head
+        |FROM embeddings WHERE vec_id < 50
+        |ORDER BY vec_id""".stripMargin,
     "q26_topk_per_key" ->
       """WITH j AS (
         |  SELECT c.c_nationkey,
