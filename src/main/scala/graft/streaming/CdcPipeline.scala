@@ -47,7 +47,47 @@ object CdcPipeline {
     // bind only these source columns into the `rows` view (the
     // DECLAREd struct members, CdcMsgParser.java:200-214); empty =
     // all schema columns
-    viewCols: Seq[String] = Nil)
+    viewCols: Seq[String] = Nil,
+    // sink-retry policy (O10, YqlWriter.java:244-262): exponential
+    // backoff 25 << min(retry,8) ms + uniform jitter, log escalation
+    // past errorThreshold; maxRetries < 0 = retry forever (reference
+    // behavior; tests use small values)
+    errorThreshold: Int = 0,
+    maxRetries: Int = -1)
+
+  /** Reference backoff: `25 << min(retry, 8)` ms plus uniform jitter of
+    * the same magnitude (YqlWriter.java:244-247).
+    */
+  def backoffMs(retry: Int, rnd: java.util.Random): Long = {
+    val base = 25L << math.min(retry, 8)
+    base + math.floorMod(rnd.nextLong(), base)
+  }
+
+  /** Retry `body` with the reference's backoff until success (O10). */
+  private[graft] def withRetry[T](p: Pipeline, st: Status)(body: => T): T = {
+    val rnd = new java.util.Random()
+    var retry = 0
+    while (true) {
+      try {
+        val r = body
+        if (retry > 0) st.status = "RECOVERED"
+        return r
+      } catch {
+        case e: Exception =>
+          if (p.maxRetries >= 0 && retry >= p.maxRetries) throw e
+          st.ok = false
+          st.status = s"RETRYING(${retry + 1}): ${e.getMessage}"
+          val level = // escalate past errorThreshold (YqlWriter:249-255)
+            if (retry >= p.errorThreshold) "ERROR" else "WARN"
+          System.err.println(
+            s"[graft] $level ${p.consumer} batch write failed " +
+              s"(retry ${retry + 1}): ${e.getMessage}")
+          Thread.sleep(backoffMs(retry, rnd))
+          retry += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Run one micro-batch through parse -> LWW -> transform -> apply.
     * Public so batch jobs and tests can drive the identical code path
@@ -83,11 +123,14 @@ object CdcPipeline {
                   .map(_.dataType.catalogString).getOrElse("string"))
                 .as(c)).toIndexedSeq: _*)
             .withColumn("op", lit(CdcParse.OpErase))
-          p.sink.apply(transformed.unionByName(erases), p.action)
+          withRetry(p, st) {
+            p.sink.apply(transformed.unionByName(erases), p.action)
+          }
           st.rowsWritten += lww.count()
       }
       st.lastWrited = System.currentTimeMillis()
       st.ok = true
+      st.status = "RUNNING"
     } finally lww.unpersist()
   }
 
