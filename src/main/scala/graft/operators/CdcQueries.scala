@@ -131,7 +131,39 @@ object CdcQueries {
       .select("user_id", "event_type", "value_milli", "event_id")
       .orderBy("user_id", "event_type")
 
+  /** Debezium-envelope ingestion: deterministic before/after/op
+    * envelopes from events, parsed by DebeziumParse, LWW'd on the key,
+    * erase wins removed — the cross-format path to the same merge.
+    */
+  def debezium(spark: SparkSession, dir: String): DataFrame = {
+    val payload = concat(lit("{\"user_id\":"), s(col("user_id")),
+      lit(",\"event_type\":\""), col("event_type"),
+      lit("\",\"value_milli\":"), s(vm), lit("}"))
+    val sel = col("event_id") % 4
+    val env = when(sel === 0,
+        concat(lit("{\"before\":"), payload,
+          lit(",\"after\":null,\"op\":\"d\",\"ts_ms\":"),
+          s(col("event_id")), lit("}")))
+      .when(sel === 1,
+        concat(lit("{\"before\":null,\"after\":"), payload,
+          lit(",\"op\":\"c\",\"ts_ms\":"), s(col("event_id")), lit("}")))
+      .when(sel === 2,
+        concat(lit("{\"before\":null,\"after\":"), payload,
+          lit(",\"op\":\"r\",\"ts_ms\":"), s(col("event_id")), lit("}")))
+      .otherwise(
+        concat(lit("{\"before\":"), payload, lit(",\"after\":"), payload,
+          lit(",\"op\":\"u\",\"ts_ms\":"), s(col("event_id")), lit("}")))
+    val ev = t(spark, dir, "events").select(env.as("env"))
+    val typed = DebeziumParse.parse(ev, "env", payloadSchema)
+      .filter(col("op") =!= CdcParse.OpDrop)
+    KeyedMerge.lww(typed, Seq("user_id"), "seq")
+      .filter(col("op") =!= CdcParse.OpErase)
+      .select("user_id", "op", "event_type", "value_milli", "seq")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_debezium" -> debezium _,
     "cdc_parse_route" -> parseRoute _,
     "cdc_typed_assembly" -> typedAssembly _,
     "cdc_lww_dedup" -> lwwDedup _,
@@ -197,6 +229,41 @@ object CdcQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "cdc_debezium" ->
+      """WITH env AS (
+        |  SELECT event_id,
+        |    CASE event_id % 4
+        |      WHEN 0 THEN '{"before":{"user_id":' || user_id || ',"event_type":"' || event_type || '","value_milli":' || CAST(ROUND(value*1000) AS BIGINT) || '},"after":null,"op":"d","ts_ms":' || event_id || '}'
+        |      WHEN 1 THEN '{"before":null,"after":{"user_id":' || user_id || ',"event_type":"' || event_type || '","value_milli":' || CAST(ROUND(value*1000) AS BIGINT) || '},"op":"c","ts_ms":' || event_id || '}'
+        |      WHEN 2 THEN '{"before":null,"after":{"user_id":' || user_id || ',"event_type":"' || event_type || '","value_milli":' || CAST(ROUND(value*1000) AS BIGINT) || '},"op":"r","ts_ms":' || event_id || '}'
+        |      ELSE '{"before":{"user_id":' || user_id || ',"event_type":"' || event_type || '","value_milli":' || CAST(ROUND(value*1000) AS BIGINT) || '},"after":{"user_id":' || user_id || ',"event_type":"' || event_type || '","value_milli":' || CAST(ROUND(value*1000) AS BIGINT) || '},"op":"u","ts_ms":' || event_id || '}'
+        |    END AS env
+        |  FROM events
+        |), typed AS (
+        |  SELECT
+        |    CASE WHEN json_extract_string(env, '$.op') = 'd' THEN 'erase'
+        |         WHEN json_extract_string(env, '$.op') IN ('c','u','r')
+        |              AND json_extract(env, '$.after') IS NOT NULL
+        |              AND json_extract(env, '$.after')::VARCHAR <> 'null'
+        |         THEN 'update' ELSE 'drop' END AS op,
+        |    CAST(json_extract_string(env,
+        |      CASE WHEN json_extract_string(env, '$.op') = 'd'
+        |           THEN '$.before.user_id' ELSE '$.after.user_id' END)
+        |      AS BIGINT) AS user_id,
+        |    CASE WHEN json_extract_string(env, '$.op') <> 'd'
+        |         THEN json_extract_string(env, '$.after.event_type') END
+        |      AS event_type,
+        |    CASE WHEN json_extract_string(env, '$.op') <> 'd'
+        |         THEN CAST(json_extract_string(env, '$.after.value_milli') AS BIGINT) END
+        |      AS value_milli,
+        |    CAST(json_extract_string(env, '$.ts_ms') AS BIGINT) AS seq
+        |  FROM env
+        |)
+        |SELECT user_id, op, event_type, value_milli, seq FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        |  FROM typed WHERE op <> 'drop') x
+        |WHERE rn = 1 AND op <> 'erase'
+        |ORDER BY user_id""".stripMargin,
     "cdc_parse_route" -> (baseCte +
       "\nSELECT event_id, op FROM ops ORDER BY event_id"),
     "cdc_typed_assembly" -> (baseCte +
