@@ -41,8 +41,9 @@ object Bench {
     val applySec = (System.nanoTime() - t0) / 1e9
     val rps = (nEvents / 2) / applySec // odd half is the changelog
     // full streaming pipeline rows/s: changelog files -> readStream ->
-    // parse -> LWW -> transform -> keyed sink (one merge cycle)
-    val streamRps = {
+    // parse -> LWW -> transform -> keyed sink (one merge cycle);
+    // never let this section take down the JSON contract line
+    val streamRps = try {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench")
       val clog = s"$tmp/changelog"
       val nn = graft.sources.Changelog.writeFromEvents(spark,
@@ -65,6 +66,9 @@ object Bench {
       graft.streaming.CdcPipeline.start(spark, p)
         .awaitTermination(600000)
       nn / ((System.nanoTime() - t1) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream section failed: ${e.getMessage}")
+      0.0
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
