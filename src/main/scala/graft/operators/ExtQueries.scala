@@ -87,6 +87,10 @@ object ExtQueries {
       "embedding", minSim = 0.35, planes = 4, dims = 64)
       .orderBy("id_a", "id_b")
 
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashSplit(t(spark, dir, "documents"), "text")
+      .select("doc_id", "bucket", "split").orderBy("doc_id")
+
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.attachMedia(t(spark, dir, "documents"), "doc_id", "text")
       .select(col("media_id"), col("media.meta.format").as("format"),
@@ -102,6 +106,7 @@ object ExtQueries {
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_rolling_fp" -> rollingFp _,
+    "text_hash_split" -> hashSplit _,
     "sim_cosine_topk" -> simTopK _,
     "embed_norms" -> embedNorms _,
     "mm_meta" -> mmMeta _,
@@ -183,6 +188,18 @@ object ExtQueries {
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+        |      AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 204 THEN 'train'
+        |       WHEN bucket < 230 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "sim_cosine_topk" ->
       """WITH qe AS (
         |  SELECT vec_id AS q_id, generate_subscripts(embedding, 1) AS i,

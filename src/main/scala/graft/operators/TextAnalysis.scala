@@ -80,4 +80,22 @@ object TextAnalysis {
 
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp", fingerprint(col(textCol)))
+
+  /** Deterministic train/val/test split assignment by content hash:
+    * bucket = first md5 byte (0..255), split on fixed thresholds.
+    * Stable across runs, engines, partitionings, and re-shards — the
+    * property a 100 TB dataset split must have (no rand()).
+    */
+  def hashSplit(df: DataFrame, textCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = conv(substring(md5(col(textCol)), 1, 2), 16, 10)
+      .cast("int")
+    val tTrain = 256 * trainPct / 100
+    val tVal = 256 * (trainPct + valPct) / 100
+    df.withColumn("bucket", bucket.cast("long"))
+      .withColumn("split",
+        when(bucket < tTrain, "train")
+          .when(bucket < tVal, "val")
+          .otherwise("test"))
+  }
 }
