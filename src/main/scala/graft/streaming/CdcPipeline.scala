@@ -114,15 +114,32 @@ object CdcPipeline {
           updates.createOrReplaceTempView("rows")
           val transformed = session.sql(sql)
             .withColumn("op", lit(CdcParse.OpUpdate))
-          // erase rows skip the transform; they carry keys only
-          val erases = lww.filter(col("op") === CdcParse.OpErase)
-            .select(transformed.columns.map(c =>
-              if (p.schema.pk.contains(c) || c == "op") col(c)
-              else lit(null).cast(
-                p.schema.columns.find(_.name == c)
-                  .map(_.dataType.catalogString).getOrElse("string"))
-                .as(c)).toIndexedSeq: _*)
-            .withColumn("op", lit(CdcParse.OpErase))
+          val eraseRows = lww.filter(col("op") === CdcParse.OpErase)
+          val erases = p.deleteSql match {
+            case Some(delSql) =>
+              // reference semantics: erase ops flow through their OWN
+              // (PK-only) delete query (CdcMsgParser.java:144-157,
+              // 216-221) — lets a re-keyed view map source keys to
+              // target keys
+              eraseRows.createOrReplaceTempView("rows")
+              val delKeys = session.sql(delSql)
+              delKeys.select(transformed.columns.map(c =>
+                if (delKeys.columns.contains(c)) col(c)
+                else lit(null).cast(
+                  p.schema.columns.find(_.name == c)
+                    .map(_.dataType.catalogString).getOrElse("string"))
+                  .as(c)).toIndexedSeq: _*)
+                .withColumn("op", lit(CdcParse.OpErase))
+            case None =>
+              // no delete query: erase keys pass through by name
+              eraseRows.select(transformed.columns.map(c =>
+                if (p.schema.pk.contains(c) || c == "op") col(c)
+                else lit(null).cast(
+                  p.schema.columns.find(_.name == c)
+                    .map(_.dataType.catalogString).getOrElse("string"))
+                  .as(c)).toIndexedSeq: _*)
+                .withColumn("op", lit(CdcParse.OpErase))
+          }
           withRetry(p, st) {
             p.sink.apply(transformed.unionByName(erases), p.action)
           }

@@ -156,4 +156,31 @@ class CdcPipelineSpec extends AnyFunSuite {
   test("status surface reports progress (O14)") {
     assert(CdcPipeline.statusJson.contains("\"ok\":true"))
   }
+
+  test("delete query maps erase keys for a re-keyed view (O8/O11)") {
+    val changelog = freshDir("changelog6")
+    Changelog.writeFromEvents(spark,
+      s"${TestSpark.sfDir}/events.parquet", changelog, numFiles = 2)
+    val targetSchema = StructType(Seq(
+      StructField("uid", LongType), // RENAMED key
+      StructField("event_type", StringType)))
+    val sink = new KeyedTableSink(spark, freshDir("sink6"), Seq("uid"),
+      targetSchema)
+    val p = CdcPipeline.Pipeline("test-delq", changelog,
+      freshDir("ckpt6"), schema,
+      updateSql = Some("SELECT user_id AS uid, event_type FROM rows"),
+      deleteSql = Some("SELECT user_id AS uid FROM rows"),
+      sink = sink)
+    CdcPipeline.start(spark, p).awaitTermination(120000)
+    val gotKeys = sink.load().select("uid").collect()
+      .map(_.getLong(0)).toSet
+    // golden: LWW per user over the full changelog, erase-won users out
+    val all = Changelog.readBatch(spark, changelog)
+    val typed = CdcParse.parseEnvelope(all, "value", schema)
+      .filter(col("op") =!= CdcParse.OpDrop)
+    val wantKeys = KeyedMerge.lww(typed, Seq("user_id"), "seq")
+      .filter(col("op") =!= CdcParse.OpErase)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(gotKeys === wantKeys)
+  }
 }
