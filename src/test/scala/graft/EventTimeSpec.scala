@@ -38,6 +38,33 @@ class EventTimeSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming session windows + watermark == batch result") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-sess").toString
+    val ev = Tables.t(spark, TestSpark.sfDir, "events")
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withColumn("ts_utc", Tables.eventsTsMicros)
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(session_window(col("ts_utc"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ev_sessions")
+      .select(col("user_id"), col("w.start").as("s"), col("n"))
+    val want = ev
+      .groupBy(session_window(Tables.eventsTsMicros, "30 minutes")
+        .as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("s"), col("n"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("append mode drops only late rows beyond watermark") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-evstream2").toString
