@@ -41,11 +41,15 @@ object CdcParse {
 
   /** JSON scalar -> Spark value coercion per SURVEY.md §1.2
     * (YqlQuery.java:89-166). Bytes arrive base64-encoded
-    * (YqlQuery.java:137-138).
+    * (YqlQuery.java:137-138); Interval arrives as SECONDS — not µs —
+    * (YqlQuery.java:153-154); full-range Uint64 is supported by
+    * declaring the column DecimalType(20,0) (SURVEY §7.4).
     */
   def coerce(raw: Column, dt: DataType): Column = dt match {
     case BinaryType => unbase64(raw)
     case TimestampType => raw.cast(TimestampType)
+    case ivl: DayTimeIntervalType =>
+      raw.cast("long").cast("interval second").cast(ivl.catalogString)
     case other => raw.cast(other)
   }
 

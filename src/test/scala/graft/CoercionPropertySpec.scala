@@ -95,4 +95,23 @@ class CoercionPropertySpec extends AnyFunSuite {
   test("null payload value -> null column (Optional, YqlQuery.java:90-97)") {
     assert(decodeAll(LongType, Seq("null")) === Seq(null))
   }
+
+  test("Interval arrives as SECONDS, not micros (YqlQuery.java:153-154)") {
+    val secs = Seq.fill(10)(rnd.nextInt(1000000).toLong)
+    val got = decodeAll(DayTimeIntervalType(), secs.map(_.toString))
+    assert(got.map(_.asInstanceOf[java.time.Duration].getSeconds) === secs)
+  }
+
+  test("full-range Uint64 via DecimalType(20,0) (SURVEY §7.4)") {
+    val vals = Seq("18446744073709551615", "9223372036854775808", "0")
+    val got = decodeAll(DecimalType(20, 0), vals)
+    assert(got.map(_.toString) === vals.map(v =>
+      new java.math.BigDecimal(v).toString))
+  }
+
+  test("Date from full ISO instant (YqlQuery.java:146-147)") {
+    val got = decodeAll(DateType, Seq("\"2024-03-01T12:30:45Z\""))
+    assert(got.head.asInstanceOf[java.sql.Date].toLocalDate.toString ===
+      "2024-03-01")
+  }
 }
