@@ -221,7 +221,26 @@ object MiscQueries {
           6).as("slice_head"))
       .orderBy("vec_id")
 
+  /** Window analytics breadth: lead/lag/ntile/percent_rank/first_value
+    * (percent_rank is exact integer-ratio arithmetic -> engine-exact).
+    */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") % 20 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        first(col("o_orderkey")).over(w).as("first_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_window_analytics" -> windowAnalytics _,
     "q27_array_fns" -> arrayFns _,
     "q26_topk_per_key" -> topkPerKey _,
     "q25_sql_surface" -> sqlSurface _,
@@ -320,6 +339,16 @@ object MiscQueries {
         |  AND abs(a.tsec - b.tsec) <= 300
         |ORDER BY a.user_id, id_a, id_b""".stripMargin,
     // q23_approx_distinct intentionally has NO oracle (sketch)
+    "q28_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_orderkey, 1) OVER w AS prev_order,
+        |  LEAD(o_orderkey, 1) OVER w AS next_order,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order
+        |FROM orders WHERE o_custkey % 20 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q27_array_fns" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
