@@ -239,7 +239,27 @@ object MiscQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Null-handling semantics: nullif/coalesce/null-safe equality,
+    * null-aware aggregation counts.
+    */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .withColumn("brand_n", nullif(col("p_brand"), lit("Brand#11")))
+      .withColumn("type_n", nullif(substring(col("p_type"), 1, 5),
+        lit("STAND")))
+    p.groupBy(col("p_size"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("brand_n")).as("n_brand_nonnull"),
+        sum(when(col("brand_n") <=> col("type_n"), 1L).otherwise(0L))
+          .as("n_nullsafe_eq"),
+        sum(when(coalesce(col("brand_n"), lit("X")) === "X", 1L)
+          .otherwise(0L)).as("n_coalesced"))
+      .orderBy("p_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_null_semantics" -> nullSemantics _,
     "q28_window_analytics" -> windowAnalytics _,
     "q27_array_fns" -> arrayFns _,
     "q26_topk_per_key" -> topkPerKey _,
@@ -339,6 +359,19 @@ object MiscQueries {
         |  AND abs(a.tsec - b.tsec) <= 300
         |ORDER BY a.user_id, id_a, id_b""".stripMargin,
     // q23_approx_distinct intentionally has NO oracle (sketch)
+    "q29_null_semantics" ->
+      """WITH p AS (
+        |  SELECT p_size,
+        |    NULLIF(p_brand, 'Brand#11') AS brand_n,
+        |    NULLIF(SUBSTRING(p_type, 1, 5), 'STAND') AS type_n
+        |  FROM part)
+        |SELECT p_size, COUNT(*) AS n_rows,
+        |  COUNT(brand_n) AS n_brand_nonnull,
+        |  SUM(CASE WHEN brand_n IS NOT DISTINCT FROM type_n
+        |      THEN 1 ELSE 0 END) AS n_nullsafe_eq,
+        |  SUM(CASE WHEN COALESCE(brand_n, 'X') = 'X'
+        |      THEN 1 ELSE 0 END) AS n_coalesced
+        |FROM p GROUP BY p_size ORDER BY p_size""".stripMargin,
     "q28_window_analytics" ->
       """SELECT o_custkey, o_orderkey,
         |  LAG(o_orderkey, 1) OVER w AS prev_order,
