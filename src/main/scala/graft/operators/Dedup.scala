@@ -129,6 +129,47 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: each node repeatedly adopts the smallest
+    * label among itself and its neighbours until fixpoint. The loop is
+    * driver-CONTROLLED but data-distributed (labels/edges never leave
+    * executors; one shuffle per iteration; iterations ~ graph
+    * diameter) — the standard Pregel-style shape for survivor
+    * selection in dedup pipelines.
+    *
+    * Output: (id, cluster) where cluster = min id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20)
+      : DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"),
+        col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster", "nbr_cluster"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_cluster")).as("nbr_min"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .withColumn("new_cluster",
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))))
+        .select(col("id"), col("new_cluster").as("cluster"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"),
+        "id").filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash (32-bit, from md5 nibbles of tokens): each token votes
     * +1/-1 per bit; fingerprint bit i is the sign of the vote sum.
     * Near-dups = fingerprints within a small Hamming distance.

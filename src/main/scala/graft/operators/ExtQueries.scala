@@ -18,6 +18,16 @@ object ExtQueries {
     Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
       minJ = 0.1).orderBy("id_a", "id_b")
 
+  /** Near-dup clusters: connected components over the jaccard>=0.1
+    * pair graph; cluster = canonical (minimum) doc id.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+          minJ = 0.1))
+      .withColumn("is_canonical", col("id") === col("cluster"))
+      .orderBy("id")
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(t(spark, dir, "documents"), "text")
       .select("doc_id", "n_tokens", "n_bpeish", "n_chars_calc")
@@ -101,6 +111,7 @@ object ExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupJaccard _,
+    "dedup_clusters" -> dedupClusters _,
     "text_token_stats" -> tokenStats _,
     "text_quality" -> quality _,
     "text_langid" -> langId _,
@@ -147,6 +158,35 @@ object ExtQueries {
         |JOIN sizes sb ON sb.id = id_b
         |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.1
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i)
+        |), sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |common AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.1),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |walk(a, b) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT w.a, e.b FROM walk w JOIN edges e ON e.a = w.b)
+        |SELECT a AS id, MIN(b) AS cluster,
+        |  (a = MIN(b)) AS is_canonical
+        |FROM walk GROUP BY a ORDER BY a""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
