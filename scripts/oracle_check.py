@@ -35,6 +35,30 @@ def main():
                 print(f"FAIL {name}: columns {gcols} != {ecols}")
                 n_bad += 1
                 continue
+            # dtype compare — the driver hashes typed values, so a DuckDB
+            # HUGEINT (int128 SUM) vs Spark BIGINT is a hash mismatch even
+            # when every value is equal. Catch it here.
+            def norm(t):
+                # Align with the driver's pandas-level hash: int widths up
+                # to 64 bits and date-vs-timestamp all collapse to the same
+                # pandas dtype (observed hash-green in r01), but HUGEINT
+                # (int128 — DuckDB SUM over integers) does NOT fit int64 and
+                # breaks the hash, so it stays distinct.
+                s = str(t).replace(" WITH TIME ZONE", "")
+                if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                         "UTINYINT", "USMALLINT", "UINTEGER"):
+                    return "INT64"
+                if s in ("DATE", "TIMESTAMP"):
+                    return "DATETIME64"
+                return s
+            gtypes = dict(zip(got.columns, [norm(t) for t in got.types]))
+            etypes = dict(zip(exp.columns, [norm(t) for t in exp.types]))
+            tbad = [(c, gtypes[c], etypes[c]) for c in gcols
+                    if gtypes[c] != etypes[c]]
+            if tbad:
+                print(f"FAIL {name}: dtype mismatch {tbad}")
+                n_bad += 1
+                continue
             gdf = got.df()[gcols]
             edf = exp.df()[ecols]
             if len(gdf) != len(edf):

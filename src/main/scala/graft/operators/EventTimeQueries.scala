@@ -43,7 +43,7 @@ object EventTimeQueries {
     "ev_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n,
-        |  SUM(CAST(ROUND(value*1000) AS BIGINT)) AS sum_vm
+        |  CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_vm
         |FROM events
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hour, event_type""".stripMargin,

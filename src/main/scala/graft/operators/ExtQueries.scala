@@ -327,8 +327,8 @@ object ExtQueries {
         |  FROM tokrows, UNNEST(range(0, 32)) AS b(bit)
         |  GROUP BY id, bit)
         |SELECT id,
-        |  SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (31 - bit)
-        |      ELSE 0 END) AS simhash
+        |  CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (31 - bit)
+        |      ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY id ORDER BY id""".stripMargin,
     "sim_ann_lsh" ->
       """WITH ee AS (

@@ -302,7 +302,7 @@ object MiscQueries {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q16_json_access" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -367,10 +367,10 @@ object MiscQueries {
         |  FROM part)
         |SELECT p_size, COUNT(*) AS n_rows,
         |  COUNT(brand_n) AS n_brand_nonnull,
-        |  SUM(CASE WHEN brand_n IS NOT DISTINCT FROM type_n
-        |      THEN 1 ELSE 0 END) AS n_nullsafe_eq,
-        |  SUM(CASE WHEN COALESCE(brand_n, 'X') = 'X'
-        |      THEN 1 ELSE 0 END) AS n_coalesced
+        |  CAST(SUM(CASE WHEN brand_n IS NOT DISTINCT FROM type_n
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+        |  CAST(SUM(CASE WHEN COALESCE(brand_n, 'X') = 'X'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_coalesced
         |FROM p GROUP BY p_size ORDER BY p_size""".stripMargin,
     "q28_window_analytics" ->
       """SELECT o_custkey, o_orderkey,

@@ -307,9 +307,9 @@ object Relational {
         |HAVING COUNT(DISTINCT l_partkey) >= 5
         |ORDER BY l_suppkey""".stripMargin,
     "q12_case_agg" ->
-      """SELECT DATE_TRUNC('month', o_orderdate) AS month,
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-        |  SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_open,
+      """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
         |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
         |FROM orders
         |GROUP BY DATE_TRUNC('month', o_orderdate)
