@@ -133,41 +133,55 @@ object Dedup {
     * min-label propagation: each node repeatedly adopts the smallest
     * label among itself and its neighbours until fixpoint. The loop is
     * driver-CONTROLLED but data-distributed (labels/edges never leave
-    * executors; one shuffle per iteration; iterations ~ graph
-    * diameter) — the standard Pregel-style shape for survivor
+    * executors) — the standard Pregel-style shape for survivor
     * selection in dedup pipelines.
+    *
+    * Scale shape: exactly ONE Spark job per iteration — the label
+    * update materializes via `localCheckpoint` (truncating lineage so
+    * iteration N never re-walks iterations 1..N-1's DAG) and
+    * convergence is read from an `Observation` metric collected by
+    * that same job, not a second count() action. Iterations are
+    * bounded by graph diameter; near-dup graphs are forests of tiny
+    * cliques, so this is a handful of cheap jobs even at 100 TB. On a
+    * real cluster swap `localCheckpoint` for `checkpoint` (reliable
+    * storage) if executor loss matters mid-loop.
     *
     * Output: (id, cluster) where cluster = min id reachable.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20)
       : DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"),
+    // materialize the (possibly expensive) pair computation exactly
+    // once BEFORE the src/dst union — unioning the raw plan would
+    // evaluate the whole upstream pair pipeline twice
+    val p = pairs.select("id_a", "id_b").localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"),
         col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).cache()
+      .withColumn("cluster", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("cluster", "nbr_cluster"), "dst")
+        .join(labels.select(col("id").as("dst"),
+          col("cluster").as("nbr_cluster")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_cluster")).as("nbr_min"))
+      val obs = org.apache.spark.sql.Observation(s"cc_iter_$iter")
       val next = labels.join(viaNeighbor, Seq("id"), "left")
-        .withColumn("new_cluster",
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))))
-        .select(col("id"), col("new_cluster").as("cluster"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"),
-        "id").filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"),
+          col("cluster").as("prev"))
+        .observe(obs, coalesce(sum(
+          when(col("cluster") =!= col("prev"), 1L).otherwise(0L)),
+          lit(0L)).as("changed"))
+      labels = next.localCheckpoint() // eager: the one job per iteration
+      changed = obs.get("changed").asInstanceOf[Long]
       iter += 1
     }
-    edges.unpersist()
-    labels
+    labels.select("id", "cluster")
   }
 
   /** SimHash (32-bit, from md5 nibbles of tokens): each token votes

@@ -18,13 +18,16 @@ object ExtQueries {
     Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
       minJ = 0.1).orderBy("id_a", "id_b")
 
-  /** Near-dup clusters: connected components over the jaccard>=0.1
-    * pair graph; cluster = canonical (minimum) doc id.
+  /** Near-dup clusters: connected components over the MinHash-LSH
+    * verified pair graph (jaccard>=0.1); cluster = canonical (minimum)
+    * doc id. Feeds from the LSH path — candidates bounded by band
+    * bucket collisions — NOT the all-pairs-sharing-a-shingle Jaccard
+    * join, so the pair generation survives 100 TB.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-        Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
-          minJ = 0.1))
+        Dedup.minhashLshPairs(t(spark, dir, "documents"), "doc_id",
+          "text", numHashes = 16, bands = 4, minJ = 0.1))
       .withColumn("is_canonical", col("id") === col("cluster"))
       .orderBy("id")
 
@@ -166,11 +169,25 @@ object ExtQueries {
         |  SELECT DISTINCT doc_id AS id,
         |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
         |  FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i)
+        |), sig AS (
+        |  SELECT id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+        |  FROM sh, UNNEST(range(0, 16)) AS sd(seed)
+        |  GROUP BY id, seed
+        |), bandsig AS (
+        |  SELECT id, seed // 4 AS band,
+        |    string_agg(mh, ',' ORDER BY seed) AS bsig
+        |  FROM sig GROUP BY id, seed // 4
+        |), cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bandsig a JOIN bandsig b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
         |), sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
         |common AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-        |  GROUP BY a.id, b.id),
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS common
+        |  FROM cands c
+        |  JOIN sh a ON a.id = c.id_a
+        |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY c.id_a, c.id_b),
         |pairs AS (
         |  SELECT id_a, id_b FROM common
         |  JOIN sizes sa ON sa.id = id_a
