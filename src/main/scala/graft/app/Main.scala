@@ -73,7 +73,15 @@ object Main {
           sink = sink,
           action = translated.map(_.actionMode).getOrElse("upsertInto"),
           maxFilesPerTrigger = math.max(1, p.batchSize / 100),
-          viewCols = translated.map(_.declaredCols).getOrElse(Nil))))
+          viewCols = translated.map(_.declaredCols).getOrElse(Nil),
+          errorThreshold = p.errorThreshold,
+          timeoutSeconds = p.timeoutSeconds,
+          threadsCount = p.threadsCount,
+          deleteAction = p.deleteQuery.map(_.actionMode)
+            .getOrElse("deleteFrom"),
+          ysonCols = translated.map(_.declaredMembers.collect {
+            case (n, t) if graft.config.YdbTypes.isYson(t) => n
+          }).getOrElse(Nil))))
       }
     }
     // O14 monitoring surface (port via GRAFT_HTTP_PORT; 0 = off)

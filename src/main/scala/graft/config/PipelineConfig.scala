@@ -77,26 +77,44 @@ object PipelineConfig {
   def validate(spark: org.apache.spark.sql.SparkSession, conf: EngineConf,
       schema: StructType, pk: Seq[String]): Seq[String] = {
     val warnings = scala.collection.mutable.Buffer[String]()
+    // validate on an ISOLATED session (own temp-view registry): a
+    // validation run must never clobber the live `rows` view of a
+    // batch transform executing concurrently on the shared session
+    val vs = spark.newSession()
     conf.pipelines.foreach { p =>
       if (!p.changefeed.contains("/"))
         warnings += s"${p.consumer}: changefeed '${p.changefeed}' has no table prefix"
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val empty = vs.createDataFrame(
+        vs.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       empty.createOrReplaceTempView("rows")
-      graft.functions.GraftFunctions.register(spark)
+      graft.functions.GraftFunctions.register(vs)
       def toSparkSql(sql: String): String =
         if (sql.contains("AS_TABLE") || sql.contains("DECLARE"))
           YqlTranslate(sql).sql
         else sql
       p.updateQuery.foreach { q =>
-        try spark.sql(toSparkSql(q.sql)).queryExecution.analyzed
-        catch { case e: Exception =>
+        try {
+          // STRICT type check on declared members (reference decoder
+          // hard-errors on Tz*/DyNumber, YqlQuery.java:155-165; Yson
+          // warns and writes "{}", :139-141)
+          if (q.sql.contains("DECLARE")) {
+            val members = YqlTranslate(q.sql).declaredMembers
+            members.foreach { case (n, t) =>
+              if (YdbTypes.isYson(t))
+                System.err.println(s"[graft] WARN ${p.consumer}: " +
+                  s"column '$n' has unsupported type Yson — values " +
+                  "will be written as \"{}\" (YqlQuery.java:139-141)")
+              else YdbTypes.toSpark(t) // throws UnsupportedYdbType
+            }
+          }
+          vs.sql(toSparkSql(q.sql)).queryExecution.analyzed
+        } catch { case e: Exception =>
           warnings += s"${p.consumer}: update query invalid: ${e.getMessage}"
         }
       }
       p.deleteQuery.foreach { q =>
         try {
-          val out = spark.sql(q.sql)
+          val out = vs.sql(q.sql)
           val extra = out.columns.filterNot(pk.contains)
           if (extra.nonEmpty)
             warnings += s"${p.consumer}: delete query selects non-PK columns: ${extra.mkString(",")}"

@@ -27,7 +27,27 @@ object YqlTranslate {
     * (CdcMsgParser.java:200-214), so `rows` is projected to them.
     */
   case class Translated(actionMode: String, actionTable: String,
-    sql: String, declaredCols: Seq[String])
+    sql: String, declaredCols: Seq[String],
+    // declared (name, YDB type) member pairs — drives the strict
+    // type checks (YdbTypes) at validation
+    declaredMembers: Seq[(String, String)] = Nil)
+
+  /** Split struct members on top-level commas only (types like
+    * `Optional<Uint32>` and `Decimal(22,9)` nest commas/brackets).
+    */
+  private def splitMembers(body: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    body.foreach {
+      case c @ ('<' | '(') => depth += 1; cur += c
+      case c @ ('>' | ')') => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   private val declareRe =
     """(?s)DECLARE\s+\$\w+\s+AS\s+List<Struct<(.*?)>>\s*;""".r
@@ -44,8 +64,16 @@ object YqlTranslate {
     val binds = parseBindRe.findAllMatchIn(s).map(m =>
       m.group(1) -> GraftFunctions.strptimeToSpark(m.group(2))).toMap
     s = parseBindRe.replaceAllIn(s, "")
-    val declaredCols = declareRe.findFirstMatchIn(s).toSeq.flatMap(m =>
-      """(\w+)\s*:""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+    val declaredMembers = declareRe.findFirstMatchIn(s).toSeq.flatMap {
+      m =>
+        splitMembers(m.group(1)).flatMap { mem =>
+          mem.split(":", 2) match {
+            case Array(n, t) => Some(n.trim -> t.trim)
+            case _ => None
+          }
+        }
+    }
+    val declaredCols = declaredMembers.map(_._1)
     s = declareRe.replaceAllIn(s, "")
     // $parse(col) [possibly wrapped in DateTime::MakeTimestamp]
     binds.foreach { case (name, fmt) =>
@@ -75,6 +103,6 @@ object YqlTranslate {
       }
     }
     Translated(mode, table, rest.trim.stripSuffix(";").trim,
-      declaredCols)
+      declaredCols, declaredMembers)
   }
 }

@@ -60,10 +60,14 @@ object CdcParse {
     val ers = get_json_object(env, "$.erase")
     val key = get_json_object(env, "$.key")
     val updIsObj = upd.startsWith("{")
+    // newImage fallback requires a NON-EMPTY JSON object
+    // (CdcMsgParser.java:66-67: isObject() && !isEmpty()) — an array,
+    // scalar or {} drops the message
+    val imgIsNonEmptyObj = img.startsWith("{") && img =!= "{}"
     when(key.isNull, OpDrop)
       .when(upd.isNotNull && updIsObj && upd === "{}", OpKeysOnly)
       .when(upd.isNotNull && updIsObj, OpUpdate)
-      .when(upd.isNotNull && img.isNotNull, OpNewImage)
+      .when(upd.isNotNull && imgIsNonEmptyObj, OpNewImage)
       .when(ers.isNotNull, OpErase)
       .otherwise(OpDrop)
   }
@@ -109,12 +113,15 @@ object CdcParse {
       val updIsObj = updRaw.startsWith("{")
 
       def branch(key: Column, upd: Column, img: Column, ers: Column,
-          isEmptyUpd: Column, field: (Column, StructField) => Column,
+          isEmptyUpd: Column, imgNonEmptyObj: Column,
+          field: (Column, StructField) => Column,
           keyAt: Int => Column) = {
         val op = when(key.isNull, OpDrop)
           .when(updRaw.isNotNull && updIsObj && isEmptyUpd, OpKeysOnly)
           .when(updRaw.isNotNull && updIsObj, OpUpdate)
-          .when(updRaw.isNotNull && img.isNotNull, OpNewImage)
+          // newImage fallback only for a NON-EMPTY object
+          // (CdcMsgParser.java:66-67: isObject() && !isEmpty())
+          .when(updRaw.isNotNull && imgNonEmptyObj, OpNewImage)
           .when(ers.isNotNull, OpErase)
           .otherwise(OpDrop)
         val payload = when(op === OpNewImage, img).otherwise(upd)
@@ -133,19 +140,23 @@ object CdcParse {
       val fast = r.getField("fast")
       val fastBranch = {
         val key = fast.getField("key")
+        val img = fast.getField("newImage")
         branch(key,
-          fast.getField("update"), fast.getField("newImage"),
+          fast.getField("update"), img,
           fast.getField("erase"),
           isEmptyUpd = size(fast.getField("update")) === 0,
+          imgNonEmptyObj = img.isNotNull && size(img) > 0,
           field = (payload, f) => element_at(payload, f.name),
           keyAt = i => element_at(key, i + 1))
       }
       val slowBranch = {
         val envR = r.getField("env")
+        val img = get_json_object(envR, "$.newImage")
         branch(get_json_object(envR, "$.key"),
-          updRaw, get_json_object(envR, "$.newImage"),
+          updRaw, img,
           get_json_object(envR, "$.erase"),
           isEmptyUpd = updRaw === "{}",
+          imgNonEmptyObj = img.startsWith("{") && img =!= "{}",
           field = (payload, f) =>
             get_json_object(payload, s"$$.${f.name}"),
           keyAt = i => get_json_object(envR, s"$$.key[$i]"))

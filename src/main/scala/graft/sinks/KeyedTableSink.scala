@@ -4,23 +4,41 @@ import graft.operators.{CdcParse, KeyedMerge}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.Path
 
 /** Parquet-backed keyed table with MERGE-style apply (SURVEY.md §7.3):
   * plain Spark has no MERGE INTO over parquet, so state is rewritten as
-  * `state ⟕̸ batchKeys ∪ upserts` and swapped in atomically
-  * (write tmp dir -> rename). Apply is idempotent by construction,
-  * which makes Structured Streaming's replay-after-failure satisfy the
-  * reference's at-least-once + deferred-commit contract
-  * (YqlWriter.java:181-206).
+  * `state ⟕̸ batchKeys ∪ upserts` into fresh generation directories and
+  * made visible through a CRASH-ATOMIC manifest swap. Apply is
+  * idempotent by construction, which makes Structured Streaming's
+  * replay-after-failure satisfy the reference's at-least-once +
+  * deferred-commit contract (YqlWriter.java:181-206).
   *
-  * Scale design: with `numBuckets > 0` the state is hash-partitioned on
-  * the key into `__bucket=N` directories. A batch touches only the
-  * buckets its keys hash to, so the merge reads (partition-pruned) and
-  * rewrites ONLY those buckets — rewrite cost is proportional to the
-  * touched key space, not the table size. That is the property that
-  * keeps a 100 TB materialized view maintainable; a lake format
-  * (Delta/Iceberg MERGE) would drop in behind the same interface.
-  * `numBuckets = 0` keeps the simple whole-table swap.
+  * Commit protocol (no rename-chain windows): data is fully written to
+  * new `g-<uuid>` generation dirs first, then a manifest listing every
+  * live dir is promoted:
+  *
+  *   1. write manifest text to `CURRENT.tmp-<uuid>`
+  *   2. rename -> `CURRENT.next`  (atomic appear; existence implies
+  *      the manifest AND all dirs it references are complete)
+  *   3. delete `CURRENT`, rename `CURRENT.next` -> `CURRENT`
+  *
+  * A crash in any window rolls FORWARD: if `CURRENT.next` exists on
+  * the next read/apply, it is promoted (its data was durable before it
+  * appeared). There is never a moment with no recoverable state — the
+  * failure mode the old rename-swap had (crash between renames left no
+  * data dir, so a streaming replay would merge against empty state and
+  * silently lose the table). Unreferenced generation dirs and stale
+  * tmp manifests are garbage-collected after each promote.
+  *
+  * Scale design: with `numBuckets > 0` the state is hash-partitioned
+  * on the key into per-bucket generation dirs; a batch touches only
+  * the buckets its keys hash to, so the merge reads and rewrites ONLY
+  * those (manifest entries for untouched buckets carry over). Rewrite
+  * cost is proportional to the touched key space, not the table size —
+  * the property that keeps a 100 TB materialized view maintainable. A
+  * lake format (Delta/Iceberg MERGE) would drop in behind the same
+  * interface. `numBuckets = 0` keeps a whole-table generation.
   */
 class KeyedTableSink(spark: SparkSession, val path: String,
     val keys: Seq[String], val schema: StructType,
@@ -32,59 +50,118 @@ class KeyedTableSink(spark: SparkSession, val path: String,
       case p => s"file:$p"
     }), spark.sparkContext.hadoopConfiguration)
 
-  private def dataPath = new org.apache.hadoop.fs.Path(path, "data")
+  private val root = new Path(path)
+  private val currentPath = new Path(root, "CURRENT")
+  private val nextPath = new Path(root, "CURRENT.next")
 
-  def exists: Boolean = fs.exists(dataPath)
+  // ---- manifest: lines of "<token>\t<relative-dir>"; token is "flat"
+  // or the bucket number ----
+
+  /** Roll forward a crash that happened mid-promote: CURRENT.next is
+    * only ever written AFTER its data dirs are complete, so it wins.
+    */
+  private def recover(): Unit = if (fs.exists(nextPath)) {
+    if (fs.exists(currentPath)) fs.delete(currentPath, false)
+    fs.rename(nextPath, currentPath)
+  }
+
+  /** Current live manifest: "flat" or bucket-number -> relative dir.
+    * Public as an ops/inspection surface (which dirs are live).
+    */
+  def manifest(): Map[String, String] = {
+    recover()
+    if (!fs.exists(currentPath)) Map.empty
+    else {
+      val in = fs.open(currentPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(tok, dir) = l.split("\t", 2)
+        tok -> dir
+      }.toMap
+    }
+  }
+
+  private def writeManifest(m: Map[String, String]): Unit = {
+    val tmp = new Path(root, s"CURRENT.tmp-${uuid()}")
+    val out = fs.create(tmp, true)
+    try {
+      out.write(m.toSeq.sortBy(_._1)
+        .map { case (t, d) => s"$t\t$d" }.mkString("\n").getBytes("UTF-8"))
+      out.hsync()
+    } finally out.close()
+    fs.rename(tmp, nextPath) // atomic appear of a COMPLETE manifest
+    recover() // promote: delete CURRENT, CURRENT.next -> CURRENT
+  }
+
+  /** Delete generation dirs no longer referenced and stale tmp files.
+    * Safe because apply() is single-writer per pipeline (reference
+    * semantics) and state reads materialize before the swap.
+    */
+  private def gc(live: Map[String, String]): Unit = {
+    val referenced = live.values.map(_.split("/")(0)).toSet
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("g-") && !referenced.contains(n))
+        fs.delete(st.getPath, true)
+      else if (n.startsWith("CURRENT.tmp-"))
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  private def uuid() = java.util.UUID.randomUUID().toString.take(8)
+
+  def exists: Boolean = manifest().nonEmpty
 
   private def emptyState: DataFrame = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  def load(): DataFrame =
-    if (!exists) emptyState
-    else spark.read.schema(
-        if (numBuckets > 0) schema.add("__bucket", "int") else schema)
-      .parquet(dataPath.toString)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  private def readDirs(dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty) emptyState
+    else spark.read.schema(schema)
+      .parquet(dirs.map(d => new Path(root, d).toString): _*)
+
+  def load(): DataFrame = readDirs(manifest().values.toSeq)
+
+  /** Load only the given buckets (only their dirs are even listed —
+    * the pruning the old `__bucket=N` partition filter provided).
+    */
+  private def loadBuckets(m: Map[String, String],
+      buckets: Seq[Int]): DataFrame =
+    readDirs(buckets.flatMap(b => m.get(b.toString)))
 
   private def bucketOf = pmod(hash(keys.map(col): _*), lit(numBuckets))
 
-  /** Load only the given buckets (partition-pruned scan). */
-  private def loadBuckets(buckets: Seq[Int]): DataFrame =
-    if (!exists) emptyState
-    else spark.read.schema(schema.add("__bucket", "int"))
-      .parquet(dataPath.toString)
-      .filter(col("__bucket").isin(buckets: _*))
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-
-  private def freshPath(prefix: String) = new org.apache.hadoop.fs.Path(
-    path, s"$prefix-${java.util.UUID.randomUUID().toString.take(8)}")
-
-  /** Whole-table atomic swap (flat mode). */
+  /** Whole-table swap (flat mode): new generation + manifest promote. */
   private def swapIn(next: DataFrame): Unit = {
-    val tmp = freshPath("tmp")
-    next.write.mode("overwrite").parquet(tmp.toString)
-    val old = freshPath("old")
-    if (fs.exists(dataPath)) fs.rename(dataPath, old)
-    fs.rename(tmp, dataPath)
-    fs.delete(old, true)
+    val gen = s"g-${uuid()}"
+    next.write.mode("overwrite").parquet(new Path(root, gen).toString)
+    val m = Map("flat" -> gen)
+    writeManifest(m)
+    gc(m)
   }
 
-  /** Partial swap: rewrite only the touched bucket subdirectories. */
-  private def swapBuckets(next: DataFrame, buckets: Seq[Int]): Unit = {
-    val tmp = freshPath("tmp")
+  /** Partial swap: write ONLY the touched buckets into a new
+    * generation (partitioned by bucket), then point their manifest
+    * entries at the new dirs; untouched buckets carry over. An
+    * emptied bucket (no rows survived) simply drops its entry.
+    */
+  private def swapBuckets(prev: Map[String, String], next: DataFrame,
+      buckets: Seq[Int]): Unit = {
+    val gen = s"g-${uuid()}"
+    val genPath = new Path(root, gen)
     next.withColumn("__bucket", bucketOf)
       .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(tmp.toString)
-    if (!fs.exists(dataPath)) fs.mkdirs(dataPath)
-    buckets.foreach { b =>
-      val src = new org.apache.hadoop.fs.Path(tmp, s"__bucket=$b")
-      val dst = new org.apache.hadoop.fs.Path(dataPath, s"__bucket=$b")
-      val old = freshPath(s"oldb$b")
-      if (fs.exists(dst)) fs.rename(dst, old)
-      if (fs.exists(src)) fs.rename(src, dst)
-      fs.delete(old, true)
+      .parquet(genPath.toString)
+    val written = fs.listStatus(genPath).map(_.getPath.getName)
+      .filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket=").toInt).toSet
+    val m = buckets.foldLeft(prev) { (acc, b) =>
+      if (written.contains(b)) acc + (b.toString -> s"$gen/__bucket=$b")
+      else acc - b.toString
     }
-    fs.delete(tmp, true)
+    writeManifest(m)
+    gc(m)
   }
 
   private def merge(state: DataFrame, batch: DataFrame,
@@ -113,9 +190,10 @@ class KeyedTableSink(spark: SparkSession, val path: String,
           lit(numBuckets)).as("__b"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
       if (touched.nonEmpty) {
-        val state = loadBuckets(touched).cache()
+        val m = manifest()
+        val state = loadBuckets(m, touched).cache()
         state.count()
-        swapBuckets(merge(state, cached, action), touched)
+        swapBuckets(m, merge(state, cached, action), touched)
         state.unpersist()
       }
       cached.unpersist()

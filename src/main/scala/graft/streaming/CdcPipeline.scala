@@ -53,7 +53,22 @@ object CdcPipeline {
     // past errorThreshold; maxRetries < 0 = retry forever (reference
     // behavior; tests use small values)
     errorThreshold: Int = 0,
-    maxRetries: Int = -1)
+    maxRetries: Int = -1,
+    // per-batch transform deadline (XmlConfig.java:139-144 /
+    // YdbService.java:160-173): 0 = no timeout; expired batches cancel
+    // their Spark jobs and surface on the retry path
+    timeoutSeconds: Int = 0,
+    // per-pipeline parallelism (XmlConfig.java:19,132-137): >0 sizes
+    // this pipeline's shuffle partitions (the Spark analog of the
+    // reference's writer-thread count); 0 = session default
+    threadsCount: Int = 0,
+    // action for routed erase rows when the main action cannot express
+    // them (reference: erase messages always run the deleteQuery with
+    // its own actionMode, CdcMsgParser.java:144-157)
+    deleteAction: String = "deleteFrom",
+    // columns declared Yson: unsupported payload, every present value
+    // is rewritten to the literal "{}" (YqlQuery.java:139-141)
+    ysonCols: Seq[String] = Nil)
 
   /** Reference backoff: `25 << min(retry, 8)` ms plus uniform jitter of
     * the same magnitude (YqlWriter.java:244-247).
@@ -77,16 +92,58 @@ object CdcPipeline {
           if (p.maxRetries >= 0 && retry >= p.maxRetries) throw e
           st.ok = false
           st.status = s"RETRYING(${retry + 1}): ${e.getMessage}"
-          val level = // escalate past errorThreshold (YqlWriter:249-255)
-            if (retry >= p.errorThreshold) "ERROR" else "WARN"
+          // reference increments the retry counter BEFORE the backoff
+          // and escalates strictly past the threshold
+          // (YqlWriter.java:244-255): first delay 50-100ms, and
+          // errorThreshold=N means the (N+1)th retry logs at ERROR
+          val level =
+            if (retry + 1 > p.errorThreshold) "ERROR" else "WARN"
           System.err.println(
             s"[graft] $level ${p.consumer} batch write failed " +
               s"(retry ${retry + 1}): ${e.getMessage}")
-          Thread.sleep(backoffMs(retry, rnd))
+          Thread.sleep(backoffMs(retry + 1, rnd))
           retry += 1
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Enforce the per-pipeline transform deadline (XmlConfig.java:
+    * 139-144, YdbService.java:160-173): run `body` on a watchdogged
+    * thread inside its own Spark job group; past the deadline the
+    * group's jobs are cancelled and a TimeoutException surfaces —
+    * which the caller's `withRetry` treats like any other transient
+    * failure, matching the reference's timeout->retry semantics.
+    */
+  private[graft] def withTimeout[T](spark: SparkSession, p: Pipeline)
+      (body: => T): T = {
+    if (p.timeoutSeconds <= 0) return body
+    val sc = spark.sparkContext
+    val group = s"graft-${p.consumer}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val fut = exec.submit(new java.util.concurrent.Callable[T] {
+      override def call(): T = {
+        sc.setJobGroup(group, s"${p.consumer} batch transform",
+          interruptOnCancel = true)
+        try body finally sc.clearJobGroup()
+      }
+    })
+    try fut.get(p.timeoutSeconds.toLong,
+      java.util.concurrent.TimeUnit.SECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        sc.cancelJobGroup(group)
+        fut.cancel(true)
+        throw new java.util.concurrent.TimeoutException(
+          s"${p.consumer}: batch transform exceeded " +
+            s"${p.timeoutSeconds}s (timeoutSeconds)")
+      case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause match {
+          case ex: Exception => ex
+          case t => new RuntimeException(t)
+        }
+    } finally exec.shutdown()
   }
 
   /** Run one micro-batch through parse -> LWW -> transform -> apply.
@@ -99,15 +156,32 @@ object CdcPipeline {
     val typed = CdcParse.parseEnvelope(batch, "value", p.schema)
       .filter(col("op") =!= CdcParse.OpDrop)
     val lww = KeyedMerge.lww(typed, p.schema.pk, "seq").cache()
+    // per-pipeline parallelism (threadsCount, XmlConfig.java:19):
+    // size shuffle partitions for everything this batch plans —
+    // restored afterwards so other pipelines/specs on the session
+    // keep their own setting
+    val sessions = Seq(batch.sparkSession, spark).distinct
+    val prevShuffle = if (p.threadsCount > 0) sessions.map { s =>
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", p.threadsCount)
+      s -> prev
+    } else Nil
     try {
       p.updateSql match {
         case None =>
           st.rowsWritten += lww.count() // skip-sink: count + commit (O9)
         case Some(sql) =>
           val allUpdates = lww.filter(col("op") =!= CdcParse.OpErase)
+          def bind(n: String) =
+            if (p.ysonCols.contains(n)) // Yson: value present -> "{}"
+              when(col(n).isNotNull, lit("{}")).otherwise(lit(null))
+                .as(n)
+            else col(n)
           val updates =
-            if (p.viewCols.isEmpty) allUpdates
-            else allUpdates.select(p.viewCols.map(col): _*)
+            if (p.viewCols.isEmpty && p.ysonCols.isEmpty) allUpdates
+            else if (p.viewCols.isEmpty)
+              allUpdates.select(allUpdates.columns.map(bind).toIndexedSeq: _*)
+            else allUpdates.select(p.viewCols.map(bind): _*)
           // foreachBatch hands us a micro-batch-cloned session; the
           // temp view must be registered AND queried on that clone
           val session = batch.sparkSession
@@ -140,15 +214,45 @@ object CdcPipeline {
                   .as(c)).toIndexedSeq: _*)
                 .withColumn("op", lit(CdcParse.OpErase))
           }
-          withRetry(p, st) {
-            p.sink.apply(transformed.unionByName(erases), p.action)
+          // ONE bookkeeping job on the cached LWW batch: row count for
+          // status + erase count to route the delete action (replaces
+          // the old post-sink lww.count(), and materializes the cache
+          // before the merge scans it repeatedly)
+          val opCounts = lww.groupBy(col("op"))
+            .agg(count(lit(1)).as("n")).collect()
+          val nRows = opCounts.map(_.getLong(1)).sum
+          val nErase = opCounts.filter(_.getString(0) == CdcParse.OpErase)
+            .map(_.getLong(1)).sum
+          if (p.action == "upsertInto" || p.action == "deleteFrom") {
+            // these actions consume mixed update+erase batches natively
+            // (upsert drops erased keys; delete ignores update rows) —
+            // one state rewrite handles both
+            withRetry(p, st) { withTimeout(spark, p) {
+              p.sink.apply(transformed.unionByName(erases), p.action)
+            } }
+          } else {
+            // insertInto/updateOn ignore erase rows: route erases
+            // through the delete query's own action, as the reference
+            // does regardless of the update action mode
+            // (CdcMsgParser.java:144-157)
+            withRetry(p, st) { withTimeout(spark, p) {
+              p.sink.apply(transformed, p.action)
+            } }
+            if (nErase > 0)
+              withRetry(p, st) { withTimeout(spark, p) {
+                p.sink.apply(erases, p.deleteAction)
+              } }
           }
-          st.rowsWritten += lww.count()
+          st.rowsWritten += nRows
       }
       st.lastWrited = System.currentTimeMillis()
       st.ok = true
       st.status = "RUNNING"
-    } finally lww.unpersist()
+    } finally {
+      prevShuffle.foreach { case (s, v) =>
+        s.conf.set("spark.sql.shuffle.partitions", v) }
+      lww.unpersist()
+    }
   }
 
   /** Start the streaming query (one per consumer, own checkpoint —
@@ -170,11 +274,26 @@ object CdcPipeline {
       .start()
   }
 
+  /** JSON string escape — `status` embeds raw exception messages from
+    * retries, which can contain quotes/backslashes/newlines; emitting
+    * them unescaped would make /status invalid JSON mid-retry.
+    */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** Monitoring JSON (WebController.java:62-83 shape). */
   def statusJson: String = {
     import scala.jdk.CollectionConverters._
     statuses.asScala.values.toSeq.sortBy(_.id).map { s =>
-      s"""{"id":"${s.id}","ok":${s.ok},"status":"${s.status}",""" +
+      s"""{"id":${jsonStr(s.id)},"ok":${s.ok},""" +
+        s""""status":${jsonStr(s.status)},""" +
         s""""lastReaded":${s.lastReaded},"lastWrited":${s.lastWrited},""" +
         s""""rowsWritten":${s.rowsWritten}}"""
     }.mkString("[", ",", "]")

@@ -50,7 +50,11 @@ object StreamingDedup {
             state.remove()
             Iterator.empty
           } else if (state.exists) {
-            Iterator.empty // hash already emitted
+            // hash already emitted — but Spark clears a GroupState
+            // timeout on every invocation, so re-arm it or this entry
+            // would live forever after its first duplicate
+            state.setTimeoutDuration(timeoutMs)
+            Iterator.empty
           } else {
             val first = rows.minBy(_.id)
             state.update(true)

@@ -53,18 +53,37 @@ class BucketedSinkSpec extends AnyFunSuite {
     // spread keys over several buckets
     sink.apply(batch((0L to 40L).map(i => (i, i * 10, CdcParse.OpUpdate)): _*),
       "upsertInto")
-    val dataDir = new java.io.File(s"$dir/data")
-    val before = dataDir.listFiles().map(f =>
-      f.getName -> f.lastModified()).toMap
-    assert(before.size > 1) // multiple bucket dirs exist
-    Thread.sleep(1100)
-    // touch exactly one key -> one bucket rewritten
+    val before = sink.manifest()
+    assert(before.size > 1) // multiple bucket entries exist
+    // touch exactly one key -> exactly one manifest entry repointed;
+    // every other bucket's generation dir carries over untouched
     sink.apply(batch((7L, 777L, CdcParse.OpUpdate)), "upsertInto")
-    val after = dataDir.listFiles().map(f =>
-      f.getName -> f.lastModified()).toMap
-    val changed = after.filter { case (n, m) => before.get(n) != Some(m) }
+    val after = sink.manifest()
+    val changed = after.filter { case (b, d) => before.get(b) != Some(d) }
     assert(changed.size === 1, s"changed=$changed")
+    assert(before.keySet === after.keySet)
     assert(rows(sink).contains((7L, 777L)))
+  }
+
+  test("crash between manifest steps rolls forward (CURRENT.next wins)") {
+    val dir = Files.createTempDirectory("buk4").toString
+    val sink = new KeyedTableSink(spark, dir, Seq("id"), schema,
+      numBuckets = 4)
+    sink.apply(batch((1L, 10L, CdcParse.OpUpdate)), "upsertInto")
+    // simulate a crash mid-promote: CURRENT deleted, CURRENT.next
+    // holds the complete manifest (the only dangerous window of the
+    // old rename-chain swap)
+    val cur = new java.io.File(s"$dir/CURRENT")
+    val next = new java.io.File(s"$dir/CURRENT.next")
+    assert(cur.exists())
+    java.nio.file.Files.copy(cur.toPath, next.toPath)
+    assert(cur.delete())
+    // next read recovers the state instead of silently starting empty
+    assert(rows(sink) === Set((1L, 10L)))
+    assert(cur.exists() && !next.exists())
+    // replay after "restart" still merges against recovered state
+    sink.apply(batch((2L, 20L, CdcParse.OpUpdate)), "upsertInto")
+    assert(rows(sink) === Set((1L, 10L), (2L, 20L)))
   }
 
   test("emptied bucket disappears; replay is idempotent") {

@@ -50,6 +50,29 @@ class CdcParseSpec extends AnyFunSuite {
     assert(r.getString(0) === CdcParse.OpDrop)
   }
 
+  test("non-object update + EMPTY newImage {} -> dropped " +
+      "(CdcMsgParser.java:66-67 requires non-empty object)") {
+    val r = parse("""{"key":[1],"update":7,"newImage":{}}""")
+    assert(r.getString(0) === CdcParse.OpDrop)
+  }
+
+  test("non-object update + array newImage -> dropped (not an object)") {
+    val r = parse("""{"key":[1],"update":7,"newImage":[1,2]}""")
+    assert(r.getString(0) === CdcParse.OpDrop)
+  }
+
+  test("opOf helper matches the envelope classifier on newImage edges") {
+    val df = Seq(
+      """{"key":[1],"update":7,"newImage":{}}""",
+      """{"key":[1],"update":7,"newImage":[3]}""",
+      """{"key":[1],"update":7,"newImage":{"name":"x"}}""")
+      .toDF("value")
+    val ops = df.select(CdcParse.opOf(col("value")).as("op"))
+      .collect().map(_.getString(0)).toSeq
+    assert(ops === Seq(CdcParse.OpDrop, CdcParse.OpDrop,
+      CdcParse.OpNewImage))
+  }
+
   test("missing key -> dropped") {
     val r = parse("""{"update":{"name":"x","val":1.0}}""")
     assert(r.getString(0) === CdcParse.OpDrop)

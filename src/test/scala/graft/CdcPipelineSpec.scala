@@ -157,6 +157,42 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(CdcPipeline.statusJson.contains("\"ok\":true"))
   }
 
+  test("erases still delete when the update action is insertInto/" +
+      "updateOn (reference routes erases to the deleteQuery's own " +
+      "action, CdcMsgParser.java:144-157)") {
+    import spark.implicits._
+    def envUpd(id: Long, et: String, vm: Long) =
+      s"""{"key":[$id],"update":{"event_type":"$et","value_milli":$vm}}"""
+    def envDel(id: Long) = s"""{"key":[$id],"erase":{}}"""
+    for (action <- Seq("insertInto", "updateOn")) {
+      val sink = new KeyedTableSink(spark, freshDir(s"sink-er-$action"),
+        Seq("user_id"), sinkSchema)
+      // seed state: keys 1 and 2
+      val seed = Seq((envUpd(1, "a", 10), 1L), (envUpd(2, "b", 20), 2L))
+        .toDF("value", "seq")
+      CdcPipeline.applyBatch(spark, CdcPipeline.Pipeline(
+        s"er-seed-$action", "/none", "/none", schema,
+        Some("SELECT user_id, event_type, value_milli FROM rows"),
+        None, sink, action = "upsertInto"), seed)
+      assert(sinkRows(sink).map(_._1) === Set(1L, 2L))
+      // batch: update key 2 (updateOn) / insert key 3 (insertInto),
+      // and ERASE key 1 — the erase must not be silently dropped
+      val batch = Seq((envUpd(2, "b2", 21), 3L), (envUpd(3, "c", 30), 4L),
+        (envDel(1), 5L)).toDF("value", "seq")
+      CdcPipeline.applyBatch(spark, CdcPipeline.Pipeline(
+        s"er-$action", "/none", "/none", schema,
+        Some("SELECT user_id, event_type, value_milli FROM rows"),
+        None, sink, action = action), batch)
+      val got = sinkRows(sink)
+      assert(!got.map(_._1).contains(1L),
+        s"$action: erase for key 1 was dropped -> $got")
+      if (action == "insertInto") // 2 keeps old value, 3 inserted
+        assert(got === Set((2L, "b", Some(20L)), (3L, "c", Some(30L))))
+      else // updateOn: 2 updated, 3 not inserted
+        assert(got === Set((2L, "b2", Some(21L))))
+    }
+  }
+
   test("delete query maps erase keys for a re-keyed view (O8/O11)") {
     val changelog = freshDir("changelog6")
     Changelog.writeFromEvents(spark,
