@@ -50,9 +50,10 @@ object ExtQueries {
     TextAnalysis.fingerprints(t(spark, dir, "documents"), "text")
       .select("doc_id", "fp").orderBy("doc_id")
 
-  /** Rolling-hash fingerprint (custom codegen expression) — rows-only
-    * check: 64-bit wraparound arithmetic is not DuckDB-expressible;
-    * determinism is pinned by FunctionsSpec instead.
+  /** Rolling-hash fingerprint (custom codegen expression). Oracle:
+    * DuckDB replays the same base-257 hash over the UTF-8 bytes with a
+    * recursive CTE in HUGEINT mod 2^64, then maps to signed BIGINT —
+    * bit-exact with the JVM's wraparound arithmetic.
     */
   def rollingFp(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -245,6 +246,28 @@ object ExtQueries {
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // base-257 rolling hash over UTF-8 bytes, HUGEINT mod 2^64 ->
+    // signed BIGINT: bit-exact replica of the codegen'd RollingHash
+    "text_rolling_fp" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents
+        |), it(doc_id, i, n, hx, h) AS (
+        |  SELECT doc_id, 0, n, hx, CAST(0 AS HUGEINT) FROM b
+        |  UNION ALL
+        |  SELECT doc_id, i + 1, n, hx,
+        |    (h * 257
+        |      + (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+        |    ) % CAST(18446744073709551616 AS HUGEINT)
+        |  FROM it WHERE i < n
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |    THEN h - CAST(18446744073709551616 AS HUGEINT)
+        |    ELSE h END AS BIGINT) AS rolling_fp
+        |FROM it WHERE i = n ORDER BY doc_id""".stripMargin,
     "text_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -138,8 +138,22 @@ object MiscQueries {
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01)
+          .as("approx_orders"))
+      // the sketch value itself is engine-specific; the CHECKABLE
+      // contract is exact values + the approx error staying inside
+      // the HLL guarantee (rsd=0.01 -> 5% tolerance is ~5 sigma)
+      .select(col("l_returnflag"), col("exact_parts"),
+        col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          .cast("double") / col("exact_parts") <= 0.05)
+          .as("parts_within_5pct"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          .cast("double") / col("exact_orders") <= 0.05)
+          .as("orders_within_5pct"))
       .orderBy("l_returnflag")
 
   /** Salted two-phase aggregation (skew mitigation) — must equal the
@@ -358,7 +372,16 @@ object MiscQueries {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         |  AND abs(a.tsec - b.tsec) <= 300
         |ORDER BY a.user_id, id_a, id_b""".stripMargin,
-    // q23_approx_distinct intentionally has NO oracle (sketch)
+    // q23: the sketch estimate is engine-specific, but exact counts
+    // and the within-tolerance booleans are oracle-checkable
+    "q23_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_5pct,
+        |  TRUE AS orders_within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q29_null_semantics" ->
       """WITH p AS (
         |  SELECT p_size,
