@@ -58,40 +58,81 @@ object Changelog {
       .withColumn("seq",
         get_json_object(col("value"), "$.offset").cast("long"))
 
+  /** Open a [[TopicBroker]] topic as the same (value, seq) contract —
+    * the reference's actual front door (async partitioned topic
+    * consumer, CdcReader.java:34-53). `seq` is the PARTITION-LOCAL
+    * offset: per-key order holds because producers route by key
+    * (partition-affine, YqlWriter.java:117-120), exactly the
+    * reference's ordering guarantee. `maxOffsetsPerTrigger` is the
+    * 200 MB admission-cap analog (CdcReader.java:43).
+    */
+  def readTopicStream(spark: SparkSession, topic: String,
+      maxOffsetsPerTrigger: Long = 0L): DataFrame =
+    spark.readStream
+      .format("graft.sources.TopicSourceProvider")
+      .option("topic", topic)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
+      .load()
+      .select(col("value"), col("offset").as("seq"))
+
   /** Deterministically render the driver `events` table into CDC
     * envelope JSON lines (same mix as CdcQueries: erase / keys-only /
     * newImage-fallback / drop / update by event_id % 10), written as
     * `numFiles` ordered files so the stream replays multiple
     * micro-batches. Returns the number of envelopes written.
     */
-  def writeFromEvents(spark: SparkSession, eventsParquet: String,
-      outDir: String, numFiles: Int = 5): Long = {
-    import java.nio.file.{Files, Paths}
+  /** Render the driver `events` table into (user_id, envelope) pairs
+    * in event order — shared by the file replay writer and the topic
+    * publisher so both sources carry IDENTICAL envelopes.
+    */
+  def renderEnvelopes(spark: SparkSession,
+      eventsParquet: String): Seq[(Long, String)] = {
     val ev = spark.read.parquet(eventsParquet)
       .withColumn("vm", round(col("value") * 1000).cast("long"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("vm"))
       .orderBy("event_id")
       .collect() // test-fixture generation only — not a data-path op
-    Files.createDirectories(Paths.get(outDir))
-    val perFile = math.max(1, math.ceil(ev.length.toDouble / numFiles).toInt)
-    ev.grouped(perFile).zipWithIndex.foreach { case (rows, i) =>
-      val lines = rows.map { r =>
-        val (id, uid, et, vm) = (r.getLong(0), r.getLong(1),
-          r.getString(2), r.getLong(3))
-        val payload =
-          s"""{"user_id":$uid,"event_type":"$et","value_milli":$vm}"""
-        val key = s"""{"offset":$id,"key":[$uid]"""
-        id % 10 match {
-          case 0 => s"""$key,"erase":{}}"""
-          case 1 => s"""$key,"update":{}}"""
-          case 2 => s"""$key,"update":7,"newImage":$payload}"""
-          case 3 => s"""$key,"newImage":$payload}"""
-          case _ => s"""$key,"update":$payload}"""
-        }
-      }
-      Files.write(Paths.get(outDir, f"chunk-$i%05d.json"),
-        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    ev.toSeq.map { r =>
+      val (id, uid, et, vm) = (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3))
+      val payload =
+        s"""{"user_id":$uid,"event_type":"$et","value_milli":$vm}"""
+      val key = s"""{"offset":$id,"key":[$uid]"""
+      uid -> (id % 10 match {
+        case 0 => s"""$key,"erase":{}}"""
+        case 1 => s"""$key,"update":{}}"""
+        case 2 => s"""$key,"update":7,"newImage":$payload}"""
+        case 3 => s"""$key,"newImage":$payload}"""
+        case _ => s"""$key,"update":$payload}"""
+      })
     }
-    ev.length.toLong
+  }
+
+  def writeFromEvents(spark: SparkSession, eventsParquet: String,
+      outDir: String, numFiles: Int = 5): Long = {
+    import java.nio.file.{Files, Paths}
+    val lines = renderEnvelopes(spark, eventsParquet).map(_._2)
+    Files.createDirectories(Paths.get(outDir))
+    val perFile = math.max(1,
+      math.ceil(lines.length.toDouble / numFiles).toInt)
+    lines.grouped(perFile).zipWithIndex.foreach { case (rows, i) =>
+      Files.write(Paths.get(outDir, f"chunk-$i%05d.json"),
+        rows.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    lines.length.toLong
+  }
+
+  /** Publish the same envelopes into a [[TopicBroker]] topic, routed
+    * by key (partition-affine) — the topic-mode twin of
+    * `writeFromEvents`.
+    */
+  def publishFromEvents(spark: SparkSession, eventsParquet: String,
+      topic: String, partitions: Int): Long = {
+    TopicBroker.create(topic, partitions)
+    val envs = renderEnvelopes(spark, eventsParquet)
+    envs.foreach { case (uid, line) =>
+      TopicBroker.sendKeyed(topic, uid, line)
+    }
+    envs.length.toLong
   }
 }

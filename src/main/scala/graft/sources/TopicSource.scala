@@ -1,0 +1,202 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util
+
+/** Topic-backed CDC source (SURVEY.md §2 O1, CdcReader.java:34-53):
+  * a partitioned, ordered-within-partition log consumed as a
+  * Structured Streaming `MicroBatchStream` with Kafka-shaped rows
+  * `(value STRING, partition INT, offset LONG)` and per-partition
+  * offsets checkpointed by Spark — the deferred-commit contract
+  * (offsets advance only after the batch succeeds, O10).
+  *
+  * Admission control: `maxOffsetsPerTrigger` caps rows per micro-batch
+  * via `SupportsAdmissionControl` — the analog of the reference
+  * reader's 200 MB read-ahead cap (CdcReader.java:43).
+  *
+  * The log itself is [[TopicBroker]], an in-JVM partitioned-log stub:
+  * this sandbox has no broker, and the POINT is the source contract —
+  * swapping the broker calls for a Kafka consumer (poll by
+  * partition/offset range) changes nothing downstream. Executors must
+  * share the driver JVM (local mode) for the stub; a real broker
+  * client removes that restriction.
+  */
+object TopicBroker {
+  final class Topic(val partitions: Int) {
+    val logs: Array[scala.collection.mutable.ArrayBuffer[String]] =
+      Array.fill(partitions)(scala.collection.mutable.ArrayBuffer())
+  }
+  private val topics =
+    new java.util.concurrent.ConcurrentHashMap[String, Topic]()
+
+  def create(name: String, partitions: Int): Unit =
+    topics.put(name, new Topic(partitions))
+
+  def delete(name: String): Unit = topics.remove(name)
+
+  private def topic(name: String): Topic = {
+    val t = topics.get(name)
+    require(t != null, s"no such topic: $name")
+    t
+  }
+
+  def partitions(name: String): Int = topic(name).partitions
+
+  /** Append to an explicit partition; returns its offset. */
+  def send(name: String, partition: Int, value: String): Long = {
+    val t = topic(name)
+    t.logs(partition).synchronized {
+      t.logs(partition) += value
+      t.logs(partition).length - 1L
+    }
+  }
+
+  /** Keyed append — partition = key % partitions, the reference's
+    * partition-affine routing (YqlWriter.java:117-120) so per-key
+    * order is per-partition order.
+    */
+  def sendKeyed(name: String, key: Long, value: String): Long =
+    send(name, math.floorMod(key, partitions(name)).toInt, value)
+
+  def endOffsets(name: String): Array[Long] =
+    topic(name).logs.map(l => l.synchronized(l.length.toLong))
+
+  def read(name: String, partition: Int, from: Long,
+      until: Long): Seq[String] = {
+    val l = topic(name).logs(partition)
+    l.synchronized(l.slice(from.toInt, until.toInt).toSeq)
+  }
+}
+
+object TopicSource {
+  val schema: StructType = StructType(Seq(
+    StructField("value", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType)))
+}
+
+/** `format("graft.sources.TopicSourceProvider")` entry point. */
+class TopicSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TopicSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = new TopicTable
+}
+
+class TopicTable extends Table with SupportsRead {
+  override def name(): String = "graft-topic"
+  override def schema(): StructType = TopicSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  // read options arrive here (case-insensitive), not on getTable
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new Scan {
+    private val topic = {
+      val t = options.get("topic")
+      require(t != null, "option 'topic' is required")
+      t
+    }
+    private val maxOffsets =
+      Option(options.get("maxOffsetsPerTrigger"))
+        .map(_.toLong).getOrElse(0L)
+    override def readSchema(): StructType = TopicSource.schema
+    override def toMicroBatchStream(checkpointLocation: String)
+        : MicroBatchStream = new TopicMicroBatchStream(topic, maxOffsets)
+  }
+}
+
+/** Per-partition end offsets, JSON-serialized into the checkpoint. */
+case class TopicOffsets(ends: Array[Long]) extends Offset {
+  override def json(): String = ends.mkString("[", ",", "]")
+}
+
+class TopicMicroBatchStream(topic: String, maxOffsets: Long)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private def nParts = TopicBroker.partitions(topic)
+
+  // Trigger.AvailableNow: pin the end boundary at start; admission-
+  // capped micro-batches then drain up to exactly this point
+  @volatile private var availableNowEnd: Array[Long] = _
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = TopicBroker.endOffsets(topic)
+
+  override def initialOffset(): Offset =
+    TopicOffsets(Array.fill(nParts)(0L))
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxOffsets > 0) ReadLimit.maxRows(maxOffsets)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit)")
+
+  /** Advance per-partition ends, admitting at most the row cap across
+    * partitions (greedy, like the reference's global byte budget).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[TopicOffsets].ends
+    val avail =
+      if (availableNowEnd != null) availableNowEnd
+      else TopicBroker.endOffsets(topic)
+    var budget = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _: ReadAllAvailable => Long.MaxValue
+      case _ => Long.MaxValue
+    }
+    val ends = from.indices.map { p =>
+      val take = math.min(avail(p) - from(p), budget)
+      budget -= take
+      from(p) + take
+    }.toArray
+    TopicOffsets(ends)
+  }
+
+  override def reportLatestOffset(): Offset =
+    TopicOffsets(TopicBroker.endOffsets(topic))
+
+  override def deserializeOffset(json: String): Offset =
+    TopicOffsets(json.stripPrefix("[").stripSuffix("]").split(",")
+      .filter(_.nonEmpty).map(_.trim.toLong))
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[TopicOffsets].ends
+    val e = end.asInstanceOf[TopicOffsets].ends
+    s.indices.filter(p => e(p) > s(p))
+      .map(p => TopicRange(topic, p, s(p), e(p)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val r = partition.asInstanceOf[TopicRange]
+      new PartitionReader[InternalRow] {
+        private val rows =
+          TopicBroker.read(r.topic, r.partition, r.from, r.until).iterator
+        private var off = r.from - 1
+        private var cur: String = _
+        override def next(): Boolean =
+          if (rows.hasNext) { cur = rows.next(); off += 1; true }
+          else false
+        override def get(): InternalRow =
+          InternalRow(UTF8String.fromString(cur), r.partition, off)
+        override def close(): Unit = ()
+      }
+    }
+
+  override def commit(end: Offset): Unit = () // checkpoint owns progress
+  override def stop(): Unit = ()
+}
+
+case class TopicRange(topic: String, partition: Int, from: Long,
+  until: Long) extends InputPartition

@@ -259,11 +259,20 @@ object CdcPipeline {
     * the reference's independent consumer progress, Application.java:
     * 93-102).
     */
-  def start(spark: SparkSession, p: Pipeline): StreamingQuery = {
+  def start(spark: SparkSession, p: Pipeline): StreamingQuery =
+    startWithSource(spark, p,
+      Changelog.readStream(spark, p.changelogDir, p.maxFilesPerTrigger))
+
+  /** Same pipeline over any (value, seq) streaming source — e.g. the
+    * topic source (`Changelog.readTopicStream`), the reference's
+    * actual front door (O1).
+    */
+  def startWithSource(spark: SparkSession, p: Pipeline,
+      source: DataFrame): StreamingQuery = {
     // graft SQL shims (unwrap, vec_dot) must be on the session BEFORE
     // start: micro-batch session clones inherit the registry
     graft.functions.GraftFunctions.register(spark)
-    Changelog.readStream(spark, p.changelogDir, p.maxFilesPerTrigger)
+    source
       .writeStream
       .queryName(p.consumer)
       .option("checkpointLocation", p.checkpointDir)

@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.{CdcParse, KeyedMerge}
+import graft.sinks.KeyedTableSink
+import graft.sources.{Changelog, TopicBroker}
+import graft.streaming.CdcPipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Topic-backed source (O1): the same CDC pipeline consuming a
+  * partitioned in-JVM topic through the DataSourceV2 MicroBatchStream
+  * must converge to exactly the file-replay result, with
+  * maxOffsetsPerTrigger bounding each micro-batch (the reference
+  * reader's admission cap, CdcReader.java:43).
+  */
+class TopicSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val schema = CdcParse.CdcSchema(
+    StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value_milli", LongType))),
+    pk = Seq("user_id"))
+
+  def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  def sinkRows(sink: KeyedTableSink): Set[(Long, String, Option[Long])] =
+    sink.load().collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+
+  def runOver(source: org.apache.spark.sql.DataFrame,
+      tag: String): KeyedTableSink = {
+    val sink = new KeyedTableSink(spark, freshDir(s"sink-$tag"),
+      Seq("user_id"), schema.columns)
+    val p = CdcPipeline.Pipeline(s"topic-$tag", "/unused",
+      freshDir(s"ckpt-$tag"), schema,
+      updateSql = Some(
+        "SELECT user_id, event_type, value_milli FROM rows"),
+      deleteSql = None, sink = sink)
+    CdcPipeline.startWithSource(spark, p, source)
+      .awaitTermination(120000)
+    sink
+  }
+
+  test("topic source == file replay, across partitions and batches") {
+    val events = s"${TestSpark.sfDir}/events.parquet"
+    // file replay
+    val clog = freshDir("clog-topic")
+    Changelog.writeFromEvents(spark, events, clog, numFiles = 4)
+    val fileSink = runOver(
+      Changelog.readStream(spark, clog, maxFilesPerTrigger = 2), "file")
+    // topic replay: 3 partitions, capped micro-batches
+    val topic = s"cdc-events-${System.nanoTime()}"
+    val n = Changelog.publishFromEvents(spark, events, topic,
+      partitions = 3)
+    assert(n === 1000L)
+    assert(TopicBroker.endOffsets(topic).sum === 1000L)
+    assert(TopicBroker.endOffsets(topic).count(_ > 0) === 3)
+    val topicSink = runOver(
+      Changelog.readTopicStream(spark, topic,
+        maxOffsetsPerTrigger = 300), "topic")
+    assert(sinkRows(topicSink) === sinkRows(fileSink))
+    assert(sinkRows(topicSink).nonEmpty)
+    TopicBroker.delete(topic)
+  }
+
+  test("maxOffsetsPerTrigger admits at most the cap per micro-batch") {
+    val topic = s"cdc-cap-${System.nanoTime()}"
+    TopicBroker.create(topic, 2)
+    (0 until 50).foreach { i =>
+      TopicBroker.sendKeyed(topic, i.toLong,
+        s"""{"key":[$i],"update":{"event_type":"e","value_milli":$i}}""")
+    }
+    val sizes = scala.collection.mutable.Buffer[Long]()
+    val q = Changelog.readTopicStream(spark, topic,
+        maxOffsetsPerTrigger = 20)
+      .writeStream
+      .option("checkpointLocation", freshDir("ckpt-cap"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes += df.count(); ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(sizes.sum === 50L)
+    assert(sizes.forall(_ <= 20L), s"batch sizes $sizes exceed cap")
+    assert(sizes.length >= 3) // the cap actually split the stream
+    TopicBroker.delete(topic)
+  }
+
+  test("offsets checkpoint: restart consumes only new records (O10)") {
+    val topic = s"cdc-resume-${System.nanoTime()}"
+    TopicBroker.create(topic, 2)
+    def push(ids: Range): Unit = ids.foreach { i =>
+      TopicBroker.sendKeyed(topic, i.toLong,
+        s"""{"key":[$i],"update":{"event_type":"a","value_milli":$i}}""")
+    }
+    push(0 until 10)
+    val ckpt = freshDir("ckpt-resume")
+    val sinkDir = freshDir("sink-resume")
+    val sink = new KeyedTableSink(spark, sinkDir, Seq("user_id"),
+      schema.columns)
+    def run(): Unit = {
+      val p = CdcPipeline.Pipeline(s"topic-resume", "/unused", ckpt,
+        schema, updateSql = Some(
+          "SELECT user_id, event_type, value_milli FROM rows"),
+        deleteSql = None, sink = sink)
+      CdcPipeline.startWithSource(spark, p,
+        Changelog.readTopicStream(spark, topic)).awaitTermination(120000)
+    }
+    run()
+    assert(sink.load().count() === 10L)
+    push(10 until 25) // new records after "restart"
+    run() // same checkpoint: resumes from committed offsets
+    assert(sink.load().count() === 25L)
+    TopicBroker.delete(topic)
+  }
+}
