@@ -93,7 +93,8 @@ object ExtQueries {
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
-      "embedding", k = 5, nCells = 16).orderBy("q_id", "rank")
+      "embedding", k = 5, nCells = 16, kmeansIters = 2)
+      .orderBy("q_id", "rank")
   }
 
   def embedNearDups(spark: SparkSession, dir: String): DataFrame =
@@ -136,6 +137,91 @@ object ExtQueries {
     .map(w => s"'$w'").mkString("[", ", ", "]")
   private val esList = TextAnalysis.esStopwords
     .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB replica of `Similarity.fitCentroids` + `ivfTopK`: Lloyd
+    * iterations are UNROLLED into CTE blocks (assignment -> rounded
+    * per-dimension means -> carry-forward for emptied cells), mirroring
+    * the Spark side's determinism contract (round-6 sims/means, ties
+    * by cell id) so the fitted quantizer is bit-identical across
+    * engines.
+    */
+  private def ivfKmeansOracleSql(nCells: Int, iters: Int, k: Int,
+      nQ: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""WITH ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
+), cent0 AS (
+  SELECT vec_id AS cell, i, x AS m FROM ee WHERE vec_id < $nCells
+)"""
+    for (it <- 1 to iters) {
+      val p = it - 1
+      b ++= s""", cn$p AS (
+  SELECT cell, sqrt(SUM(m * m)) AS cnrm FROM cent$p GROUP BY cell
+), cd$it AS (
+  SELECT v.vec_id, c.cell, SUM(v.x * c.m) AS dot
+  FROM ee v JOIN cent$p c ON v.i = c.i
+  GROUP BY v.vec_id, c.cell
+), asg$it AS (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, d.cell,
+      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+        ROUND(d.dot / (nv.nrm * cc.cnrm), 6) DESC, d.cell) AS rn
+    FROM cd$it d
+    JOIN norms nv ON nv.vec_id = d.vec_id
+    JOIN cn$p cc ON cc.cell = d.cell) z
+  WHERE rn = 1
+), cm$it AS (
+  SELECT a.cell, e.i, ROUND(AVG(e.x), 6) AS m
+  FROM asg$it a JOIN ee e ON e.vec_id = a.vec_id
+  GROUP BY a.cell, e.i
+), cent$it AS (
+  SELECT * FROM cm$it
+  UNION ALL
+  SELECT p.* FROM cent$p p
+  WHERE p.cell NOT IN (SELECT cell FROM cm$it)
+)"""
+    }
+    b ++= s""", cnF AS (
+  SELECT cell, sqrt(SUM(m * m)) AS cnrm FROM cent$iters GROUP BY cell
+), cdF AS (
+  SELECT v.vec_id, c.cell, SUM(v.x * c.m) AS dot
+  FROM ee v JOIN cent$iters c ON v.i = c.i
+  GROUP BY v.vec_id, c.cell
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, d.cell,
+      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+        ROUND(d.dot / (nv.nrm * cc.cnrm), 6) DESC, d.cell) AS rn
+    FROM cdF d
+    JOIN norms nv ON nv.vec_id = d.vec_id
+    JOIN cnF cc ON cc.cell = d.cell) z
+  WHERE rn = 1
+), dots AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS n_id, SUM(q.x * e.x) AS dot
+  FROM ee q JOIN ee e ON q.i = e.i AND q.vec_id <> e.vec_id
+  WHERE q.vec_id < $nQ
+  GROUP BY q.vec_id, e.vec_id
+), sims AS (
+  SELECT d.q_id, d.n_id, aq.cell,
+    ROUND(d.dot / (nq.nrm * ne.nrm), 6) AS sim
+  FROM dots d
+  JOIN assign aq ON aq.vec_id = d.q_id
+  JOIN assign an ON an.vec_id = d.n_id AND an.cell = aq.cell
+  JOIN norms nq ON nq.vec_id = d.q_id
+  JOIN norms ne ON ne.vec_id = d.n_id
+), ranked AS (
+  SELECT q_id, n_id, cell, sim,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+      AS rank
+  FROM sims)
+SELECT q_id, n_id, cell, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
+    b.toString
+  }
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -409,46 +495,7 @@ object ExtQueries {
         |  FROM sims)
         |SELECT q_id, n_id, bucket, sim, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-    "sim_ann_ivf" ->
-      """WITH ee AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings
-        |), norms AS (
-        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
-        |), cdots AS (
-        |  SELECT v.vec_id, c.vec_id AS c_id, SUM(v.x * c.x) AS dot
-        |  FROM ee v JOIN ee c ON v.i = c.i AND c.vec_id < 16
-        |  GROUP BY v.vec_id, c.vec_id
-        |), assign AS (
-        |  SELECT vec_id, c_id AS cell FROM (
-        |    SELECT d.vec_id, d.c_id,
-        |      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
-        |        ROUND(d.dot / (nv.nrm * nc.nrm), 6) DESC, d.c_id) AS rn
-        |    FROM cdots d
-        |    JOIN norms nv ON nv.vec_id = d.vec_id
-        |    JOIN norms nc ON nc.vec_id = d.c_id) z
-        |  WHERE rn = 1
-        |), dots AS (
-        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id, SUM(q.x * e.x) AS dot
-        |  FROM ee q JOIN ee e ON q.i = e.i AND q.vec_id <> e.vec_id
-        |  WHERE q.vec_id < 8
-        |  GROUP BY q.vec_id, e.vec_id
-        |), sims AS (
-        |  SELECT d.q_id, d.n_id, aq.cell,
-        |    ROUND(d.dot / (nq.nrm * ne.nrm), 6) AS sim
-        |  FROM dots d
-        |  JOIN assign aq ON aq.vec_id = d.q_id
-        |  JOIN assign an ON an.vec_id = d.n_id AND an.cell = aq.cell
-        |  JOIN norms nq ON nq.vec_id = d.q_id
-        |  JOIN norms ne ON ne.vec_id = d.n_id
-        |), ranked AS (
-        |  SELECT q_id, n_id, cell, sim,
-        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
-        |      AS rank
-        |  FROM sims)
-        |SELECT q_id, n_id, cell, sim, CAST(rank AS INT) AS rank
-        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "sim_ann_ivf" -> ivfKmeansOracleSql(16, 2, 5, 8),
     "embed_near_dups" ->
       """WITH ee AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

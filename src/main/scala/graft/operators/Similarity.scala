@@ -107,23 +107,90 @@ object Similarity {
         col("rank"))
   }
 
-  /** IVF-style ANN: vectors are assigned to their nearest "centroid"
-    * cell (here: the first `nCells` corpus vectors act as the coarse
-    * quantizer — a k-means fit would slot in identically); queries
-    * probe only their own cell and rerank exactly. The 100 TB shape:
-    * the corpus-side assignment is a broadcast map stage, the search
-    * is an equi-join on cell id — no all-pairs anywhere.
+  /** In-order dot product for DOUBLE arrays (fitted centroids):
+    * `zip_with` + `aggregate` is a sequential left fold — same
+    * determinism story as FloatVecDot, usable on mixed float/double.
+    */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def normD(v: Column): Column = sqrt(dotD(v, v))
+
+  /** Lloyd's k-means coarse quantizer for IVF, built for cross-engine
+    * reproducibility: deterministic init (the first `nCells` vectors by
+    * id), cosine assignment rounded to 6 decimals with ties broken by
+    * cell id, and centroid coordinates = per-dimension mean rounded to
+    * 6 decimals (so shuffle-order FP noise cannot leak into the next
+    * iteration). A cell that loses all members keeps its previous
+    * centroid. Returns (cell LONG, cv ARRAY<DOUBLE>).
+    *
+    * Scale shape per iteration: one broadcast of the (tiny) centroid
+    * set + one shuffle on (cell, dim) for the means — the corpus is
+    * never self-joined; centroids are localCheckpointed so the loop's
+    * lineage stays flat.
+    */
+  def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int): DataFrame = {
+    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"))
+    var cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"),
+        transform(col("v"), x => x.cast("double")).as("cv"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val cn = broadcast(cents.withColumn("c_nrm", normD(col("cv"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("c_sim").desc, col("cell"))
+      val asg = e.withColumn("nrm", normD(col("v")))
+        .crossJoin(cn)
+        .withColumn("c_sim",
+          round(dotD(col("v"), col("cv")) / (col("nrm") * col("c_nrm")),
+            6))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("cell"), col("v"))
+      val means = asg
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv_new"))
+      cents = cents.join(means, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("cv_new"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** IVF-style ANN: vectors are assigned to their nearest centroid
+    * cell; queries probe only their own cell and rerank exactly. The
+    * quantizer is Lloyd's k-means (`fitCentroids`) when `kmeansIters >
+    * 0`, else the first `nCells` corpus vectors. The 100 TB shape: the
+    * corpus-side assignment is a broadcast map stage, the search is an
+    * equi-join on cell id — no all-pairs anywhere.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int): DataFrame = {
-    val cents = corpus.filter(col(idCol) < nCells)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-      .withColumn("c_nrm", norm(col("c_vec")))
+      vecCol: String, k: Int, nCells: Int,
+      kmeansIters: Int = 0): DataFrame = {
+    val cents =
+      (if (kmeansIters > 0)
+        fitCentroids(corpus, idCol, vecCol, nCells, kmeansIters)
+      else corpus.filter(col(idCol) < nCells)
+        .select(col(idCol).cast("long").as("cell"),
+          transform(col(vecCol), x => x.cast("double")).as("cv")))
+        .select(col("cell").as("c_id"), col("cv").as("c_vec"))
+        .withColumn("c_nrm", normD(col("c_vec")))
     def assign(df: DataFrame, id: String, vec: String, out: String)
         : DataFrame = {
       val sim = df.crossJoin(broadcast(cents))
         .withColumn("c_sim", round(
-          dot(col(vec), col("c_vec")) / (norm(col(vec)) * col("c_nrm")),
+          dotD(col(vec), col("c_vec")) / (normD(col(vec)) * col("c_nrm")),
           6))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(id)).orderBy(col("c_sim").desc, col("c_id"))
