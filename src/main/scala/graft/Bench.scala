@@ -29,6 +29,10 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
+    // localCheckpoint blocks from the warmup pass are only reclaimed
+    // via ContextCleaner on GC — nudge it so the first timed queries
+    // don't absorb the collection pause
+    System.gc()
     // min of two runs per query; cache cleared BETWEEN queries (not
     // between the two runs) so a query keeps its own intra-query cache
     // but cached/checkpointed blocks never accumulate across the suite

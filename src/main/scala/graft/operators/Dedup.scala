@@ -184,6 +184,41 @@ object Dedup {
     labels.select("id", "cluster")
   }
 
+  /** SimHash near-dup pairs: all pairs within `maxHamming` bits.
+    * Scale path — NOT an all-pairs join: the 32-bit fingerprint is
+    * split into `maxHamming + 1` bands; by pigeonhole, any pair within
+    * the distance agrees EXACTLY on at least one band, so candidates
+    * come from an equi-join on (band, band-value) and only candidates
+    * pay the xor/bit_count verify. The classic simhash sharding
+    * scheme — candidate volume tracks band-collision rates, not n².
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(32 % bands == 0, s"32 bits must split evenly into $bands bands")
+    val bitsPer = 32 / bands
+    val fp = simhash(df, idCol, textCol)
+    val banded = fp.select(col("id"), col("simhash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), b * bitsPer)
+              .bitwiseAND(lit((1L << bitsPer) - 1)).as("bval"))): _*))
+          .as("bs"))
+      .select(col("id"), col("simhash"), col("bs.band").as("band"),
+        col("bs.bval").as("bval"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct()
+    cands
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** SimHash (32-bit, from md5 nibbles of tokens): each token votes
     * +1/-1 per bit; fingerprint bit i is the sign of the vote sum.
     * Near-dups = fingerprints within a small Hamming distance.

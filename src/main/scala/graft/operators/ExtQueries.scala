@@ -84,6 +84,13 @@ object ExtQueries {
     Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy("id")
 
+  /** Banded simhash pair search (pigeonhole-exact for hamming<=3);
+    * oracle brute-forces the same fingerprints all-pairs.
+    */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 3).orderBy("id_a", "id_b")
+
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
@@ -93,8 +100,8 @@ object ExtQueries {
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
-      "embedding", k = 5, nCells = 16, kmeansIters = 2)
-      .orderBy("q_id", "rank")
+      "embedding", k = 5, nCells = 16, kmeansIters = 2,
+      fitSample = 2000).orderBy("q_id", "rank")
   }
 
   def embedNearDups(spark: SparkSession, dir: String): DataFrame =
@@ -128,6 +135,7 @@ object ExtQueries {
     "mm_meta" -> mmMeta _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_ivf" -> simAnnIvf _,
     "embed_near_dups" -> embedNearDups _,
@@ -146,12 +154,14 @@ object ExtQueries {
     * engines.
     */
   private def ivfKmeansOracleSql(nCells: Int, iters: Int, k: Int,
-      nQ: Int): String = {
+      nQ: Int, fitSample: Int): String = {
     val b = new StringBuilder
     b ++= s"""WITH ee AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
     CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings
+), ef AS (
+  SELECT * FROM ee WHERE vec_id < $fitSample
 ), norms AS (
   SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
 ), cent0 AS (
@@ -163,7 +173,7 @@ object ExtQueries {
   SELECT cell, sqrt(SUM(m * m)) AS cnrm FROM cent$p GROUP BY cell
 ), cd$it AS (
   SELECT v.vec_id, c.cell, SUM(v.x * c.m) AS dot
-  FROM ee v JOIN cent$p c ON v.i = c.i
+  FROM ef v JOIN cent$p c ON v.i = c.i
   GROUP BY v.vec_id, c.cell
 ), asg$it AS (
   SELECT vec_id, cell FROM (
@@ -176,7 +186,7 @@ object ExtQueries {
   WHERE rn = 1
 ), cm$it AS (
   SELECT a.cell, e.i, ROUND(AVG(e.x), 6) AS m
-  FROM asg$it a JOIN ee e ON e.vec_id = a.vec_id
+  FROM asg$it a JOIN ef e ON e.vec_id = a.vec_id
   GROUP BY a.cell, e.i
 ), cent$it AS (
   SELECT * FROM cm$it
@@ -456,6 +466,30 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
         |  CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (31 - bit)
         |      ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY id ORDER BY id""".stripMargin,
+    // banded pair search is pigeonhole-exact, so the brute-force
+    // all-pairs filter is the oracle
+    "dedup_simhash_pairs" ->
+      """WITH tokrows AS (
+        |  SELECT doc_id AS id,
+        |    md5(unnest(string_split_regex(trim(text), '\s+'))) AS h
+        |  FROM documents
+        |), votes AS (
+        |  SELECT id, bit,
+        |    SUM(CASE WHEN
+        |      ((strpos('0123456789abcdef', substr(h, bit // 4 + 1, 1)) - 1)
+        |        & (1 << (3 - bit % 4))) > 0 THEN 1 ELSE -1 END) AS v
+        |  FROM tokrows, UNNEST(range(0, 32)) AS b(bit)
+        |  GROUP BY id, bit
+        |), fps AS (
+        |  SELECT id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (31 - bit)
+        |        ELSE 0 END) AS BIGINT) AS fp
+        |  FROM votes GROUP BY id)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fps a JOIN fps b ON a.id < b.id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "sim_ann_lsh" ->
       """WITH ee AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -495,7 +529,7 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
         |  FROM sims)
         |SELECT q_id, n_id, bucket, sim, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-    "sim_ann_ivf" -> ivfKmeansOracleSql(16, 2, 5, 8),
+    "sim_ann_ivf" -> ivfKmeansOracleSql(16, 2, 5, 8, 2000),
     "embed_near_dups" ->
       """WITH ee AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

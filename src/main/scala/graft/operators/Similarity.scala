@@ -132,9 +132,15 @@ object Similarity {
     * lineage stays flat.
     */
   def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int): DataFrame = {
-    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
+      nCells: Int, iters: Int, fitSample: Int = 0): DataFrame = {
+    // fit on a bounded deterministic sample (id < fitSample): at
+    // 100 TB the quantizer is always fit on a sample, never the full
+    // corpus — assignment of the full corpus happens once, after.
+    // (Synthetic ids are uniform; production would hash-sample.)
+    val all = corpus.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).as("v"))
+    val e = if (fitSample > 0) all.filter(col("vec_id") < fitSample)
+      else all
     var cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"),
         transform(col("v"), x => x.cast("double")).as("cv"))
@@ -177,10 +183,11 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int,
-      kmeansIters: Int = 0): DataFrame = {
+      kmeansIters: Int = 0, fitSample: Int = 0): DataFrame = {
     val cents =
       (if (kmeansIters > 0)
-        fitCentroids(corpus, idCol, vecCol, nCells, kmeansIters)
+        fitCentroids(corpus, idCol, vecCol, nCells, kmeansIters,
+          fitSample)
       else corpus.filter(col(idCol) < nCells)
         .select(col(idCol).cast("long").as("cell"),
           transform(col(vecCol), x => x.cast("double")).as("cv")))
