@@ -24,8 +24,14 @@ object Tables {
 
   /** Register every table as a temp view so `spark.sql` can address them
     * by name — mirrors the reference's `AS_TABLE($rows)` relation binding
-    * (YqlQuery.java:220) generalized to the whole catalog.
+    * (YqlQuery.java:220) generalized to the whole catalog. Memoized per
+    * (session, dir): a long-running engine registers its catalog once,
+    * not per query (10 parquet footer reads otherwise).
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = "graft.registered.dir"
+    if (spark.conf.getOption(key).contains(dir)) return
     all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.conf.set(key, dir)
+  }
 }

@@ -147,17 +147,18 @@ object Similarity {
       .localCheckpoint()
     for (_ <- 0 until iters) {
       val cn = broadcast(cents.withColumn("c_nrm", normD(col("cv"))))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("c_sim").desc, col("cell"))
+      // argmax via max_by on (sim, -cell): highest rounded sim, ties
+      // to the lowest cell — same choice as a window sort, but a
+      // single hash aggregation (no per-group sort, one shuffle)
       val asg = e.withColumn("nrm", normD(col("v")))
         .crossJoin(cn)
         .withColumn("c_sim",
           round(dotD(col("v"), col("cv")) / (col("nrm") * col("c_nrm")),
             6))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("vec_id"), col("cell"), col("v"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"),
+          struct(col("c_sim"), -col("cell"))).as("cell"),
+          first(col("v")).as("v"))
       val means = asg
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
@@ -195,15 +196,17 @@ object Similarity {
         .withColumn("c_nrm", normD(col("c_vec")))
     def assign(df: DataFrame, id: String, vec: String, out: String)
         : DataFrame = {
+      // argmax by (sim, -cell) in one hash agg — see fitCentroids
       val sim = df.crossJoin(broadcast(cents))
         .withColumn("c_sim", round(
           dotD(col(vec), col("c_vec")) / (normD(col(vec)) * col("c_nrm")),
           6))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(id)).orderBy(col("c_sim").desc, col("c_id"))
-      sim.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(df.columns.map(col) :+ col("c_id").as(out): _*)
+      val others = df.columns.filterNot(_ == id)
+      sim.groupBy(col(id))
+        .agg(max_by(col("c_id"), struct(col("c_sim"), -col("c_id")))
+            .as(out),
+          others.map(c => first(col(c)).as(c)): _*)
+        .select(df.columns.map(col) :+ col(out): _*)
     }
     val corpusCells = assign(
       corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))

@@ -175,6 +175,25 @@ class KeyedTableSink(spark: SparkSession, val path: String,
       throw new IllegalArgumentException(s"unknown action: $other")
   }
 
+  /** Compact the table: rewrite live state into a fresh generation
+    * with `filesPerBucket` files per bucket (1 flat file when
+    * unbucketed). Long streams of small batches accumulate small
+    * parquet files per bucket generation; run this periodically (it
+    * is itself a crash-atomic manifest commit, so it can race nothing
+    * and replay-safely no-ops on identical state).
+    */
+  def compact(filesPerBucket: Int = 1): Unit = {
+    val m = manifest()
+    if (m.isEmpty) return
+    if (numBuckets <= 0) swapIn(load().coalesce(filesPerBucket))
+    else {
+      val buckets = m.keys.filter(_ != "flat").map(_.toInt).toSeq.sorted
+      swapBuckets(m, loadBuckets(m, buckets)
+        .repartition(buckets.length * filesPerBucket,
+          bucketOf), buckets)
+    }
+  }
+
   /** Apply one LWW'd batch (typed rows + `op` column) with the given
     * write action (CdcMsgParser.java:225-248 dispatch).
     */

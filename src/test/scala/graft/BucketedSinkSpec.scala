@@ -65,6 +65,32 @@ class BucketedSinkSpec extends AnyFunSuite {
     assert(rows(sink).contains((7L, 777L)))
   }
 
+  test("compact() collapses small-file accumulation, state unchanged") {
+    val dir = Files.createTempDirectory("buk-compact").toString
+    val sink = new KeyedTableSink(spark, dir, Seq("id"), schema,
+      numBuckets = 4)
+    // many tiny batches -> many generations referenced per bucket
+    (0L until 12L).foreach { i =>
+      sink.apply(batch((i, i * 10, CdcParse.OpUpdate)), "upsertInto")
+    }
+    val before = rows(sink)
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = parquetFiles()
+    sink.compact()
+    assert(rows(sink) === before) // state identical
+    val filesAfter = parquetFiles()
+    assert(filesAfter < filesBefore,
+      s"compact did not shrink files: $filesBefore -> $filesAfter")
+    // and applies keep working on the compacted table
+    sink.apply(batch((99L, 990L, CdcParse.OpUpdate)), "upsertInto")
+    assert(rows(sink) === before + ((99L, 990L)))
+  }
+
   test("crash between manifest steps rolls forward (CURRENT.next wins)") {
     val dir = Files.createTempDirectory("buk4").toString
     val sink = new KeyedTableSink(spark, dir, Seq("id"), schema,

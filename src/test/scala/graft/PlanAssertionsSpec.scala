@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Machine-checked physical-plan properties: the scale story is not
+  * prose — filters reach the parquet scan, projections prune columns,
+  * small dimensions broadcast, grouped top-k never window-sorts, and
+  * the LWW merge shuffles exactly once on the key.
+  */
+class PlanAssertionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+
+  def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  def formatted(df: DataFrame): String = {
+    val qe = df.queryExecution
+    qe.explainString(org.apache.spark.sql.execution
+      .ExplainMode.fromString("formatted"))
+  }
+
+  test("q2 filter+projection push into the parquet scan") {
+    val f = formatted(graft.operators.Relational
+      .queries("q2_filter_project")(spark, dir))
+    assert(f.contains("PushedFilters: ["), f)
+    assert(f.contains("GreaterThan") || f.contains("IsNotNull"), f)
+    // projection pruning: lineitem has 16 columns; the ReadSchema must
+    // carry only the handful the query touches
+    val read = f.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(read.split(",").length <= 6, read)
+  }
+
+  test("q4 joins the dimension tables via broadcast, not shuffle") {
+    val p = plan(graft.operators.Relational
+      .queries("q4_broadcast_join")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q26 grouped top-k has no Window sort (bounded-heap aggregate)") {
+    val p = plan(graft.operators.MiscQueries
+      .queries("q26_topk_per_key")(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("topk_by") || p.contains("TopKBy"), p)
+  }
+
+  test("LWW dedup shuffles once on the key") {
+    import org.apache.spark.sql.functions._
+    val typed = graft.operators.CdcParse.parseEnvelope(
+      graft.sources.Changelog.readBatch(spark, {
+        val d = java.nio.file.Files
+          .createTempDirectory("plan-clog").toString
+        graft.sources.Changelog.writeFromEvents(spark,
+          s"$dir/events.parquet", d, numFiles = 1)
+        d
+      }), "value", graft.operators.CdcParse.CdcSchema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value_milli",
+            org.apache.spark.sql.types.LongType))), Seq("user_id")))
+      .filter(col("op") =!= graft.operators.CdcParse.OpDrop)
+    val lww = graft.operators.KeyedMerge.lww(typed, Seq("user_id"), "seq")
+    val exchanges = "Exchange".r.findAllIn(plan(lww)).length
+    assert(exchanges === 1, s"expected exactly 1 shuffle, plan:\n" +
+      plan(lww).linesIterator.filter(_.contains("Exchange"))
+        .mkString("\n"))
+  }
+
+  test("cosine top-k broadcasts the query side; corpus never shuffles " +
+      "before the rank") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Similarity.cosineTopK(emb,
+      emb.filter(col("vec_id") < 4), "vec_id", "embedding", 5)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+}
