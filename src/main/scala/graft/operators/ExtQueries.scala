@@ -113,6 +113,33 @@ object ExtQueries {
     TextAnalysis.hashSplit(t(spark, dir, "documents"), "text")
       .select("doc_id", "bucket", "split").orderBy("doc_id")
 
+  /** End-to-end training-data preparation — the composition the
+    * operator library exists for: quality filter -> exact dedup ->
+    * near-dup canonical selection (LSH + connected components) ->
+    * deterministic hash split. Every stage is the same operator the
+    * individual queries verify; the oracle chains their CTEs. At
+    * 100 TB this is four narrow/key-shuffle stages over a shrinking
+    * survivor set — no stage rescans the full corpus twice.
+    */
+  def pipelinePrepare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val qdocs = TextAnalysis.qualityScore(docs, "text")
+      .filter(col("quality_ok")).select("doc_id", "text")
+    val keep = Dedup.exact(qdocs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val edocs = qdocs.join(keep, "doc_id")
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(edocs, "doc_id", "text",
+        numHashes = 16, bands = 4, minJ = 0.1))
+    val canon = edocs.join(
+        clusters.select(col("id").as("doc_id"), col("cluster")),
+        Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+    TextAnalysis.hashSplit(canon, "text")
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+  }
+
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.attachMedia(t(spark, dir, "documents"), "doc_id", "text")
       .select(col("media_id"), col("media.meta.format").as("format"),
@@ -136,6 +163,7 @@ object ExtQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
+    "pipeline_prepare" -> pipelinePrepare _,
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_ivf" -> simAnnIvf _,
     "embed_near_dups" -> embedNearDups _,
@@ -364,6 +392,84 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
         |    THEN h - CAST(18446744073709551616 AS HUGEINT)
         |    ELSE h END AS BIGINT) AS rolling_fp
         |FROM it WHERE i = n ORDER BY doc_id""".stripMargin,
+    // composite prep pipeline: chains the quality / exact-dedup /
+    // LSH-cluster / split oracles over a shrinking survivor set
+    "pipeline_prepare" -> (
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, text,
+         |    CAST(length(text) AS BIGINT) AS len,
+         |    CAST(length(text) - length(replace(text, ' ', ''))
+         |      AS BIGINT) AS n_spaces,
+         |    string_split_regex(trim(text), '\\s+') AS tk
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id, text FROM base
+         |  WHERE CAST(len(list_filter(tk,
+         |      x -> list_contains($enList, lower(x)))) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE) >= 0.02
+         |    AND CAST(len - n_spaces AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+         |      BETWEEN 2.0 AND 12.0
+         |), keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)
+         |), ed AS (
+         |  SELECT q.doc_id, q.text FROM q JOIN keep USING (doc_id)
+         |), toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |  FROM ed
+         |), sh AS (
+         |  SELECT DISTINCT doc_id AS id,
+         |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+         |  FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i)
+         |), sig AS (
+         |  SELECT id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+         |  FROM sh, UNNEST(range(0, 16)) AS sd(seed)
+         |  GROUP BY id, seed
+         |), bandsig AS (
+         |  SELECT id, seed // 4 AS band,
+         |    string_agg(mh, ',' ORDER BY seed) AS bsig
+         |  FROM sig GROUP BY id, seed // 4
+         |), cands AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bandsig a JOIN bandsig b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+         |), sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         |common AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS common
+         |  FROM cands c
+         |  JOIN sh a ON a.id = c.id_a
+         |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+         |  GROUP BY c.id_a, c.id_b),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM common
+         |  JOIN sizes sa ON sa.id = id_a
+         |  JOIN sizes sb ON sb.id = id_b
+         |  WHERE CAST(common AS DOUBLE)
+         |    / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.1),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |walk(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.a, e.b FROM walk w JOIN edges e ON e.a = w.b),
+         |clusters AS (
+         |  SELECT a AS id, MIN(b) AS cluster FROM walk GROUP BY a),
+         |canon AS (
+         |  SELECT ed.doc_id, ed.text
+         |  FROM ed LEFT JOIN clusters c ON c.id = ed.doc_id
+         |  WHERE c.id IS NULL OR c.cluster = ed.doc_id
+         |), sp AS (
+         |  SELECT doc_id,
+         |    CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+         |      AS BIGINT) AS bucket
+         |  FROM canon)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 204 THEN 'train'
+         |       WHEN bucket < 230 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM sp ORDER BY doc_id""".stripMargin),
     "text_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,
