@@ -147,6 +147,19 @@ object ExtQueries {
         col("media.meta.checksum").as("checksum"))
       .orderBy("media_id")
 
+  /** Frame sampling over the binary payload (video-frame plan shape:
+    * explode to one row per strided fixed-size chunk). Frames are
+    * checked by md5 + length; the oracle slices the same bytes.
+    */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.attachMedia(t(spark, dir, "documents"), "doc_id",
+          "text"), frameBytes = 64, stride = 2)
+      .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+        md5(col("frame")).as("frame_md5"),
+        octet_length(col("frame")).cast("long").as("frame_len"))
+      .orderBy("media_id", "frame_no")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupJaccard _,
@@ -160,6 +173,7 @@ object ExtQueries {
     "sim_cosine_topk" -> simTopK _,
     "embed_norms" -> embedNorms _,
     "mm_meta" -> mmMeta _,
+    "mm_frames" -> mmFrames _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
@@ -522,6 +536,26 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
       """SELECT doc_id AS media_id, 'raw/utf-8' AS format,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+    // frame slicing replayed on VARCHAR: the fixture corpus is pure
+    // ASCII (verified octet_length(encode(text)) == length(text) for
+    // every row), so char positions == byte positions; the engine
+    // side slices real bytes
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, text,
+        |    unnest(range(0, greatest(
+        |      CAST(ceil(n_bytes / 64.0) AS BIGINT), 1), 2)) AS frame_no
+        |  FROM m)
+        |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  md5(substring(text, CAST(frame_no * 64 + 1 AS BIGINT), 64))
+        |    AS frame_md5,
+        |  CAST(length(substring(text, CAST(frame_no * 64 + 1 AS BIGINT),
+        |    64)) AS BIGINT) AS frame_len
+        |FROM f ORDER BY media_id, frame_no""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
