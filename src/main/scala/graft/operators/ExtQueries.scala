@@ -36,6 +36,12 @@ object ExtQueries {
       .select("doc_id", "n_tokens", "n_bpeish", "n_chars_calc")
       .orderBy("doc_id")
 
+  /** Gopher-style repetition quality signals over `documents`. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(t(spark, dir, "documents"), "doc_id",
+        "text")
+      .orderBy("doc_id")
+
   def quality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(t(spark, dir, "documents"), "text")
       .select("doc_id", "len", "n_tokens", "avg_tok_len", "stop_ratio",
@@ -166,6 +172,7 @@ object ExtQueries {
     "dedup_clusters" -> dedupClusters _,
     "text_token_stats" -> tokenStats _,
     "text_quality" -> quality _,
+    "text_repetition" -> repetition _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_rolling_fp" -> rollingFp _,
@@ -365,6 +372,56 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
          |SELECT doc_id, len, n_tokens, avg_tok_len, stop_ratio,
          |  (stop_ratio >= 0.02 AND avg_tok_len BETWEEN 2.0 AND 12.0) AS quality_ok
          |FROM m ORDER BY doc_id""".stripMargin),
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      t -> lower(t)) AS tk
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM base
+        |), uni AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        |    CAST(max(c) AS BIGINT) AS top_token_count
+        |  FROM (SELECT doc_id, g, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(tk) AS g FROM b)
+        |        GROUP BY doc_id, g)
+        |  GROUP BY doc_id
+        |), bi AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |    CAST(max(c) AS BIGINT) AS top_bigram_count
+        |  FROM (SELECT doc_id, g, count(*) AS c
+        |        FROM (SELECT doc_id,
+        |                unnest(list_transform(range(1, len(tk)),
+        |                  i -> tk[i] || ' ' || tk[i+1])) AS g
+        |              FROM b WHERE len(tk) >= 2)
+        |        GROUP BY doc_id, g)
+        |  GROUP BY doc_id
+        |), m AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    uni.n_distinct_tokens, uni.top_token_count,
+        |    COALESCE(bi.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+        |    COALESCE(bi.top_bigram_count, 0) AS top_bigram_count,
+        |    CAST(b.n_tokens - uni.n_distinct_tokens AS DOUBLE)
+        |      / CAST(b.n_tokens AS DOUBLE) AS dup_token_frac,
+        |    CAST(uni.top_token_count AS DOUBLE)
+        |      / CAST(b.n_tokens AS DOUBLE) AS top_token_frac,
+        |    CASE WHEN b.n_tokens >= 2 THEN
+        |      CAST(b.n_tokens - 1 - COALESCE(bi.n_distinct_bigrams, 0) AS DOUBLE)
+        |        / CAST(b.n_tokens - 1 AS DOUBLE) ELSE 0.0 END AS dup_bigram_frac,
+        |    CASE WHEN b.n_tokens >= 2 THEN
+        |      CAST(COALESCE(bi.top_bigram_count, 0) AS DOUBLE)
+        |        / CAST(b.n_tokens - 1 AS DOUBLE) ELSE 0.0 END AS top_bigram_frac
+        |  FROM b
+        |  LEFT JOIN uni ON uni.doc_id = b.doc_id
+        |  LEFT JOIN bi ON bi.doc_id = b.doc_id)
+        |SELECT doc_id, n_tokens, n_distinct_tokens, top_token_count,
+        |  n_distinct_bigrams, top_bigram_count, dup_token_frac,
+        |  top_token_frac, dup_bigram_frac, top_bigram_frac,
+        |  (top_token_frac <= 0.2 AND dup_bigram_frac <= 0.6) AS rep_ok
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_langid" -> (
       s"""WITH base AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk

@@ -71,6 +71,64 @@ object TextAnalysis {
           .otherwise("unk"))
   }
 
+  /** Repetition signals (the Gopher/MassiveText quality-rule family):
+    * duplicate-token fraction, most-frequent-token fraction, and
+    * bigram repetition (duplicate-bigram fraction + top-bigram
+    * fraction). Highly repetitive documents are boilerplate/spam
+    * candidates for a training corpus.
+    *
+    * Shape: explode + two keyed aggregations per gram order — each a
+    * hash-partitioned shuffle on (doc, gram), so per-doc work is
+    * distributed and never O(doc_len^2) per row (the higher-order-
+    * function mode count would be quadratic in document length, which
+    * dies on 10k-token documents at 100 TB).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tk = transform(tokens(col(textCol)), t => lower(t))
+    val base = df.select(col(idCol), tk.as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val uni = base
+      .select(col(idCol), explode(col("tk")).as("gram"))
+      .groupBy(idCol, "gram").count()
+      .groupBy(idCol).agg(
+        count(lit(1)).cast("long").as("n_distinct_tokens"),
+        max("count").cast("long").as("top_token_count"))
+    val bigrams = when(col("n_tokens") >= 2,
+      transform(sequence(lit(1), (col("n_tokens") - 1).cast("int")),
+        i => concat_ws(" ",
+          element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bi = base
+      .select(col(idCol), explode(bigrams).as("gram"))
+      .groupBy(idCol, "gram").count()
+      .groupBy(idCol).agg(
+        count(lit(1)).cast("long").as("n_distinct_bigrams"),
+        max("count").cast("long").as("top_bigram_count"))
+    val nT = col("n_tokens").cast("double")
+    val nB = (col("n_tokens") - 1).cast("double")
+    base.select(col(idCol), col("n_tokens"))
+      .join(uni, Seq(idCol), "left")
+      .join(bi, Seq(idCol), "left")
+      .withColumn("n_distinct_bigrams",
+        coalesce(col("n_distinct_bigrams"), lit(0L)))
+      .withColumn("top_bigram_count",
+        coalesce(col("top_bigram_count"), lit(0L)))
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - col("n_distinct_tokens")).cast("double") / nT)
+      .withColumn("top_token_frac",
+        col("top_token_count").cast("double") / nT)
+      .withColumn("dup_bigram_frac",
+        when(col("n_tokens") >= 2,
+          (col("n_tokens") - 1 - col("n_distinct_bigrams")).cast("double")
+            / nB).otherwise(lit(0.0)))
+      .withColumn("top_bigram_frac",
+        when(col("n_tokens") >= 2,
+          col("top_bigram_count").cast("double") / nB).otherwise(lit(0.0)))
+      .withColumn("rep_ok",
+        col("top_token_frac") <= 0.2 && col("dup_bigram_frac") <= 0.6)
+  }
+
   /** Document fingerprint: md5 over canonicalized text (lowercase,
     * alnum-only, collapsed whitespace) — robust to formatting noise.
     */
