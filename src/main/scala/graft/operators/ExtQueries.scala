@@ -133,7 +133,12 @@ object ExtQueries {
       .filter(col("quality_ok")).select("doc_id", "text")
     val keep = Dedup.exact(qdocs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
-    val edocs = qdocs.join(keep, "doc_id")
+    // The survivor set feeds three consumers (LSH pair generation, the
+    // canonical join, the final split) — cache it instead of replaying
+    // the quality filter + dedup shuffle per consumer (InMemoryRelation
+    // keeps size stats, so downstream broadcast decisions survive). On
+    // a cluster this would be an intermediate table.
+    val edocs = qdocs.join(keep, "doc_id").cache()
     val clusters = Dedup.connectedComponents(
       Dedup.minhashLshPairs(edocs, "doc_id", "text",
         numHashes = 16, bands = 4, minJ = 0.1))
