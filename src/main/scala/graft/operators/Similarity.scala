@@ -118,21 +118,46 @@ object Similarity {
 
   def normD(v: Column): Column = sqrt(dotD(v, v))
 
-  /** Lloyd's k-means coarse quantizer for IVF, built for cross-engine
-    * reproducibility: deterministic init (the first `nCells` vectors by
-    * id), cosine assignment rounded to 6 decimals with ties broken by
-    * cell id, and centroid coordinates = per-dimension mean rounded to
-    * 6 decimals (so shuffle-order FP noise cannot leak into the next
-    * iteration). A cell that loses all members keeps its previous
-    * centroid. Returns (cell LONG, cv ARRAY<DOUBLE>).
-    *
-    * Scale shape per iteration: one broadcast of the (tiny) centroid
-    * set + one shuffle on (cell, dim) for the means — the corpus is
-    * never self-joined; centroids are localCheckpointed so the loop's
-    * lineage stays flat.
+  /** Sequential sum-of-squares norm of a driver-side centroid — the
+    * same left-fold order as `normD`, so bits match the SQL path.
     */
-  def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int, fitSample: Int = 0): DataFrame = {
+  private def centNorm(cv: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Driver-side centroid snapshot, bounded by `nCells` (the IVF
+    * quantizer is tiny by construction) — the legitimate analog of a
+    * broadcast variable.
+    */
+  private def collectCents(df: DataFrame): Array[(Long, Array[Double])] =
+    df.select(col("cell"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Nearest-cell argmax as a pure projection over literal centroids:
+    * highest rounded cosine, ties to the lowest cell id (struct
+    * ordering on (sim, -cell)). No join, no shuffle — the corpus-side
+    * assignment stays a narrow map stage at any scale. (An unrolled
+    * per-dimension variant was measured 10× SLOWER: 16×64 scalar terms
+    * explode the codegen'd method past JIT limits — the lambda fold is
+    * the faster shape here.)
+    */
+  private def cellExpr(vec: Column, nrmD: Column,
+      cents: Array[(Long, Array[Double])]): Column = {
+    val cands = cents.map { case (cell, cv) =>
+      struct(
+        round(dotD(vec, lit(cv)) / (nrmD * lit(centNorm(cv))), 6)
+          .as("s"),
+        lit(-cell).as("nc"), lit(cell).as("c"))
+    }
+    array_max(array(cands.toSeq: _*)).getField("c")
+  }
+
+  private def fitCentArr(corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, iters: Int, fitSample: Int)
+      : Array[(Long, Array[Double])] = {
     // fit on a bounded deterministic sample (id < fitSample): at
     // 100 TB the quantizer is always fit on a sample, never the full
     // corpus — assignment of the full corpus happens once, after.
@@ -141,24 +166,14 @@ object Similarity {
       col(vecCol).as("v"))
     val e = if (fitSample > 0) all.filter(col("vec_id") < fitSample)
       else all
-    var cents = e.filter(col("vec_id") < nCells)
+    var cents = collectCents(e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"),
-        transform(col("v"), x => x.cast("double")).as("cv"))
-      .localCheckpoint()
+        transform(col("v"), x => x.cast("double")).as("cv")))
     for (_ <- 0 until iters) {
-      val cn = broadcast(cents.withColumn("c_nrm", normD(col("cv"))))
-      // argmax via max_by on (sim, -cell): highest rounded sim, ties
-      // to the lowest cell — same choice as a window sort, but a
-      // single hash aggregation (no per-group sort, one shuffle)
+      // assignment is a projection (cellExpr); the only job per
+      // iteration is the (cell, dim) mean aggregation + 16-row collect
       val asg = e.withColumn("nrm", normD(col("v")))
-        .crossJoin(cn)
-        .withColumn("c_sim",
-          round(dotD(col("v"), col("cv")) / (col("nrm") * col("c_nrm")),
-            6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cell"),
-          struct(col("c_sim"), -col("cell"))).as("cell"),
-          first(col("v")).as("v"))
+        .withColumn("cell", cellExpr(col("v"), col("nrm"), cents))
       val means = asg
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
@@ -166,13 +181,36 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv_new"))
-      cents = cents.join(means, Seq("cell"), "left")
-        .select(col("cell"),
-          coalesce(col("cv_new"), col("cv")).as("cv"))
-        .localCheckpoint()
+          s => s.getField("m")).as("cv"))
+      val updated = means.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+      // a cell that loses all members keeps its previous centroid
+      cents = cents.map { case (cell, cv) =>
+        (cell, updated.getOrElse(cell, cv))
+      }
     }
     cents
+  }
+
+  /** Lloyd's k-means coarse quantizer for IVF, built for cross-engine
+    * reproducibility: deterministic init (the first `nCells` vectors by
+    * id), cosine assignment rounded to 6 decimals with ties broken by
+    * cell id, and centroid coordinates = per-dimension mean rounded to
+    * 6 decimals (so shuffle-order FP noise cannot leak into the next
+    * iteration). A cell that loses all members keeps its previous
+    * centroid. Returns (cell LONG, cv ARRAY<DOUBLE>).
+    *
+    * Scale shape per iteration: assignment is a narrow projection over
+    * driver-held centroids (bounded by nCells); the only shuffle is the
+    * (cell, dim) mean aggregation — the corpus is never self-joined and
+    * never shuffled whole.
+    */
+  def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int, fitSample: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    fitCentArr(corpus, idCol, vecCol, nCells, iters, fitSample)
+      .toSeq.toDF("cell", "cv")
   }
 
   /** IVF-style ANN: vectors are assigned to their nearest centroid
@@ -185,35 +223,24 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int,
       kmeansIters: Int = 0, fitSample: Int = 0): DataFrame = {
-    val cents =
-      (if (kmeansIters > 0)
-        fitCentroids(corpus, idCol, vecCol, nCells, kmeansIters,
-          fitSample)
-      else corpus.filter(col(idCol) < nCells)
+    val centArr =
+      if (kmeansIters > 0)
+        fitCentArr(corpus, idCol, vecCol, nCells, kmeansIters, fitSample)
+      else collectCents(corpus.filter(col(idCol) < nCells)
         .select(col(idCol).cast("long").as("cell"),
           transform(col(vecCol), x => x.cast("double")).as("cv")))
-        .select(col("cell").as("c_id"), col("cv").as("c_vec"))
-        .withColumn("c_nrm", normD(col("c_vec")))
-    def assign(df: DataFrame, id: String, vec: String, out: String)
-        : DataFrame = {
-      // argmax by (sim, -cell) in one hash agg — see fitCentroids
-      val sim = df.crossJoin(broadcast(cents))
-        .withColumn("c_sim", round(
-          dotD(col(vec), col("c_vec")) / (normD(col(vec)) * col("c_nrm")),
-          6))
-      val others = df.columns.filterNot(_ == id)
-      sim.groupBy(col(id))
-        .agg(max_by(col("c_id"), struct(col("c_sim"), -col("c_id")))
-            .as(out),
-          others.map(c => first(col(c)).as(c)): _*)
-        .select(df.columns.map(col) :+ col(out): _*)
-    }
+    // assignment = narrow projection (cellExpr); the double norm is
+    // computed once per row, not once per (row, centroid) pair
+    def assign(df: DataFrame, vec: String, out: String): DataFrame =
+      df.withColumn("__nrm_d", normD(col(vec)))
+        .withColumn(out, cellExpr(col(vec), col("__nrm_d"), centArr))
+        .drop("__nrm_d")
     val corpusCells = assign(
       corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-        .withColumn("n_nrm", norm(col("n_vec"))), "n_id", "n_vec", "cell")
+        .withColumn("n_nrm", norm(col("n_vec"))), "n_vec", "cell")
     val queryCells = assign(
       queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-        .withColumn("q_nrm", norm(col("q_vec"))), "q_id", "q_vec", "cell")
+        .withColumn("q_nrm", norm(col("q_vec"))), "q_vec", "cell")
     val sim = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim", round(
