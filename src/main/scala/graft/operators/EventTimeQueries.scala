@@ -24,6 +24,21 @@ object EventTimeQueries {
         col("sum_vm"))
       .orderBy("hour", "event_type")
 
+  /** Sliding 1-hour window advancing every 30 minutes, per event
+    * type — each event contributes to exactly two overlapping windows
+    * (Spark's window generator explodes the assignment).
+    */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(
+        window(Tables.eventsTsMicros, "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000).cast("long")).as("sum_vm"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("sum_vm"))
+      .orderBy("w_start", "event_type")
+
   /** Session windows (30-minute inactivity gap) per user. */
   def sessions(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -36,6 +51,7 @@ object EventTimeQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_window_tumbling" -> tumbling _,
+    "ev_window_sliding" -> sliding _,
     "ev_window_session" -> sessions _,
   )
 
@@ -47,6 +63,23 @@ object EventTimeQueries {
         |FROM events
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hour, event_type""".stripMargin,
+    // sliding-window replica: the 30-min floor of ts (hour trunc + 30
+    // if past half-hour) is one window start; the other is 30 min
+    // earlier. Pure TIMESTAMP arithmetic — no epoch/TZ conversions.
+    "ev_window_sliding" ->
+      """WITH f AS (
+        |  SELECT event_type, value,
+        |    date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+        |      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS fl
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, value,
+        |    unnest([fl, fl - INTERVAL 30 MINUTE]) AS w_start
+        |  FROM f)
+        |SELECT w_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_vm
+        |FROM w GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
     // gaps-and-islands replica of session_window semantics: a gap of
     // exactly the threshold starts a NEW session (half-open windows)
     "ev_window_session" ->

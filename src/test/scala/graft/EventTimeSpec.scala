@@ -38,6 +38,33 @@ class EventTimeSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming sliding window + watermark == batch result") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-evslide").toString
+    val ev = Tables.t(spark, TestSpark.sfDir, "events")
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withColumn("ts_utc", Tables.eventsTsMicros)
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_sliding")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ev_sliding")
+      .select(col("window.start").as("s"), col("event_type"), col("n"))
+    val want = ev
+      .groupBy(window(Tables.eventsTsMicros, "1 hour", "30 minutes")
+        .as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("s"), col("event_type"), col("n"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming session windows + watermark == batch result") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-sess").toString
