@@ -54,8 +54,15 @@ class KeyedTableSink(spark: SparkSession, val path: String,
   private val currentPath = new Path(root, "CURRENT")
   private val nextPath = new Path(root, "CURRENT.next")
 
-  // ---- manifest: lines of "<token>\t<relative-dir>"; token is "flat"
-  // or the bucket number ----
+  // ---- manifest: lines of "<token>\t<relative-dir>"; token is "flat",
+  // the bucket number, or the "buckets" meta entry recording the hash
+  // fan-out the data was written with ----
+
+  private val MetaBuckets = "buckets"
+
+  /** Manifest minus meta entries — the lines that point at data dirs. */
+  private def dataEntries(m: Map[String, String]): Map[String, String] =
+    m - MetaBuckets
 
   /** Roll forward a crash that happened mid-promote: CURRENT.next is
     * only ever written AFTER its data dirs are complete, so it wins.
@@ -75,14 +82,27 @@ class KeyedTableSink(spark: SparkSession, val path: String,
       val in = fs.open(currentPath)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      txt.linesIterator.filter(_.nonEmpty).map { l =>
+      val m = txt.linesIterator.filter(_.nonEmpty).map { l =>
         val Array(tok, dir) = l.split("\t", 2)
         tok -> dir
       }.toMap
+      // refuse to mis-hash: a sink handle whose bucket fan-out differs
+      // from what the table was written with would route keys to the
+      // wrong generation dirs and silently drop/duplicate state
+      val recorded = m.get(MetaBuckets).map(_.toInt)
+        .getOrElse(if (m.contains("flat")) 0 else numBuckets)
+      if (recorded != numBuckets)
+        throw new IllegalStateException(
+          s"table at $path was written with numBuckets=$recorded but " +
+            s"this sink was constructed with numBuckets=$numBuckets; " +
+            "open with the recorded count or run rebucket()")
+      m
     }
   }
 
-  private def writeManifest(m: Map[String, String]): Unit = {
+  private def writeManifest(m0: Map[String, String]): Unit = {
+    val m = if (numBuckets > 0) m0 + (MetaBuckets -> numBuckets.toString)
+      else m0 - MetaBuckets
     val tmp = new Path(root, s"CURRENT.tmp-${uuid()}")
     val out = fs.create(tmp, true)
     try {
@@ -99,7 +119,7 @@ class KeyedTableSink(spark: SparkSession, val path: String,
     * semantics) and state reads materialize before the swap.
     */
   private def gc(live: Map[String, String]): Unit = {
-    val referenced = live.values.map(_.split("/")(0)).toSet
+    val referenced = dataEntries(live).values.map(_.split("/")(0)).toSet
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("g-") && !referenced.contains(n))
@@ -111,7 +131,7 @@ class KeyedTableSink(spark: SparkSession, val path: String,
 
   private def uuid() = java.util.UUID.randomUUID().toString.take(8)
 
-  def exists: Boolean = manifest().nonEmpty
+  def exists: Boolean = dataEntries(manifest()).nonEmpty
 
   private def emptyState: DataFrame = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -121,7 +141,7 @@ class KeyedTableSink(spark: SparkSession, val path: String,
     else spark.read.schema(schema)
       .parquet(dirs.map(d => new Path(root, d).toString): _*)
 
-  def load(): DataFrame = readDirs(manifest().values.toSeq)
+  def load(): DataFrame = readDirs(dataEntries(manifest()).values.toSeq)
 
   /** Load only the given buckets (only their dirs are even listed —
     * the pruning the old `__bucket=N` partition filter provided).
@@ -187,11 +207,30 @@ class KeyedTableSink(spark: SparkSession, val path: String,
     if (m.isEmpty) return
     if (numBuckets <= 0) swapIn(load().coalesce(filesPerBucket))
     else {
-      val buckets = m.keys.filter(_ != "flat").map(_.toInt).toSeq.sorted
+      val buckets = dataEntries(m).keys.filter(_ != "flat")
+        .map(_.toInt).toSeq.sorted
       swapBuckets(m, loadBuckets(m, buckets)
         .repartition(buckets.length * filesPerBucket,
           bucketOf), buckets)
     }
+  }
+
+  /** Re-shard the table to a different hash fan-out (or to/from flat
+    * mode) and return the handle for the new layout; the old handle's
+    * reads fail fast afterwards (bucket-count guard). One full read +
+    * one shuffled write — how a 100 TB table re-buckets — promoted by
+    * the same crash-atomic manifest commit; old generations are GC'd
+    * after the promote, so a crash anywhere leaves the old layout live.
+    */
+  def rebucket(newBuckets: Int): KeyedTableSink = {
+    val data = load().cache()
+    data.count() // materialize before the promote drops old dirs
+    val dst = new KeyedTableSink(spark, path, keys, schema, newBuckets)
+    if (newBuckets <= 0) dst.swapIn(data)
+    else dst.swapBuckets(Map.empty,
+      data.repartition(newBuckets, dst.bucketOf), 0 until newBuckets)
+    data.unpersist()
+    dst
   }
 
   /** Apply one LWW'd batch (typed rows + `op` column) with the given

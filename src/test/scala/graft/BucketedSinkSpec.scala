@@ -112,6 +112,36 @@ class BucketedSinkSpec extends AnyFunSuite {
     assert(rows(sink) === Set((1L, 10L), (2L, 20L)))
   }
 
+  test("rebucket re-shards state; mismatched handle fails fast") {
+    val dir = Files.createTempDirectory("buk-rb").toString
+    val sink = new KeyedTableSink(spark, dir, Seq("id"), schema,
+      numBuckets = 4)
+    val data = (0L to 30L).map(i => (i, i * 10, CdcParse.OpUpdate))
+    sink.apply(batch(data: _*), "upsertInto")
+    val before = rows(sink)
+    // a handle with the wrong fan-out must refuse to read (it would
+    // route keys to the wrong bucket dirs on the next merge)
+    val wrong = new KeyedTableSink(spark, dir, Seq("id"), schema,
+      numBuckets = 16)
+    intercept[IllegalStateException] { wrong.load() }
+    val re = sink.rebucket(8)
+    assert(rows(re) === before)
+    // old generations GC'd: only referenced g-* dirs remain
+    val gdirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("g-")).map(_.getName).toSet
+    val referenced = re.manifest().values
+      .map(_.split("/")(0)).filter(_.startsWith("g-")).toSet
+    assert(gdirs === referenced)
+    // merges keep working against the new layout
+    re.apply(batch((7L, 777L, CdcParse.OpUpdate)), "upsertInto")
+    assert(rows(re) === before - ((7L, 70L)) + ((7L, 777L)))
+    // flat-ward rebucket works too (the old handle is stale after)
+    val expected = rows(re)
+    val flat = re.rebucket(0)
+    assert(rows(flat) === expected)
+    intercept[IllegalStateException] { re.load() }
+  }
+
   test("emptied bucket disappears; replay is idempotent") {
     val dir = Files.createTempDirectory("buk3").toString
     val sink = new KeyedTableSink(spark, dir, Seq("id"), schema,
