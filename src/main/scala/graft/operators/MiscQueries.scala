@@ -156,6 +156,47 @@ object MiscQueries {
           .as("orders_within_5pct"))
       .orderBy("l_returnflag")
 
+  /** Explicit GROUPING SETS (the general form behind rollup/cube):
+    * ((status, priority), (status), ()) with `grouping_id`
+    * disambiguating an aggregated-away column from a NULL group value.
+    */
+  def groupingSetsQ(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("n"))
+
+  /** Approximate percentile vs exact, q23-style contract: the sketch
+    * value is engine-specific, so the checkable columns are the exact
+    * percentiles plus booleans asserting the approximation stays
+    * within 5% (far looser than the rank-error guarantee at these
+    * row counts).
+    */
+  def approxQuantile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4)
+          .as("p90_exact"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)")
+          .cast("double").as("p50_approx"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)")
+          .cast("double").as("p90_approx"))
+      .select(col("l_linestatus"), col("p50_exact"), col("p90_exact"),
+        (abs(col("p50_approx") - col("p50_exact"))
+          / col("p50_exact") <= 0.05).as("p50_within_5pct"),
+        (abs(col("p90_approx") - col("p90_exact"))
+          / col("p90_exact") <= 0.05).as("p90_within_5pct"))
+      .orderBy("l_linestatus")
+
   /** Salted two-phase aggregation (skew mitigation) — must equal the
     * plain GROUP BY exactly (decimal sums commute), which the oracle
     * of the unsalted query checks.
@@ -289,6 +330,8 @@ object MiscQueries {
     "q21_posexplode" -> posexplodeQ _,
     "q22_interval_join" -> intervalJoin _,
     "q23_approx_distinct" -> approxDistinct _,
+    "q30_grouping_sets" -> groupingSetsQ _,
+    "q31_approx_quantile" -> approxQuantile _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -320,6 +363,22 @@ object MiscQueries {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q30_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST, n""".stripMargin,
+    "q31_approx_quantile" ->
+      """SELECT l_linestatus,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+        |  TRUE AS p50_within_5pct, TRUE AS p90_within_5pct
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
     "q17_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
