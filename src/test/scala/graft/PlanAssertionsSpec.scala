@@ -70,6 +70,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
         .mkString("\n"))
   }
 
+  test("IVF cell assignment is a narrow projection (no corpus shuffle)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.operators.Similarity.ivfTopK(emb,
+      emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+      k = 5, nCells = 8, kmeansIters = 1, fitSample = 200)
+    val p = plan(df)
+    // the only hash shuffle is the per-query window rank; the corpus
+    // gets its cell from a projection over driver-held centroids and
+    // joins a broadcast query side
+    assert(!p.contains("hashpartitioning(n_id"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, p)
+  }
+
   test("cosine top-k broadcasts the query side; corpus never shuffles " +
       "before the rank") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
