@@ -47,20 +47,27 @@ object Dedup {
   /** Pairwise Jaccard similarity over shingle sets for all pairs that
     * share at least one shingle; returns pairs with jaccard >= minJ.
     * Exact integer-count division => bit-identical across engines.
+    *
+    * The set sizes ride WITH the shingle rows so (a) the PPJoin-style
+    * size prune — J >= t requires min(sz) >= t*max(sz), exact, never
+    * drops a qualifying pair — cuts candidates inside the self-join
+    * condition, and (b) the per-pair aggregate carries the sizes,
+    * removing the two post-join shuffles the old shape paid.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       minJ: Double, n: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+    val sh = shingles(df, idCol, textCol, n)
+    val sized = sh
+      .join(sh.groupBy(col("id")).agg(count(lit(1)).as("sz")), "id")
+      .cache()
+    sized.as("a").join(sized.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.id") < col("b.id") &&
+          col("a.sz") * minJ <= col("b.sz") &&
+          col("b.sz") * minJ <= col("a.sz"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .agg(count(lit(1)).as("common"),
+        max(col("a.sz")).as("sz_a"), max(col("b.sz")).as("sz_b"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJ)
