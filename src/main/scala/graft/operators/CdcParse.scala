@@ -99,29 +99,35 @@ object CdcParse {
   def parseEnvelope(df: DataFrame, envCol: String,
       schema: CdcSchema): DataFrame = {
     val env = col(envCol)
-    // 2 parses/row on the fast path: from_json + the raw `$.update`
-    // (needed to distinguish non-object update from absent update).
-    // Envelopes from_json cannot represent (e.g. `"update":7`) null
-    // the whole struct in PERMISSIVE mode and take the slow
-    // get_json_object branch, evaluated lazily per row.
+    // ONE parse/row on the fast path for update-object envelopes (the
+    // dominant kind): the raw `$.update` extraction — needed only to
+    // distinguish a non-object update (newImage fallback) from an
+    // absent one — is computed CONDITIONALLY, when the parsed update
+    // map is null. The from_json result is materialized behind its own
+    // Generate barrier FIRST (expressions inside a generator get no
+    // subexpression elimination, so referencing from_json twice in one
+    // struct would parse twice), then the conditional extraction reads
+    // the already-parsed struct.
+    val s1 = col("__s1")
     val raw = struct(
-      from_json(env, fastSchema).as("fast"),
-      get_json_object(env, "$.update").as("updRaw"),
-      env.as("env"))
+      s1.getField("fast").as("fast"),
+      when(s1.getField("fast").getField("update").isNull,
+        get_json_object(s1.getField("env"), "$.update")).as("updRaw"),
+      s1.getField("env").as("env"))
     val parsed = transform(array(raw), r => {
       val updRaw = r.getField("updRaw")
-      val updIsObj = updRaw.startsWith("{")
 
-      def branch(key: Column, upd: Column, img: Column, ers: Column,
+      def branch(key: Column, updPresent: Column, updIsObj: Column,
+          upd: Column, img: Column, ers: Column,
           isEmptyUpd: Column, imgNonEmptyObj: Column,
           field: (Column, StructField) => Column,
           keyAt: Int => Column) = {
         val op = when(key.isNull, OpDrop)
-          .when(updRaw.isNotNull && updIsObj && isEmptyUpd, OpKeysOnly)
-          .when(updRaw.isNotNull && updIsObj, OpUpdate)
+          .when(updPresent && updIsObj && isEmptyUpd, OpKeysOnly)
+          .when(updPresent && updIsObj, OpUpdate)
           // newImage fallback only for a NON-EMPTY object
           // (CdcMsgParser.java:66-67: isObject() && !isEmpty())
-          .when(updRaw.isNotNull && imgNonEmptyObj, OpNewImage)
+          .when(updPresent && imgNonEmptyObj, OpNewImage)
           .when(ers.isNotNull, OpErase)
           .otherwise(OpDrop)
         val payload = when(op === OpNewImage, img).otherwise(upd)
@@ -140,11 +146,17 @@ object CdcParse {
       val fast = r.getField("fast")
       val fastBranch = {
         val key = fast.getField("key")
+        val upd = fast.getField("update")
         val img = fast.getField("newImage")
+        // a parsed (object) update means present; otherwise presence
+        // comes from the conditional raw extraction, and "present but
+        // not parsed as a map" is exactly the non-object case
         branch(key,
-          fast.getField("update"), img,
-          fast.getField("erase"),
-          isEmptyUpd = size(fast.getField("update")) === 0,
+          updPresent = upd.isNotNull || updRaw.isNotNull,
+          updIsObj = upd.isNotNull,
+          upd = upd, img = img,
+          ers = fast.getField("erase"),
+          isEmptyUpd = size(upd) === 0,
           imgNonEmptyObj = img.isNotNull && size(img) > 0,
           field = (payload, f) => element_at(payload, f.name),
           keyAt = i => element_at(key, i + 1))
@@ -153,8 +165,10 @@ object CdcParse {
         val envR = r.getField("env")
         val img = get_json_object(envR, "$.newImage")
         branch(get_json_object(envR, "$.key"),
-          updRaw, img,
-          get_json_object(envR, "$.erase"),
+          updPresent = updRaw.isNotNull,
+          updIsObj = updRaw.startsWith("{"),
+          upd = updRaw, img = img,
+          ers = get_json_object(envR, "$.erase"),
           isEmptyUpd = updRaw === "{}",
           imgNonEmptyObj = img.startsWith("{") && img =!= "{}",
           field = (payload, f) =>
@@ -164,7 +178,9 @@ object CdcParse {
       when(fast.isNotNull, fastBranch).otherwise(slowBranch)
     })
     val parsedCols = ("op" +: schema.columns.fieldNames.toSeq)
-    df.select(col("*"), explode(parsed).as("__parsed"))
+    df.select(col("*"), explode(array(struct(
+        from_json(env, fastSchema).as("fast"), env.as("env")))).as("__s1"))
+      .select(col("*"), explode(parsed).as("__parsed"))
       .select((df.columns.map(col) ++
         parsedCols.map(n => col(s"__parsed.$n").as(n))).toIndexedSeq: _*)
   }
