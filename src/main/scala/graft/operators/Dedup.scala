@@ -251,4 +251,24 @@ object Dedup {
       .reduce(_ + _)
     votes.select(col("id"), fp.as("simhash"))
   }
+
+  /** Benchmark-contamination flags: does a document share ANY n-gram
+    * shingle with the benchmark/eval set? The benchmark shingle set is
+    * small by construction (eval suites are), so it broadcasts; the
+    * corpus side is a left-semi join on shingle — no pair explosion,
+    * corpus scanned once. Returns (id, contaminated).
+    */
+  def contaminationFlags(df: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, n: Int = 5): DataFrame = {
+    val corpusSh = shingles(df, idCol, textCol, n)
+    val benchSh = broadcast(
+      shingles(bench, idCol, textCol, n).select(col("shingle")).distinct())
+    val hits = corpusSh.join(benchSh, Seq("shingle"), "left_semi")
+      .select(col("id")).distinct()
+      .withColumn("contaminated", lit(true))
+    df.select(col(idCol))
+      .join(hits.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("contaminated",
+        coalesce(col("contaminated"), lit(false)))
+  }
 }

@@ -36,6 +36,26 @@ object ExtQueries {
       .select("doc_id", "n_tokens", "n_bpeish", "n_chars_calc")
       .orderBy("doc_id")
 
+  /** Per-source contribution cap (data mixing): hash-ranked, first 15
+    * docs per source survive.
+    */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceCap(t(spark, dir, "documents"), "doc_id",
+        "source", "text", cap = 15)
+      .select("doc_id", "source", "src_rank", "kept")
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination: flag docs sharing any 5-gram with the
+    * "eval set" (docs 0-9 stand in for it; they self-flag, the signal
+    * is the rest of the corpus).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contaminationFlags(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 10), n = 5)
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition quality signals over `documents`. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(t(spark, dir, "documents"), "doc_id",
@@ -178,6 +198,8 @@ object ExtQueries {
     "text_token_stats" -> tokenStats _,
     "text_quality" -> quality _,
     "text_repetition" -> repetition _,
+    "text_source_cap" -> sourceCap _,
+    "text_decontaminate" -> decontaminate _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_rolling_fp" -> rollingFp _,
@@ -377,6 +399,30 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
          |SELECT doc_id, len, n_tokens, avg_tok_len, stop_ratio,
          |  (stop_ratio >= 0.02 AND avg_tok_len BETWEEN 2.0 AND 12.0) AS quality_ok
          |FROM m ORDER BY doc_id""".stripMargin),
+    "text_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(text), doc_id) AS BIGINT) AS src_rank
+        |  FROM documents)
+        |SELECT doc_id, source, src_rank, (src_rank <= 15) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |      tk[i+3] || ' ' || tk[i+4] AS shingle
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 3, 1))) AS r(i)
+        |), bench AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE id < 10
+        |), hits AS (
+        |  SELECT DISTINCT id FROM sh JOIN bench USING (shingle))
+        |SELECT d.doc_id, (h.id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_repetition" ->
       """WITH base AS (
         |  SELECT doc_id,

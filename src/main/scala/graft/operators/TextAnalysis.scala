@@ -129,6 +129,23 @@ object TextAnalysis {
         col("top_token_frac") <= 0.2 && col("dup_bigram_frac") <= 0.6)
   }
 
+  /** Deterministic stratified cap per source — the data-mixing
+    * primitive that bounds each domain's contribution to a corpus.
+    * Documents are ranked within their source by content hash (stable
+    * across runs, engines and partitionings — no rand()) and the first
+    * `cap` survive. One shuffle on source; a pathologically hot source
+    * is one window partition, so at extreme skew pre-cap by
+    * (source, hash-prefix) before the global rank.
+    */
+  def sourceCap(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(md5(col(textCol)), col(idCol))
+    df.withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("src_rank") <= cap)
+  }
+
   /** Document fingerprint: md5 over canonicalized text (lowercase,
     * alnum-only, collapsed whitespace) — robust to formatting noise.
     */
