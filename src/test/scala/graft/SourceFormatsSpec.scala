@@ -30,6 +30,18 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(canon(fromJson) === base)
   }
 
+  test("orc round-trip equals the parquet source; filter pushes down") {
+    val o = Tables.t(spark, TestSpark.sfDir, "orders")
+    val orcDir = Files.createTempDirectory("fmt-orc").toString
+    o.write.mode("overwrite").orc(orcDir)
+    val fromOrc = spark.read.schema(o.schema).orc(orcDir)
+    assert(canon(fromOrc) === canon(o))
+    val f = fromOrc.filter(col("o_orderkey") === 1)
+    val plan = f.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("o_orderkey"), plan)
+  }
+
   test("partitioned parquet write prunes on read") {
     val dir = Files.createTempDirectory("fmt-part").toString
     Tables.t(spark, TestSpark.sfDir, "orders")
