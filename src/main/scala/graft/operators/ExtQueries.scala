@@ -56,6 +56,28 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level statistics (SURVEY §7.5 "corpus stats"): one row of
+    * document counts, token totals, vocabulary size and the modal
+    * token's frequency — two aggregation trees (doc-level and
+    * token-level) over one corpus scan each, crossed at one row.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks = docs.select(explode(
+      transform(TextAnalysis.tokens(col("text")), tk => lower(tk)))
+      .as("tok"))
+    val tc = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tstats = tc.agg(
+      sum(col("c")).cast("long").as("total_tokens"),
+      count(lit(1)).cast("long").as("vocab_size"),
+      max(col("c")).cast("long").as("top_token_n"))
+    val g = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(length(col("text"))).cast("long").as("total_chars"))
+    g.crossJoin(tstats)
+      .withColumn("avg_doc_tokens",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Gopher-style repetition quality signals over `documents`. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(t(spark, dir, "documents"), "doc_id",
@@ -199,6 +221,7 @@ object ExtQueries {
     "text_quality" -> quality _,
     "text_repetition" -> repetition _,
     "text_source_cap" -> sourceCap _,
+    "text_corpus_stats" -> corpusStats _,
     "text_decontaminate" -> decontaminate _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
@@ -399,6 +422,27 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
          |SELECT doc_id, len, n_tokens, avg_tok_len, stop_ratio,
          |  (stop_ratio >= 0.02 AND avg_tok_len BETWEEN 2.0 AND 12.0) AS quality_ok
          |FROM m ORDER BY doc_id""".stripMargin),
+    "text_corpus_stats" ->
+      """WITH toks AS (
+        |  SELECT lower(t.tok) AS tok FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |    FROM documents) t
+        |), tc AS (
+        |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        |), ts AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab_size,
+        |    CAST(MAX(c) AS BIGINT) AS top_token_n
+        |  FROM tc
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(strlen(text)) AS BIGINT) AS total_chars
+        |  FROM documents)
+        |SELECT g.n_docs, g.total_chars, ts.total_tokens, ts.vocab_size,
+        |  ts.top_token_n,
+        |  CAST(ts.total_tokens AS DOUBLE) / CAST(g.n_docs AS DOUBLE)
+        |    AS avg_doc_tokens
+        |FROM g, ts""".stripMargin,
     "text_source_cap" ->
       """WITH r AS (
         |  SELECT doc_id, source,
