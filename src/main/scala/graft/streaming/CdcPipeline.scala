@@ -257,11 +257,19 @@ object CdcPipeline {
 
   /** Start the streaming query (one per consumer, own checkpoint —
     * the reference's independent consumer progress, Application.java:
-    * 93-102).
+    * 93-102). `changelogDir` may be a directory (file replay) or a
+    * `topic://name` URI (the DSv2 topic source, O1's real front door);
+    * for topics the admission cap is offsets rather than files, scaled
+    * by the ~100 envelopes/file the replay writer produces.
     */
   def start(spark: SparkSession, p: Pipeline): StreamingQuery =
     startWithSource(spark, p,
-      Changelog.readStream(spark, p.changelogDir, p.maxFilesPerTrigger))
+      if (p.changelogDir.startsWith("topic://"))
+        Changelog.readTopicStream(spark,
+          p.changelogDir.stripPrefix("topic://"),
+          maxOffsetsPerTrigger = p.maxFilesPerTrigger.toLong * 100)
+      else
+        Changelog.readStream(spark, p.changelogDir, p.maxFilesPerTrigger))
 
   /** Same pipeline over any (value, seq) streaming source — e.g. the
     * topic source (`Changelog.readTopicStream`), the reference's

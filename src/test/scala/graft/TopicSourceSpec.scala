@@ -68,6 +68,27 @@ class TopicSourceSpec extends AnyFunSuite {
     TopicBroker.delete(topic)
   }
 
+  test("start() dispatches topic:// changelog URIs to the topic source") {
+    val events = s"${TestSpark.sfDir}/events.parquet"
+    val clog = freshDir("clog-uri")
+    Changelog.writeFromEvents(spark, events, clog, numFiles = 4)
+    val fileSink = runOver(
+      Changelog.readStream(spark, clog, maxFilesPerTrigger = 2), "uri-f")
+    val topic = s"cdc-uri-${System.nanoTime()}"
+    Changelog.publishFromEvents(spark, events, topic, partitions = 2)
+    val sink = new KeyedTableSink(spark, freshDir("sink-uri"),
+      Seq("user_id"), schema.columns)
+    val p = CdcPipeline.Pipeline(s"topic-uri", s"topic://$topic",
+      freshDir("ckpt-uri"), schema,
+      updateSql = Some(
+        "SELECT user_id, event_type, value_milli FROM rows"),
+      deleteSql = None, sink = sink)
+    CdcPipeline.start(spark, p).awaitTermination(120000)
+    assert(sinkRows(sink) === sinkRows(fileSink))
+    assert(sinkRows(sink).nonEmpty)
+    TopicBroker.delete(topic)
+  }
+
   test("maxOffsetsPerTrigger admits at most the cap per micro-batch") {
     val topic = s"cdc-cap-${System.nanoTime()}"
     TopicBroker.create(topic, 2)
