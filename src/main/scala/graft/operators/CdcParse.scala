@@ -44,13 +44,23 @@ object CdcParse {
     * (YqlQuery.java:137-138); Interval arrives as SECONDS — not µs —
     * (YqlQuery.java:153-154); full-range Uint64 is supported by
     * declaring the column DecimalType(20,0) (SURVEY §7.4).
+    *
+    * Casts are `try_cast`: a value that does not fit the declared type
+    * (nested object in a numeric column, garbage timestamp) becomes
+    * NULL instead of an ANSI cast error — under ANSI Spark a plain
+    * cast would abort the micro-batch and the at-least-once loop would
+    * retry it forever. (Known divergence: the reference's Jackson
+    * `asLong()`/`asText()` defaults coerce a mismatched node to
+    * 0/""/false, YqlQuery.java:110-134 — a silent-zero we deliberately
+    * do not reproduce.)
     */
   def coerce(raw: Column, dt: DataType): Column = dt match {
     case BinaryType => unbase64(raw)
-    case TimestampType => raw.cast(TimestampType)
+    case TimestampType => raw.try_cast(TimestampType)
     case ivl: DayTimeIntervalType =>
-      raw.cast("long").cast("interval second").cast(ivl.catalogString)
-    case other => raw.cast(other)
+      raw.try_cast(LongType).cast("interval second")
+        .cast(ivl.catalogString)
+    case other => raw.try_cast(other)
   }
 
   /** Classify the envelope column into an op label. */
