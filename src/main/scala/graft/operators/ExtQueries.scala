@@ -213,6 +213,27 @@ object ExtQueries {
         octet_length(col("frame")).cast("long").as("frame_len"))
       .orderBy("media_id", "frame_no")
 
+  /** Feature extraction through the partition-batched codec path
+    * (`Multimodal.extractFeatures` — the mapPartitions stage a real
+    * image/audio decoder drops into). The stub feature is a normalized
+    * byte histogram; multiplying back by the payload length recovers
+    * EXACT integer counts, so the oracle can replay it from character
+    * codes (corpus verified pure-ASCII: byte == code point).
+    */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.attachMedia(docs, "doc_id", "text"), featureDim = 8)
+    val lens = docs.select(col("doc_id").as("media_id"),
+      octet_length(col("text")).cast("long").as("n"))
+    feats.select(col("media_id"),
+        posexplode(col("feature")).as(Seq("pos", "v")))
+      .join(lens, "media_id")
+      .select(col("media_id"), col("pos").cast("long").as("pos"),
+        round(col("v") * col("n")).cast("long").as("cnt"))
+      .orderBy("media_id", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupJaccard _,
@@ -231,6 +252,7 @@ object ExtQueries {
     "embed_norms" -> embedNorms _,
     "mm_meta" -> mmMeta _,
     "mm_frames" -> mmFrames _,
+    "mm_features" -> mmFeatures _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
@@ -692,6 +714,16 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
     // ASCII (verified octet_length(encode(text)) == length(text) for
     // every row), so char positions == byte positions; the engine
     // side slices real bytes
+    "mm_features" ->
+      """WITH c AS (
+        |  SELECT doc_id AS media_id, text,
+        |    unnest(range(0, 8)) AS pos
+        |  FROM documents)
+        |SELECT media_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(len(list_filter(
+        |    list_transform(string_split(text, ''), ch -> ord(ch) % 8),
+        |    x -> x = pos)) AS BIGINT) AS cnt
+        |FROM c ORDER BY media_id, pos""".stripMargin,
     "mm_frames" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text,
