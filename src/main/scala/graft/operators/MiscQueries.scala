@@ -197,6 +197,31 @@ object MiscQueries {
           / col("p90_exact") <= 0.05).as("p90_within_5pct"))
       .orderBy("l_linestatus")
 
+  /** TPC-H Q21-shaped correlated-subquery workout: suppliers that were
+    * the ONLY late shipper in a multi-supplier order (EXISTS + NOT
+    * EXISTS, both correlated, the NOT EXISTS additionally referencing
+    * the outer join's order date). Catalyst rewrites these to
+    * semi/anti joins — no per-row subquery execution.
+    */
+  def onlyLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name""".stripMargin)
+  }
+
   /** Salted two-phase aggregation (skew mitigation) — must equal the
     * plain GROUP BY exactly (decimal sums commute), which the oracle
     * of the unsalted query checks.
@@ -332,6 +357,7 @@ object MiscQueries {
     "q23_approx_distinct" -> approxDistinct _,
     "q30_grouping_sets" -> groupingSetsQ _,
     "q31_approx_quantile" -> approxQuantile _,
+    "q32_only_late_supplier" -> onlyLateSupplier _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -363,6 +389,21 @@ object MiscQueries {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q32_only_late_supplier" ->
+      """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name""".stripMargin,
     "q30_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
