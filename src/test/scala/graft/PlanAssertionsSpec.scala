@@ -85,6 +85,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(shuffles <= 1, p)
   }
 
+  test("decontamination joins the benchmark shingles as broadcast semi") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.operators.Dedup.contaminationFlags(docs, "doc_id",
+      "text", docs.filter(col("doc_id") < 10), n = 5)
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
   test("cosine top-k broadcasts the query side; corpus never shuffles " +
       "before the rank") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
