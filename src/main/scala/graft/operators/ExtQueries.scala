@@ -78,6 +78,24 @@ object ExtQueries {
         col("total_tokens").cast("double") / col("n_docs").cast("double"))
   }
 
+  /** Corpus-wide top-25 bigrams (the n-gram LM building block): one
+    * explode + one count shuffle + TakeOrderedAndProject for the
+    * global top-k (bounded state, no full sort). Ties broken by gram
+    * text so the cut is deterministic.
+    */
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
+    val tk = transform(TextAnalysis.tokens(col("text")), t => lower(t))
+    val bigrams = when(size(tk) >= 2,
+      transform(sequence(lit(1), (size(tk) - 1).cast("int")),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    t(spark, dir, "documents")
+      .select(explode(bigrams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(25)
+  }
+
   /** Gopher-style repetition quality signals over `documents`. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(t(spark, dir, "documents"), "doc_id",
@@ -243,6 +261,7 @@ object ExtQueries {
     "text_repetition" -> repetition _,
     "text_source_cap" -> sourceCap _,
     "text_corpus_stats" -> corpusStats _,
+    "text_ngram_freq" -> ngramFreq _,
     "text_decontaminate" -> decontaminate _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
@@ -444,6 +463,18 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
          |SELECT doc_id, len, n_tokens, avg_tok_len, stop_ratio,
          |  (stop_ratio >= 0.02 AND avg_tok_len BETWEEN 2.0 AND 12.0) AS quality_ok
          |FROM m ORDER BY doc_id""".stripMargin),
+    "text_ngram_freq" ->
+      """WITH toks AS (
+        |  SELECT list_transform(string_split_regex(trim(text), '\s+'),
+        |    t -> lower(t)) AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM toks WHERE len(tk) >= 2)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 25""".stripMargin,
     "text_corpus_stats" ->
       """WITH toks AS (
         |  SELECT lower(t.tok) AS tok FROM (
