@@ -84,12 +84,17 @@ object ExtQueries {
     * text so the cut is deterministic.
     */
   def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
-    val tk = transform(TextAnalysis.tokens(col("text")), t => lower(t))
+    // tokenize into a NAMED column first: element_at(tk, i) inside the
+    // bigram lambda must read a materialized array, not re-run the
+    // split per element (the CollapseProject re-evaluation trap)
+    val tk = col("tk")
     val bigrams = when(size(tk) >= 2,
       transform(sequence(lit(1), (size(tk) - 1).cast("int")),
         i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       .otherwise(array().cast("array<string>"))
     t(spark, dir, "documents")
+      .select(transform(TextAnalysis.tokens(col("text")),
+        t => lower(t)).as("tk"))
       .select(explode(bigrams).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
