@@ -87,7 +87,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc_rows_per_sec":$rps,"cdc_stream_rows_per_sec":$streamRps,"sf":"$sfDir"}""")
+    // headline fields LAST: the driver records only the trailing chars
+    // of the run's stdout, so totals must survive front-truncation of
+    // this (long) line once the per-query map grows
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"cdc_rows_per_sec":$rps,"cdc_stream_rows_per_sec":$streamRps,"n_queries":${results.size},"value":$total}""")
     spark.stop()
   }
 }

