@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.CdcQueries.queries ++
       operators.ExtQueries.queries ++
+      operators.Ext2Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.MiscQueries.queries
 
@@ -30,6 +31,7 @@ object SparkEntry {
     operators.Relational.oracle ++
       operators.CdcQueries.oracle ++
       operators.ExtQueries.oracle ++
+      operators.Ext2Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.MiscQueries.oracle
 }

@@ -258,6 +258,58 @@ object Dedup {
     * corpus side is a left-semi join on shingle — no pair explosion,
     * corpus scanned once. Returns (id, contaminated).
     */
+  /** Bloom-filter decontamination — the constant-size alternative to
+    * shipping the full eval-set shingle list: k md5-derived bit
+    * positions per shingle in an m-bit filter. A document is flagged
+    * when ANY of its shingles has all k bits set. False positives are
+    * possible (bit collisions), false negatives are not — and because
+    * the hash family is md5-based, the flags (including the false
+    * positives) are bit-identical in any engine with md5, so the result
+    * is exactly oracle-checkable.
+    *
+    * Scale shape: the filter's set-bit table is tiny (≤ k × eval
+    * shingles entries, independent of corpus size) and broadcasts; the
+    * corpus pays one shingle explode + k broadcast-hash lookups + one
+    * per-doc aggregate. The classic use: m sized for the eval suite,
+    * corpus of any size streamed through.
+    */
+  def bloomContaminationFlags(df: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, n: Int = 5,
+      mBits: Long = 1L << 18, kHashes: Int = 2): DataFrame = {
+    // bit position for seed s: 60 bits of md5("s|" || shingle) mod m —
+    // the same seeded-md5 family as minhashSignatures
+    def bitpos(sh: Column, seed: Int): Column =
+      pmod(conv(substring(md5(concat(lit(s"$seed|"), sh)), 1, 15),
+        16, 10).cast("long"), lit(mBits))
+    val benchSh = shingles(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val bits = benchSh
+      .select(explode(array((0 until kHashes)
+        .map(s => bitpos(col("shingle"), s)): _*)).as("bit"))
+      .distinct()
+    val corpusSh = shingles(df, idCol, textCol, n)
+    var cur = corpusSh.select(
+      col("id") +: col("shingle") +:
+        (0 until kHashes).map(s => bitpos(col("shingle"), s).as(s"bp$s")): _*)
+    for (s <- 0 until kHashes)
+      cur = cur.join(
+        broadcast(bits.select(col("bit").as(s"bp$s"),
+          lit(true).as(s"in$s"))),
+        Seq(s"bp$s"), "left")
+    val bloomHits = cur
+      .filter((0 until kHashes).map(s => col(s"in$s")).reduce(_ && _))
+      .select(col("id")).distinct().withColumn("bloom_hit", lit(true))
+    val exactHits = corpusSh
+      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .select(col("id")).distinct().withColumn("exact_hit", lit(true))
+    df.select(col(idCol).as("id"))
+      .join(bloomHits, Seq("id"), "left")
+      .join(exactHits, Seq("id"), "left")
+      .withColumn("bloom_hit", coalesce(col("bloom_hit"), lit(false)))
+      .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
+      .withColumn("false_pos", col("bloom_hit") && !col("exact_hit"))
+  }
+
   def contaminationFlags(df: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, n: Int = 5): DataFrame = {
     val corpusSh = shingles(df, idCol, textCol, n)

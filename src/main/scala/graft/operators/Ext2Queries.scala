@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 extension queries: TF-IDF keyword extraction, cross-document
+  * repeated-substring signal, PII redaction, epoch-weighted mixture
+  * sampling, and Bloom-filter decontamination — each backed by the
+  * operator library and a hash-exact DuckDB oracle.
+  */
+object Ext2Queries {
+
+  /** Top-3 TF-IDF terms per document. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(t(spark, dir, "documents"), "doc_id", "text",
+        k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** Fraction of each document's token 8-grams that also occur in at
+    * least one other document (distributed stand-in for suffix-array
+    * substring dedup).
+    */
+  def dupNgrams(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupNgramStats(t(spark, dir, "documents"), "doc_id",
+        "text", n = 8)
+      .orderBy("doc_id")
+
+  /** PII redaction over text augmented with deterministic synthetic
+    * PII (the fixture corpus contains none): every doc gains one
+    * email + phone + IPv4, docs with doc_id % 3 == 0 gain a second
+    * email. Counts + the redacted text's md5 are oracle-checked.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val aug = concat(col("text"),
+      lit(" contact user"), d.cast("string"), lit("@example.com"),
+      when(d % 3 === 0, lit(" cc bob@test.org")).otherwise(lit("")),
+      lit(" call +1-555-"), lpad((d % 10000).cast("string"), 4, "0"),
+      lit(" from "), (d % 223 + 1).cast("string"), lit("."),
+      ((d * 7) % 256).cast("string"), lit("."),
+      ((d * 13) % 256).cast("string"), lit("."),
+      ((d * 29) % 251).cast("string"))
+    TextAnalysis.piiRedact(
+        t(spark, dir, "documents").withColumn("aug", aug),
+        "doc_id", "aug")
+      .orderBy("doc_id")
+  }
+
+  /** Epoch-weighted mixture: sources 0-4 train 3 epochs, 5-9 train 2,
+    * the rest 1 — deterministic replication with a per-replica mix key.
+    */
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val epochs = when(srcNum < 5, 3).when(srcNum < 10, 2).otherwise(1)
+    TextAnalysis.mixEpochs(t(spark, dir, "documents"), "doc_id",
+        "source", epochs)
+      .select("doc_id", "source", "epoch", "mix_key")
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** Bloom-filter decontamination vs the eval set (docs 0-9): m = 2^18
+    * bits, k = 2 md5-derived hashes — flags (including any false
+    * positives) are deterministic and engine-portable.
+    */
+  def bloomDecon(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.bloomContaminationFlags(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 10), n = 5, mBits = 1L << 18,
+        kHashes = 2)
+      .select(col("id").as("doc_id"), col("bloom_hit"),
+        col("exact_hit"), col("false_pos"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> tfidf _,
+    "text_dup_ngrams" -> dupNgrams _,
+    "text_pii_redact" -> piiRedact _,
+    "text_mix_epochs" -> mixEpochs _,
+    "text_bloom_decontaminate" -> bloomDecon _)
+
+  val oracle: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, lower(tt.term) AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents) tt
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM terms GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df_t
+        |  FROM tf GROUP BY term
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+        |    ROUND(CAST(tf.tf AS DOUBLE) *
+        |      ROUND(ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df_t AS DOUBLE)), 6),
+        |      6) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM s)
+        |SELECT doc_id, term, tf, df_t, score, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_dup_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    t -> lower(t)) AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |      || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+        |      || ' ' || tk[i+7] AS gram
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 6, 1))) AS r(i)
+        |), st AS (
+        |  SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+        |), per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(*) FILTER (WHERE st.nd >= 2) AS BIGINT) AS n_dup_grams
+        |  FROM g JOIN st USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(per.n_grams, 0) AS n_grams,
+        |  coalesce(per.n_dup_grams, 0) AS n_dup_grams,
+        |  CASE WHEN coalesce(per.n_grams, 0) > 0
+        |    THEN CAST(per.n_dup_grams AS DOUBLE) / CAST(per.n_grams AS DOUBLE)
+        |    ELSE 0.0 END AS dup_frac
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR || '@example.com'
+        |      || (CASE WHEN doc_id % 3 = 0 THEN ' cc bob@test.org' ELSE '' END)
+        |      || ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |      || ' from ' || (doc_id % 223 + 1)::VARCHAR || '.'
+        |      || ((doc_id * 7) % 256)::VARCHAR || '.'
+        |      || ((doc_id * 13) % 256)::VARCHAR || '.'
+        |      || ((doc_id * 29) % 251)::VARCHAR AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(a,
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(a,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+        |    AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'))
+        |    AS red_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "text_mix_epochs" ->
+      """WITH e AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 3
+        |         WHEN CAST(substr(source, 4) AS INT) < 10 THEN 2
+        |         ELSE 1 END AS epochs
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(r.ep AS BIGINT) AS epoch,
+        |  md5(doc_id::VARCHAR || '#' || r.ep::VARCHAR) AS mix_key
+        |FROM e, UNNEST(range(1, epochs + 1)) AS r(ep)
+        |ORDER BY doc_id, epoch""".stripMargin,
+    "text_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |      tk[i+3] || ' ' || tk[i+4] AS shingle
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 3, 1))) AS r(i)
+        |), bsh AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE id < 10
+        |), bits AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(sd.s::VARCHAR || '|' || shingle), 1, 15))
+        |      AS BIGINT) % 262144 AS bit
+        |  FROM bsh, (SELECT unnest(range(0, 2)) AS s) sd
+        |), cb AS (
+        |  SELECT id,
+        |    CAST(('0x' || substr(md5('0|' || shingle), 1, 15)) AS BIGINT)
+        |      % 262144 AS bp0,
+        |    CAST(('0x' || substr(md5('1|' || shingle), 1, 15)) AS BIGINT)
+        |      % 262144 AS bp1
+        |  FROM sh
+        |), bloom AS (
+        |  SELECT DISTINCT id FROM cb
+        |  WHERE bp0 IN (SELECT bit FROM bits)
+        |    AND bp1 IN (SELECT bit FROM bits)
+        |), exact AS (
+        |  SELECT DISTINCT id FROM sh
+        |  WHERE shingle IN (SELECT shingle FROM bsh))
+        |SELECT d.doc_id,
+        |  (b.id IS NOT NULL) AS bloom_hit,
+        |  (x.id IS NOT NULL) AS exact_hit,
+        |  (b.id IS NOT NULL AND x.id IS NULL) AS false_pos
+        |FROM documents d
+        |LEFT JOIN bloom b ON b.id = d.doc_id
+        |LEFT JOIN exact x ON x.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
+}

@@ -146,6 +146,128 @@ object TextAnalysis {
       .withColumn("kept", col("src_rank") <= cap)
   }
 
+  /** Per-document top-k terms by TF-IDF — the classic relevance /
+    * keyword-extraction signal over a corpus. idf = ln(N / df) rounded
+    * to 6 decimals (then the product re-rounded) so libm differences
+    * across engines cannot leak into the hash.
+    *
+    * Scale shape: one (doc, term) count shuffle, one term-level df
+    * shuffle, one join back on term (plain shuffle join — vocabulary is
+    * generally too big to broadcast), and a per-doc window whose
+    * partition size is bounded by document length. No all-pairs, no
+    * driver loops; N arrives via a broadcast one-row cross join.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val terms = df.select(col(idCol).as("doc_id"),
+      explode(transform(tokens(col(textCol)), t => lower(t))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(
+        log(col("n_docs").cast("double") / col("df_t").cast("double")), 6))
+      .withColumn("score", round(col("tf").cast("double") * col("idf"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_t"),
+        col("score"), col("rank"))
+  }
+
+  /** Cross-document duplicated n-gram fraction — the per-position
+    * repeated-substring signal (the distributed approximation of
+    * suffix-array substring dedup from "Deduplicating Training Data
+    * Makes Language Models Better"): for each document, the fraction of
+    * its token n-gram positions whose n-gram also appears in at least
+    * one OTHER document.
+    *
+    * Scale shape: positions explode once; gram stats are one count-
+    * distinct shuffle keyed on the gram; the mark-back is an equi-join
+    * on gram (hot boilerplate grams are the skew risk — salt or
+    * pre-aggregate per (gram, doc) first, which the groupBy below
+    * already does implicitly via distinct doc counting).
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val tk = col("tk")
+    val grams = when(size(tk) >= n,
+      transform(sequence(lit(1), (size(tk) - (n - 1)).cast("int")),
+        i => concat_ws(" ",
+          (0 until n).map(o => element_at(tk, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val pos = df
+      .select(col(idCol).as("doc_id"),
+        transform(tokens(col(textCol)), t => lower(t)).as("tk"))
+      .select(col("doc_id"), explode(grams).as("gram"))
+    val stats = pos.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    val perDoc = pos.join(stats, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L))
+          .as("n_dup_grams"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_dup_grams", coalesce(col("n_dup_grams"), lit(0L)))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** PII patterns — deliberately RE2-compatible (no lookaround, no
+    * backreferences) so the same pattern text runs in Spark (java.util
+    * .regex) and DuckDB (RE2), and redaction stays a pure codegen'd
+    * projection.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val ipv4Pattern =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII detection + redaction: count and mask emails, phone numbers
+    * and IPv4 literals. Email masking runs first so the later, looser
+    * numeric patterns can never match inside an already-masked span.
+    * One narrow projection — no shuffle, scales linearly.
+    */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val text = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipv4Pattern, "<IP>")
+    df.select(col(idCol),
+      size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(text, lit(ipv4Pattern), lit(0)))
+        .cast("long").as("n_ips"),
+      md5(redacted).as("red_md5"))
+  }
+
+  /** Epoch-based mixture upsampling — the complement of `sourceCap`:
+    * replicate each document `epochs` times (epochs driven by source
+    * quality tier) with a deterministic per-replica shuffle key, so a
+    * training mix can weight domains without rand(). The explode is a
+    * narrow generate (row fan-out only, no shuffle); downstream
+    * repartition on `mix_key` gives the global shuffle when writing.
+    */
+  def mixEpochs(df: DataFrame, idCol: String, srcCol: String,
+      epochs: Column): DataFrame =
+    df.withColumn("epochs", epochs.cast("int"))
+      .select(col(idCol), col(srcCol),
+        explode(sequence(lit(1), col("epochs"))).as("epoch"))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("mix_key",
+        md5(concat(col(idCol).cast("string"), lit("#"),
+          col("epoch").cast("string"))))
+
   /** Document fingerprint: md5 over canonicalized text (lowercase,
     * alnum-only, collapsed whitespace) — robust to formatting noise.
     */

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 operators: TF-IDF, cross-doc duplicated n-grams, PII
+  * redaction, epoch mixing, Bloom decontamination.
+  */
+class Ext2OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docs = Seq(
+    (1L, "alpha beta gamma alpha beta gamma delta epsilon eta eta"),
+    (2L, "alpha beta gamma alpha beta gamma delta epsilon zeta theta"),
+    (3L, "iota kappa lambda mu nu xi omicron pi rho sigma"),
+    (4L, "one two")
+  ).toDF("doc_id", "text")
+
+  test("tfidf: corpus-wide terms score 0, rare terms rank first") {
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    // 'eta' (tf 2, df 1 -> score 2·ln4) must outrank the shared
+    // 'alpha' (tf 2, df 2 -> score 2·ln2)
+    val top1 = out(1L).minBy(_.getAs[Int]("rank"))
+    assert(top1.getAs[String]("term") === "eta")
+    // every emitted score is >= the next rank's score within a doc
+    out.values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Double]("score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("dup ngrams: shared 8-gram prefix marks both docs, others zero") {
+    val out = TextAnalysis.dupNgramStats(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"))).toMap
+    // docs 1/2 share their first 8-gram (position 1 of 3)
+    assert(out(1L) === ((3L, 1L)))
+    assert(out(2L) === ((3L, 1L)))
+    assert(out(3L) === ((3L, 0L)))
+    assert(out(4L) === ((0L, 0L))) // shorter than n -> zero, present
+  }
+
+  test("pii redact: counts and masking") {
+    val d = Seq((1L, "mail a.b+c@x-corp.io or call +44-123-4567 at 10.0.0.1 end"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(d, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_emails") === 1L)
+    assert(r.getAs[Long]("n_phones") === 1L)
+    assert(r.getAs[Long]("n_ips") === 1L)
+    val redacted = d.select(
+      regexp_replace(regexp_replace(regexp_replace($"text",
+        TextAnalysis.emailPattern, "<EMAIL>"),
+        TextAnalysis.phonePattern, "<PHONE>"),
+        TextAnalysis.ipv4Pattern, "<IP>")).as[String].head()
+    assert(redacted === "mail <EMAIL> or call <PHONE> at <IP> end")
+  }
+
+  test("mix epochs: replication count and deterministic keys") {
+    val d = Seq((1L, "s0"), (2L, "s1")).toDF("doc_id", "source")
+    val out = TextAnalysis.mixEpochs(d, "doc_id", "source",
+      when($"source" === "s0", 3).otherwise(1))
+    assert(out.count() === 4)
+    assert(out.filter($"doc_id" === 1L).select("epoch")
+      .as[Long].collect().sorted === Seq(1L, 2L, 3L))
+    // key depends on (doc, epoch), not partitioning: re-run identical
+    assert(out.orderBy("doc_id", "epoch").select("mix_key").as[String]
+      .collect() === out.orderBy("doc_id", "epoch").select("mix_key")
+      .as[String].collect())
+  }
+
+  test("bloom decontamination: no false negatives vs exact flags") {
+    val bench = docs.filter($"doc_id" === 1L)
+    val out = Dedup.bloomContaminationFlags(docs, "doc_id", "text",
+      bench, n = 5, mBits = 1L << 18, kHashes = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("bloom_hit"), r.getAs[Boolean]("exact_hit")))
+      .toMap
+    // every exact hit must be a bloom hit (no false negatives)
+    out.values.foreach { case (bloom, exact) =>
+      if (exact) assert(bloom)
+    }
+    assert(out(1L)._2) // bench doc self-flags
+    assert(out(2L)._2) // shares 5-gram "alpha beta gamma alpha beta..."
+    assert(!out(3L)._2 && !out(3L)._1) // disjoint doc clean both ways
+    assert(!out(4L)._2) // too short for a 5-gram
+  }
+
+  test("bloom with tiny m produces false positives but never negatives") {
+    val bench = docs.filter($"doc_id" === 1L)
+    val out = Dedup.bloomContaminationFlags(docs, "doc_id", "text",
+      bench, n = 5, mBits = 4L, kHashes = 1)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("bloom_hit"), r.getAs[Boolean]("exact_hit")))
+      .toMap
+    out.values.foreach { case (bloom, exact) => if (exact) assert(bloom) }
+    // 4-bit filter over dozens of shingles: doc 3 collides for sure
+    assert(out(3L)._1 && !out(3L)._2)
+  }
+}
