@@ -195,6 +195,18 @@ class KeyedTableSink(spark: SparkSession, val path: String,
       throw new IllegalArgumentException(s"unknown action: $other")
   }
 
+  /** Recover a mid-promote crash and delete orphaned generation dirs /
+    * stale tmp manifests a crashed writer left behind (data written but
+    * never referenced by a promoted manifest). Call at stream
+    * (re)start, when the pipeline owns the path exclusively — NOT
+    * while another writer is mid-apply on the same table, since its
+    * in-flight generation dirs are unreferenced by design.
+    */
+  def startupGc(): Unit = {
+    val m = manifest() // manifest() rolls CURRENT.next forward first
+    if (fs.exists(root)) gc(m)
+  }
+
   /** Compact the table: rewrite live state into a fresh generation
     * with `filesPerBucket` files per bucket (1 flat file when
     * unbucketed). Long streams of small batches accumulate small

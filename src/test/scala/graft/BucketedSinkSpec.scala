@@ -153,4 +153,30 @@ class BucketedSinkSpec extends AnyFunSuite {
     sink.apply(del, "upsertInto") // replay
     assert(rows(sink) === Set())
   }
+
+  test("startupGc removes a crashed writer's orphans, keeps live state") {
+    val dir = Files.createTempDirectory("buk4").toString
+    val sink = new KeyedTableSink(spark, dir, Seq("id"), schema,
+      numBuckets = 4)
+    sink.apply(batch((1L, 10L, CdcParse.OpUpdate),
+      (2L, 20L, CdcParse.OpUpdate)), "upsertInto")
+    val before = rows(sink)
+    // simulate a writer that crashed after writing data but before the
+    // manifest promote: an unreferenced generation dir + tmp manifest
+    val orphan = new java.io.File(dir, "g-deadbeef")
+    assert(orphan.mkdir())
+    Files.write(orphan.toPath.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    Files.write(java.nio.file.Paths.get(dir, "CURRENT.tmp-ffff"),
+      "junk".getBytes)
+    sink.startupGc()
+    assert(!orphan.exists())
+    assert(!new java.io.File(dir, "CURRENT.tmp-ffff").exists())
+    assert(rows(sink) === before)
+    // on a brand-new (never-applied) table it is a no-op, not a crash
+    val fresh = new KeyedTableSink(spark,
+      Files.createTempDirectory("buk5").toString + "/nested",
+      Seq("id"), schema, numBuckets = 4)
+    fresh.startupGc()
+  }
 }
