@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Per-key running totals state (count + sum of the value column). */
+case class CounterState(n: Long, total: Long)
+
+/** One output row per key per micro-batch with the running totals. */
+case class KeyCounter(key: Long, n: Long, total: Long)
+
+/** Per-key running counters via Spark 4's `transformWithState` — the
+  * arbitrary-state API that supersedes `flatMapGroupsWithState`
+  * (typed ValueState/ListState/MapState handles, native TTL, timers,
+  * RocksDB-backed). This is the keyed generalization of the
+  * reference's per-writer rows-written throughput counters
+  * (`YqlWriter.java:217-231`): every micro-batch emits the updated
+  * running (count, sum) for each key it touched.
+  *
+  * Scale shape: state is one fixed-size row per key in the state
+  * store, updates are shuffle-partitioned by key, and TTL bounds the
+  * keyspace for abandoned keys — the same contract StreamingDedup
+  * enforces with watermark timeouts, but expressed through the new
+  * API's native TTL instead of hand-rolled timeout re-arming.
+  *
+  * Requires the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass`).
+  */
+class CounterProcessor(ttl: java.time.Duration)
+    extends StatefulProcessor[Long, (Long, Long), KeyCounter] {
+
+  @transient private var state: ValueState[CounterState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val ttlConf =
+      if (ttl == null) TTLConfig.NONE else TTLConfig(ttl)
+    state = getHandle.getValueState[CounterState]("counter",
+      Encoders.product[CounterState], ttlConf)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[KeyCounter] = {
+    val prev = Option(state.get()).getOrElse(CounterState(0L, 0L))
+    var n = prev.n
+    var total = prev.total
+    rows.foreach { case (_, v) => n += 1; total += v }
+    state.update(CounterState(n, total))
+    Iterator.single(KeyCounter(key, n, total))
+  }
+}
+
+object StatefulCounters {
+
+  /** Running (count, sum) per key over a stream of (key, value) rows;
+    * emits the updated totals for every key touched in a micro-batch
+    * (OutputMode.Update). `ttl` (optional) expires idle keys' state.
+    */
+  def runningCounters(events: Dataset[(Long, Long)],
+      ttl: java.time.Duration = null): Dataset[KeyCounter] = {
+    implicit val outEnc: Encoder[KeyCounter] =
+      Encoders.product[KeyCounter]
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new CounterProcessor(ttl), TimeMode.None(),
+        OutputMode.Update())
+  }
+}
