@@ -73,7 +73,38 @@ object Ext2Queries {
       .orderBy("doc_id")
   }
 
+  /** RANGE-frame window: per-customer trailing-90-day order count and
+    * spend (frame bounded by the ORDER BY value, not row offsets — the
+    * sliding-time-window analytics shape). Money summed as exact
+    * DECIMAL inside the frame so segment-tree vs running-sum window
+    * implementations cannot produce FP-order noise.
+    */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1970-01-01"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-89, 0)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") % 10 === 0)
+      .withColumn("day", day.cast("long"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("spend_trailing",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double"))
+      .select("o_custkey", "o_orderkey", "day", "n_trailing",
+        "spend_trailing")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Mean unigram NLL per document under the corpus unigram LM. */
+  def unigramNll(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogprob(t(spark, dir, "documents"), "doc_id",
+        "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_range_frame" -> rangeFrame _,
+    "text_unigram_nll" -> unigramNll _,
     "text_tfidf" -> tfidf _,
     "text_dup_ngrams" -> dupNgrams _,
     "text_pii_redact" -> piiRedact _,
@@ -81,6 +112,42 @@ object Ext2Queries {
     "text_bloom_decontaminate" -> bloomDecon _)
 
   val oracle: Map[String, String] = Map(
+    "q33_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+        |      AS day,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_custkey % 10 = 0)
+        |SELECT o_custkey, o_orderkey, day,
+        |  COUNT(*) OVER w AS n_trailing,
+        |  CAST(SUM(price) OVER w AS DOUBLE) AS spend_trailing
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "text_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(tt.tok) AS tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |    FROM documents) tt
+        |), dt AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM toks GROUP BY doc_id, tok
+        |), lm AS (
+        |  SELECT tok, CAST(SUM(n_occ) AS BIGINT) AS c FROM dt GROUP BY tok
+        |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM lm),
+        |sc AS (
+        |  SELECT dt.doc_id, dt.n_occ,
+        |    CAST(ROUND(ln(CAST(lm.c AS DOUBLE) / CAST(tot.n_total AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS lp_micro
+        |  FROM dt JOIN lm USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(-lp_micro * n_occ) AS BIGINT) AS sum_nll_micro,
+        |  CAST(SUM(-lp_micro * n_occ) AS DOUBLE)
+        |    / CAST(SUM(n_occ) AS DOUBLE) / 1e6 AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, lower(tt.term) AS term FROM (

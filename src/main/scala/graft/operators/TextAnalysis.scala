@@ -268,6 +268,42 @@ object TextAnalysis {
         md5(concat(col(idCol).cast("string"), lit("#"),
           col("epoch").cast("string"))))
 
+  /** Per-document mean unigram negative log-likelihood under the
+    * corpus's own unigram LM — the cheap KenLM-style fluency /
+    * outlier signal (a doc of globally-rare tokens scores high).
+    * Token log-probs are quantized to integer MICRO-nats before the
+    * per-doc sum, so the aggregate is exact integer arithmetic —
+    * no FP-summation-order noise between engines, only the one
+    * well-separated round on each ln().
+    *
+    * Scale shape: token explode → one count shuffle for the LM, one
+    * join back on token (vocabulary-sized dimension — hot stopword
+    * keys are the skew risk, pre-aggregated here by (doc, tok)
+    * first), one per-doc aggregate. Corpus scanned once for counts,
+    * once for scoring.
+    */
+  def unigramLogprob(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(transform(tokens(col(textCol)), t => lower(t))).as("tok"))
+    // pre-aggregate per (doc, tok): the LM join then carries one row
+    // per distinct token per doc, not one per occurrence
+    val docTok = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("n_occ"))
+    val lm = docTok.groupBy("tok").agg(sum(col("n_occ")).as("c"))
+    val total = lm.agg(sum(col("c")).as("n_total"))
+    docTok.join(lm, "tok").crossJoin(broadcast(total))
+      .withColumn("lp_micro",
+        round(log(col("c").cast("double") / col("n_total").cast("double"))
+          * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_occ")).as("n_tokens"),
+        sum(-col("lp_micro") * col("n_occ")).as("sum_nll_micro"))
+      .withColumn("avg_nll",
+        col("sum_nll_micro").cast("double")
+          / col("n_tokens").cast("double") / 1e6)
+  }
+
   /** Document fingerprint: md5 over canonicalized text (lowercase,
     * alnum-only, collapsed whitespace) — robust to formatting noise.
     */

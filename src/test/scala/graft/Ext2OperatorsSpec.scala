@@ -89,6 +89,19 @@ class Ext2OperatorsSpec extends AnyFunSuite {
     assert(!out(4L)._2) // too short for a 5-gram
   }
 
+  test("unigram NLL: rare-token docs score higher than stopword docs") {
+    val d = Seq(
+      (1L, "the the the the"),          // all modal tokens
+      (2L, "the qwerty the zxcvb"))     // two singletons
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogprob(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("avg_nll")).toMap
+    assert(out(2L) > out(1L))
+    // doc 1 exact: p(the) = 6/8 -> avg_nll = -ln(0.75)
+    assert(math.abs(out(1L) - (-math.log(6.0 / 8.0))) < 1e-5)
+  }
+
   test("bloom with tiny m produces false positives but never negatives") {
     val bench = docs.filter($"doc_id" === 1L)
     val out = Dedup.bloomContaminationFlags(docs, "doc_id", "text",
