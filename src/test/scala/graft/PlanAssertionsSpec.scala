@@ -106,4 +106,35 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p)
   }
+
+  test("bloom decontamination looks bits up via broadcast joins only") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.operators.Dedup.bloomContaminationFlags(docs,
+      "doc_id", "text", docs.filter(col("doc_id") < 10), n = 5)
+    val p = plan(df)
+    // the corpus side must never hash-shuffle on the bit position —
+    // the bit table is the broadcast side of every lookup
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("hashpartitioning(bp0"), p)
+    assert(!p.contains("hashpartitioning(bp1"), p)
+  }
+
+  test("range-frame window runs as a single window over one shuffle") {
+    val df = graft.operators.Ext2Queries
+      .queries("q33_range_frame")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("Window"), p)
+    // one shuffle for the window partition, one for the final sort
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, p)
+  }
+
+  test("tfidf: corpus count arrives via broadcast, not a shuffle join") {
+    val df = graft.operators.Ext2Queries
+      .queries("text_tfidf")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
 }
