@@ -96,6 +96,30 @@ object Ext2Queries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** TPC-H Q17-shaped correlated SCALAR subqueries through `spark.sql`
+    * — Catalyst must decorrelate both per-part aggregates into joins
+    * (complementing q32's EXISTS/NOT EXISTS decorrelation). The
+    * small-quantity threshold is expressed multiplicatively
+    * (qty · 5 · cnt < sum) so the comparison is exact decimal
+    * arithmetic with no division on either engine.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l.l_partkey,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS small_qty_sum,
+        |  COUNT(*) AS n_small
+        |FROM lineitem l
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
+        |    (SELECT COUNT(*) FROM lineitem l2
+        |     WHERE l2.l_partkey = l.l_partkey)
+        |  < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+        |     FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+        |GROUP BY l.l_partkey
+        |ORDER BY l.l_partkey""".stripMargin)
+  }
+
   /** Mean unigram NLL per document under the corpus unigram LM. */
   def unigramNll(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogprob(t(spark, dir, "documents"), "doc_id",
@@ -104,6 +128,7 @@ object Ext2Queries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_range_frame" -> rangeFrame _,
+    "q34_scalar_subquery" -> scalarSubquery _,
     "text_unigram_nll" -> unigramNll _,
     "text_tfidf" -> tfidf _,
     "text_dup_ngrams" -> dupNgrams _,
@@ -126,6 +151,19 @@ object Ext2Queries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
         |  RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q34_scalar_subquery" ->
+      """SELECT l.l_partkey,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS small_qty_sum,
+        |  COUNT(*) AS n_small
+        |FROM lineitem l
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
+        |    (SELECT COUNT(*) FROM lineitem l2
+        |     WHERE l2.l_partkey = l.l_partkey)
+        |  < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+        |     FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+        |GROUP BY l.l_partkey
+        |ORDER BY l.l_partkey""".stripMargin,
     "text_unigram_nll" ->
       """WITH toks AS (
         |  SELECT doc_id, lower(tt.tok) AS tok FROM (
