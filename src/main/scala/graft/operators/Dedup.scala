@@ -30,9 +30,11 @@ object Dedup {
     * CollapseProject into every element_at and re-tokenize per shingle
     * element (n x shingle-count splits per row).
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+  /** Word n-gram shingle ARRAY of a text column (with duplicates, in
+    * position order) — the narrow building block `shingles` explodes.
+    */
+  def shingleArray(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
     def shinglesOf(tk: Column): Column = {
       // sequence(1,0) would run DOWNWARD in Spark — guard short docs
       val idx = when(size(tk) >= n, sequence(lit(1), size(tk) - (n - 1)))
@@ -40,9 +42,13 @@ object Dedup {
       transform(idx, i =>
         concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
     }
-    val sh = flatten(transform(array(toks), tk => shinglesOf(tk)))
-    df.select(col(idCol).as("id"), explode(sh).as("shingle")).distinct()
+    flatten(transform(array(toks), tk => shinglesOf(tk)))
   }
+
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(shingleArray(col(textCol), n)).as("shingle")).distinct()
 
   /** Pairwise Jaccard similarity over shingle sets for all pairs that
     * share at least one shingle; returns pairs with jaccard >= minJ.
