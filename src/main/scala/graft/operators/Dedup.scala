@@ -103,39 +103,46 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4, minJ: Double, n: Int = 3)
       : DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // shingle rows carry their set size from the start (same shape as
+    // jaccardPairs): the size prune rides the candidate join and the
+    // verify aggregate carries the sizes, so no post-agg size joins
+    val sh = shingles(df, idCol, textCol, n)
+    val sized = sh
+      .join(sh.groupBy(col("id")).agg(count(lit(1)).as("sz")), "id")
+      .cache()
     // wide signatures -> one row per (id, band) with the concatenated
     // band signature; cached for both sides of the candidate self-join
-    val sig = minhashSignatures(sh, numHashes)
-    val bandSig = sig.select(col("id"),
+    val sig = minhashSignatures(sized, numHashes)
+    val szOf = sized.groupBy(col("id")).agg(max(col("sz")).as("sz"))
+    val bandSig = sig.join(szOf, "id")
+      .select(col("id"), col("sz"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             concat_ws(",", (0 until rowsPerBand).map(r =>
               col(s"mh${b * rowsPerBand + r}")): _*).as("bsig"))
         }: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"),
+      .select(col("id"), col("sz"), col("bs.band").as("band"),
         col("bs.bsig").as("bsig"))
       .cache()
+    // PPJoin-style size prune INSIDE the candidate join: J >= t needs
+    // min(sz) >= t * max(sz) — exact, never drops a qualifying pair
     val cands = bandSig.as("a").join(bandSig.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          col("a.sz") * minJ <= col("b.sz") &&
+          col("b.sz") * minJ <= col("a.sz"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     // verify candidates with exact jaccard over the cached shingle
     // sets; the shingle equality is IN the join condition — joining on
     // id alone would fan out |sh_a| x |sh_b| rows per candidate pair
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val common = cands
-      .join(sh.select(col("id").as("id_a"), col("shingle").as("s")),
-        Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingle").as("s")),
-        Seq("id_b", "s"))
+    cands
+      .join(sized.select(col("id").as("id_a"), col("shingle").as("s"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sized.select(col("id").as("id_b"), col("shingle").as("s"),
+        col("sz").as("sz_b")), Seq("id_b", "s"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .agg(count(lit(1)).as("common"),
+        max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJ)
