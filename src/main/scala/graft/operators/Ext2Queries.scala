@@ -120,6 +120,15 @@ object Ext2Queries {
         |ORDER BY l.l_partkey""".stripMargin)
   }
 
+  /** Substring-dedup transform: mask every token covered by a
+    * cross-document duplicated 8-gram, re-assemble the survivors.
+    */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dedupSpans(t(spark, dir, "documents"), "doc_id",
+        "text", n = 8)
+      .select("doc_id", "n_tokens", "n_kept", "n_removed", "kept_md5")
+      .orderBy("doc_id")
+
   /** Mean unigram NLL per document under the corpus unigram LM. */
   def unigramNll(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogprob(t(spark, dir, "documents"), "doc_id",
@@ -129,6 +138,7 @@ object Ext2Queries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_range_frame" -> rangeFrame _,
     "q34_scalar_subquery" -> scalarSubquery _,
+    "text_dedup_spans" -> dedupSpans _,
     "text_unigram_nll" -> unigramNll _,
     "text_tfidf" -> tfidf _,
     "text_dup_ngrams" -> dupNgrams _,
@@ -164,6 +174,40 @@ object Ext2Queries {
         |     FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
         |GROUP BY l.l_partkey
         |ORDER BY l.l_partkey""".stripMargin,
+    "text_dedup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    t -> lower(t)) AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |      || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+        |      || ' ' || tk[i+7] AS gram
+        |  FROM base, UNNEST(range(1, greatest(len(tk) - 6, 1))) AS r(i)
+        |), dup AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT g.doc_id, CAST(r.idx AS INT) AS idx
+        |  FROM g JOIN dup USING (gram),
+        |    UNNEST(range(g.pos, g.pos + 8)) AS r(idx)
+        |), ti AS (
+        |  SELECT doc_id, CAST(generate_subscripts(tk, 1) - 1 AS INT) AS idx,
+        |    unnest(tk) AS tok
+        |  FROM base
+        |), kept AS (
+        |  SELECT ti.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(ti.tok, ' ' ORDER BY ti.idx)) AS kept_md5
+        |  FROM ti ANTI JOIN cov ON cov.doc_id = ti.doc_id
+        |    AND cov.idx = ti.idx
+        |  GROUP BY ti.doc_id)
+        |SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  CAST(len(b.tk) AS BIGINT) - coalesce(k.n_kept, 0) AS n_removed,
+        |  coalesce(k.kept_md5, md5('')) AS kept_md5
+        |FROM base b LEFT JOIN kept k ON k.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "text_unigram_nll" ->
       """WITH toks AS (
         |  SELECT doc_id, lower(tt.tok) AS tok FROM (

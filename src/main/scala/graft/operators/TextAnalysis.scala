@@ -218,6 +218,60 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Cross-document substring DEDUP TRANSFORM — the executable
+    * counterpart of `dupNgramStats` (the "Deduplicating Training Data"
+    * removal step, distributed): every token position covered by an
+    * n-gram that also occurs in another document is masked out, and
+    * the cleaned document is re-assembled from the surviving tokens in
+    * order. Returns per doc: token counts before/after and the md5 of
+    * the cleaned text (the pipeline would carry the text itself).
+    *
+    * Scale shape: gram stats are one count-distinct shuffle on the
+    * gram; span coverage is a narrow explode of [p, p+n-1] index
+    * ranges; the re-assembly is one per-doc aggregate over an
+    * anti-joined token list — everything keys on (doc, ...), nothing
+    * is ever pairwise.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val tk = col("tk")
+    val grams = when(size(tk) >= n,
+      transform(sequence(lit(0), (size(tk) - n).cast("int")),
+        i => struct(i.as("pos"), concat_ws(" ",
+          (0 until n).map(o => element_at(tk, i + o + 1)): _*)
+          .as("gram"))))
+      .otherwise(array().cast("array<struct<pos:int,gram:string>>"))
+    val base = df.select(col(idCol).as("doc_id"),
+      transform(tokens(col(textCol)), t => lower(t)).as("tk"))
+    val pos = base.select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"),
+        col("g.gram").as("gram"))
+    val dupGrams = pos.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+    // covered token indices: union of [p, p+n-1] over duplicated grams
+    val covered = pos.join(dupGrams, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("idx"))
+      .distinct()
+    val tokIdx = base.select(col("doc_id"),
+      posexplode(col("tk")).as(Seq("idx", "tok")))
+    val kept = tokIdx
+      .join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          s => s.getField("tok")))).as("kept_md5"))
+    base.select(col("doc_id"), size(col("tk")).cast("long")
+        .as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("n_removed", col("n_tokens") - col("n_kept"))
+      .withColumn("kept_md5",
+        coalesce(col("kept_md5"), md5(lit(""))))
+  }
+
   /** PII patterns — deliberately RE2-compatible (no lookaround, no
     * backreferences) so the same pattern text runs in Spark (java.util
     * .regex) and DuckDB (RE2), and redaction stays a pure codegen'd

@@ -89,6 +89,27 @@ class Ext2OperatorsSpec extends AnyFunSuite {
     assert(!out(4L)._2) // too short for a 5-gram
   }
 
+  test("dedup spans: duplicated 8-gram tokens removed, unique doc intact") {
+    val d = Seq(
+      // docs 1/2 share tokens 0..7 exactly; tails differ
+      (1L, "a b c d e f g h tail1 tail2"),
+      (2L, "a b c d e f g h other"),
+      (3L, "p q r s t u v w x y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpans(d, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("kept_md5"))).toMap
+    // doc 1: grams at pos 0..2; only pos-0 gram is shared -> tokens
+    // 0..7 removed, "tail1 tail2" kept
+    assert(out(1L)._1 === 10L && out(1L)._2 === 2L)
+    val md5tail = d.sparkSession.range(1)
+      .select(md5(lit("tail1 tail2"))).head().getString(0)
+    assert(out(1L)._3 === md5tail)
+    assert(out(2L)._2 === 1L) // "other" survives
+    assert(out(3L)._2 === 10L) // untouched
+  }
+
   test("unigram NLL: rare-token docs score higher than stopword docs") {
     val d = Seq(
       (1L, "the the the the"),          // all modal tokens
