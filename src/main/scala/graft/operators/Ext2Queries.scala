@@ -120,6 +120,23 @@ object Ext2Queries {
         |ORDER BY l.l_partkey""".stripMargin)
   }
 
+  /** Snapshot-diff changelog generation (the inverse of the apply
+    * path): two per-user snapshots derived from disjoint event halves
+    * are diffed into insert/update/erase ops — how a changefeed is
+    * bootstrapped from periodic table snapshots.
+    */
+  def diffChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    def snap(cond: org.apache.spark.sql.Column) =
+      ev.filter(cond).groupBy(col("user_id"))
+        .agg(max(col("event_type")).as("event_type"),
+          max(round(col("value") * 1000).cast("long")).as("value_milli"))
+    KeyedMerge.diffChangelog(
+        snap(col("event_id") % 2 === 0), snap(col("event_id") % 2 === 1),
+        Seq("user_id"))
+      .orderBy("user_id")
+  }
+
   /** Substring-dedup transform: mask every token covered by a
     * cross-document duplicated 8-gram, re-assemble the survivors.
     */
@@ -138,6 +155,7 @@ object Ext2Queries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_range_frame" -> rangeFrame _,
     "q34_scalar_subquery" -> scalarSubquery _,
+    "cdc_diff_changelog" -> diffChangelog _,
     "text_dedup_spans" -> dedupSpans _,
     "text_unigram_nll" -> unigramNll _,
     "text_tfidf" -> tfidf _,
@@ -174,6 +192,34 @@ object Ext2Queries {
         |     FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
         |GROUP BY l.l_partkey
         |ORDER BY l.l_partkey""".stripMargin,
+    "cdc_diff_changelog" ->
+      """WITH b AS (
+        |  SELECT user_id, MAX(event_type) AS event_type,
+        |    MAX(CAST(ROUND(value * 1000) AS BIGINT)) AS value_milli
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+        |), a AS (
+        |  SELECT user_id, MAX(event_type) AS event_type,
+        |    MAX(CAST(ROUND(value * 1000) AS BIGINT)) AS value_milli
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+        |), j AS (
+        |  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |    a.user_id IS NOT NULL AS in_a, b.user_id IS NOT NULL AS in_b,
+        |    a.event_type AS a_et, a.value_milli AS a_vm,
+        |    b.event_type AS b_et, b.value_milli AS b_vm
+        |  FROM b FULL OUTER JOIN a ON a.user_id = b.user_id
+        |), cls AS (
+        |  SELECT user_id, a_et, a_vm,
+        |    CASE WHEN NOT in_b THEN 'update'
+        |         WHEN NOT in_a THEN 'erase'
+        |         WHEN a_et IS DISTINCT FROM b_et
+        |           OR a_vm IS DISTINCT FROM b_vm THEN 'update'
+        |         ELSE 'noop' END AS op
+        |  FROM j)
+        |SELECT user_id,
+        |  CASE WHEN op <> 'erase' THEN a_et END AS event_type,
+        |  CASE WHEN op <> 'erase' THEN a_vm END AS value_milli,
+        |  op
+        |FROM cls WHERE op <> 'noop' ORDER BY user_id""".stripMargin,
     "text_dedup_spans" ->
       """WITH base AS (
         |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),

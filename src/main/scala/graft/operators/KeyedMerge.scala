@@ -75,4 +75,46 @@ object KeyedMerge {
   def applyCdc(state: DataFrame, batch: DataFrame,
       keys: Seq[String]): DataFrame =
     applyUpsert(state, batch, keys) // erase rows drop state, add nothing
+
+  /** The INVERSE of apply: diff two keyed table snapshots into a
+    * changelog — how a changefeed is bootstrapped when the source only
+    * provides periodic snapshots. Emits one row per differing key:
+    * op = insert (key only in `after`), erase (only in `before`), or
+    * update (present in both with any non-key column differing,
+    * null-safe). Unchanged keys emit nothing. Payload columns carry
+    * the AFTER image (null for erases — key-only, like the
+    * reference's erase envelope).
+    *
+    * Scale shape: one full-outer shuffle join on the key — the minimal
+    * cost of any snapshot diff — then a narrow classify/filter. At
+    * 100 TB both snapshots bucket on the key and the join co-locates.
+    */
+  def diffChangelog(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(before.columns.sameElements(after.columns),
+      "snapshot schemas must match")
+    val dataCols = before.columns.filterNot(keys.contains)
+    val b = before.select(before.columns
+      .map(c => col(c).as(s"__b_$c")).toIndexedSeq: _*)
+    val a = after.select(after.columns
+      .map(c => col(c).as(s"__a_$c")).toIndexedSeq: _*)
+    val joined = b.join(a,
+      keys.map(k => col(s"__b_$k") === col(s"__a_$k")).reduce(_ && _),
+      "full_outer")
+    val inB = col(s"__b_${keys.head}").isNotNull
+    val inA = col(s"__a_${keys.head}").isNotNull
+    val changed = dataCols.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("op",
+        when(!inB, lit(CdcParse.OpUpdate))
+          .when(!inA, lit(CdcParse.OpErase))
+          .when(changed, lit(CdcParse.OpUpdate))
+          .otherwise(lit("noop")))
+      .filter(col("op") =!= "noop")
+      .select(keys.map(k =>
+          coalesce(col(s"__a_$k"), col(s"__b_$k")).as(k)) ++
+        dataCols.map(c => when(col("op") =!= CdcParse.OpErase,
+          col(s"__a_$c")).as(c)) :+ col("op"): _*)
+  }
 }

@@ -89,6 +89,25 @@ class Ext2OperatorsSpec extends AnyFunSuite {
     assert(!out(4L)._2) // too short for a 5-gram
   }
 
+  test("diffChangelog round-trip: apply(before, diff) reconstructs after") {
+    import graft.operators.KeyedMerge
+    val before = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "t", "v")
+    val after = Seq((1L, "a", 10L), (2L, "B", 99L), (4L, "d", 40L))
+      .toDF("id", "t", "v")
+    val diff = KeyedMerge.diffChangelog(before, after, Seq("id"))
+    val ops = diff.collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("op")).toMap
+    assert(ops === Map(2L -> "update", 3L -> "erase", 4L -> "update"))
+    // unchanged key 1 emits nothing; erase carries null payload
+    assert(diff.filter($"id" === 3L).select("t").head().isNullAt(0))
+    val rebuilt = KeyedMerge.applyCdc(before, diff, Seq("id"))
+      .select("id", "t", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rebuilt === after.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
+  }
+
   test("dedup spans: duplicated 8-gram tokens removed, unique doc intact") {
     val d = Seq(
       // docs 1/2 share tokens 0..7 exactly; tails differ
