@@ -120,6 +120,66 @@ object Ext2Queries {
         |ORDER BY l.l_partkey""".stripMargin)
   }
 
+  /** Mergeable-sketch distinct counting (DataSketches HLL, native in
+    * Spark 4): one HLL sketch of distinct 5-gram shingles PER SOURCE,
+    * merged with `hll_union_agg` into the corpus-wide estimate — the
+    * re-aggregatable rollup pattern that makes 100 TB distinct counts
+    * cheap (partial sketches per partition/day, merged later, never
+    * re-scanned). Exact distinct counts are emitted for the hash gate;
+    * the estimates are checked by a q23-style within-5% contract
+    * (sketches are deterministic for a given item multiset, but not
+    * DuckDB-replayable).
+    */
+  def sketchShingles(spark: SparkSession, dir: String): DataFrame = {
+    val sh5 = t(spark, dir, "documents")
+      .select(col("source"), explode(array_distinct(
+        Dedup.shingleArray(col("text"), 5))).as("shingle"))
+    val per = sh5.groupBy("source").agg(
+      hll_sketch_agg(col("shingle")).as("sk"),
+      countDistinct(col("shingle")).as("n_exact"))
+    val perOut = per.select(col("source"), col("n_exact"),
+      hll_sketch_estimate(col("sk")).as("est"))
+    val allExact = sh5.agg(countDistinct(col("shingle")).as("n_exact"))
+    val allOut = per.agg(hll_union_agg(col("sk")).as("sk"))
+      .crossJoin(broadcast(allExact))
+      .select(lit("ALL").as("source"), col("n_exact"),
+        hll_sketch_estimate(col("sk")).as("est"))
+    perOut.unionByName(allOut)
+      .withColumn("hll_ok",
+        abs(col("est") - col("n_exact").cast("double"))
+          <= col("n_exact").cast("double") * 0.05)
+      .select("source", "n_exact", "hll_ok")
+      .orderBy("source")
+  }
+
+  /** Theta-sketch set operations: distinct-shingle overlap between two
+    * source halves via `theta_intersection` vs the exact intersection
+    * — sketch set algebra is how cross-dataset contamination overlap
+    * is estimated without a join at 100 TB.
+    */
+  def sketchOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh5 = t(spark, dir, "documents")
+      .select(col("source"), explode(array_distinct(
+        Dedup.shingleArray(col("text"), 5))).as("shingle"))
+      .withColumn("grp",
+        when(substring(col("source"), 4, 10).cast("int") < 10, "a")
+          .otherwise("b"))
+    val sk = sh5.groupBy("grp").agg(
+      theta_sketch_agg(col("shingle")).as("sk"))
+    val inter = sk.agg(theta_sketch_estimate(
+      theta_intersection_agg(col("sk"))).as("est_inter"))
+    val exact = sh5.select(col("grp"), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("ng"))
+      .agg(sum(when(col("ng") === 2, 1L).otherwise(0L))
+        .as("n_exact_inter"),
+        count(lit(1)).as("n_exact_union"))
+    exact.crossJoin(broadcast(inter))
+      .withColumn("inter_ok",
+        abs(col("est_inter") - col("n_exact_inter").cast("double"))
+          <= col("n_exact_inter").cast("double") * 0.10)
+      .select("n_exact_inter", "n_exact_union", "inter_ok")
+  }
+
   /** Snapshot-diff changelog generation (the inverse of the apply
     * path): two per-user snapshots derived from disjoint event halves
     * are diffed into insert/update/erase ops — how a changefeed is
@@ -156,6 +216,8 @@ object Ext2Queries {
     "q33_range_frame" -> rangeFrame _,
     "q34_scalar_subquery" -> scalarSubquery _,
     "cdc_diff_changelog" -> diffChangelog _,
+    "text_sketch_shingles" -> sketchShingles _,
+    "text_sketch_overlap" -> sketchOverlap _,
     "text_dedup_spans" -> dedupSpans _,
     "text_unigram_nll" -> unigramNll _,
     "text_tfidf" -> tfidf _,
@@ -192,6 +254,45 @@ object Ext2Queries {
         |     FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
         |GROUP BY l.l_partkey
         |ORDER BY l.l_partkey""".stripMargin,
+    "text_sketch_shingles" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT source,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |      tk[i+3] || ' ' || tk[i+4] AS shingle
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 3, 1))) AS r(i)
+        |), per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
+        |    true AS hll_ok
+        |  FROM sh GROUP BY source
+        |), allr AS (
+        |  SELECT 'ALL' AS source,
+        |    CAST(count(DISTINCT shingle) AS BIGINT) AS n_exact,
+        |    true AS hll_ok
+        |  FROM sh)
+        |SELECT * FROM per UNION ALL SELECT * FROM allr
+        |ORDER BY source""".stripMargin,
+    "text_sketch_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |      THEN 'a' ELSE 'b' END AS grp,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |      tk[i+3] || ' ' || tk[i+4] AS shingle
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 3, 1))) AS r(i)
+        |), g AS (
+        |  SELECT shingle, count(*) AS ng FROM sh GROUP BY shingle)
+        |SELECT
+        |  CAST(SUM(CASE WHEN ng = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact_inter,
+        |  CAST(count(*) AS BIGINT) AS n_exact_union,
+        |  true AS inter_ok
+        |FROM g""".stripMargin,
     "cdc_diff_changelog" ->
       """WITH b AS (
         |  SELECT user_id, MAX(event_type) AS event_type,
