@@ -120,6 +120,39 @@ object Ext2Queries {
         |ORDER BY l.l_partkey""".stripMargin)
   }
 
+  /** Semi-structured access through Spark 4's VARIANT type: the CDC
+    * envelope JSON is parsed ONCE into a variant (binary-encoded,
+    * shredded access — the modern replacement for repeated
+    * get_json_object string re-parses), fields are extracted with typed
+    * `variant_get` paths, and the per-op aggregate proves the routing.
+    * Missing paths yield NULL via `try_variant_get`, never an error.
+    */
+  def variantJson(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val env = concat(lit("{\"key\":["), col("user_id").cast("string"),
+      lit("],\"update\":{\"user_id\":"), col("user_id").cast("string"),
+      lit(",\"event_type\":\""), col("event_type"),
+      lit("\",\"value_milli\":"),
+      round(col("value") * 1000).cast("long").cast("string"),
+      lit("}}"))
+    ev.select(col("event_id"), parse_json(env).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.key[0]", "bigint").as("user_id"),
+        variant_get(col("v"), "$.update.event_type", "string")
+          .as("event_type"),
+        variant_get(col("v"), "$.update.value_milli", "bigint")
+          .as("value_milli"),
+        try_variant_get(col("v"), "$.update.missing_field", "bigint")
+          .as("absent"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_milli")).as("sum_vm"),
+        max(col("user_id")).as("max_uid"),
+        sum(when(col("absent").isNull, 1L).otherwise(0L))
+          .as("n_absent"))
+      .orderBy(col("event_type"))
+  }
+
   /** Mergeable-sketch distinct counting (DataSketches HLL, native in
     * Spark 4): one HLL sketch of distinct 5-gram shingles PER SOURCE,
     * merged with `hll_union_agg` into the corpus-wide estimate — the
@@ -218,6 +251,7 @@ object Ext2Queries {
     "cdc_diff_changelog" -> diffChangelog _,
     "text_sketch_shingles" -> sketchShingles _,
     "text_sketch_overlap" -> sketchOverlap _,
+    "q35_variant_json" -> variantJson _,
     "text_dedup_spans" -> dedupSpans _,
     "text_unigram_nll" -> unigramNll _,
     "text_tfidf" -> tfidf _,
@@ -254,6 +288,21 @@ object Ext2Queries {
         |     FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
         |GROUP BY l.l_partkey
         |ORDER BY l.l_partkey""".stripMargin,
+    "q35_variant_json" ->
+      """WITH env AS (
+        |  SELECT event_id,
+        |    '{"key":[' || user_id || '],"update":{"user_id":' || user_id
+        |      || ',"event_type":"' || event_type || '","value_milli":'
+        |      || CAST(ROUND(value * 1000) AS BIGINT) || '}}' AS env
+        |  FROM events)
+        |SELECT json_extract_string(env, '$.update.event_type') AS event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract_string(env, '$.update.value_milli')
+        |    AS BIGINT)) AS BIGINT) AS sum_vm,
+        |  CAST(MAX(CAST(json_extract_string(env, '$.key[0]') AS BIGINT))
+        |    AS BIGINT) AS max_uid,
+        |  CAST(count(*) AS BIGINT) AS n_absent
+        |FROM env GROUP BY event_type ORDER BY event_type""".stripMargin,
     "text_sketch_shingles" ->
       """WITH toks AS (
         |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk
