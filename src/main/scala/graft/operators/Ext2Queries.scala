@@ -120,6 +120,37 @@ object Ext2Queries {
         |ORDER BY l.l_partkey""".stripMargin)
   }
 
+  /** Time-series resample + forward fill: each user's event stream is
+    * regularized onto an hourly grid (per-user min..max hour via
+    * `sequence`), hours with no events carry the last observed value
+    * forward (`last(..., ignoreNulls)` over an ordered window). The
+    * gap-fill shape every metrics/feature pipeline needs; grid
+    * generation is a narrow explode, the fill is one window over the
+    * per-user timeline.
+    */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id"),
+        date_trunc("hour", graft.Tables.eventsTsMicros).as("hr"),
+        round(col("value") * 1000).cast("long").as("vm"))
+    val hourly = ev.groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("n"), max(col("vm")).as("vm_hr"))
+    val grid = ev.groupBy("user_id")
+      .agg(min(col("hr")).as("hr0"), max(col("hr")).as("hr1"))
+      .select(col("user_id"), explode(sequence(col("hr0"), col("hr1"),
+        expr("interval 1 hour"))).as("hr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("hr")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("vm_ff", last(col("vm_hr"), ignoreNulls = true).over(w))
+      .select("user_id", "hr", "n", "vm_ff")
+      .orderBy("user_id", "hr")
+  }
+
   /** Semi-structured access through Spark 4's VARIANT type: the CDC
     * envelope JSON is parsed ONCE into a variant (binary-encoded,
     * shredded access — the modern replacement for repeated
@@ -252,6 +283,7 @@ object Ext2Queries {
     "text_sketch_shingles" -> sketchShingles _,
     "text_sketch_overlap" -> sketchOverlap _,
     "q35_variant_json" -> variantJson _,
+    "q36_resample_ffill" -> resampleFfill _,
     "text_dedup_spans" -> dedupSpans _,
     "text_unigram_nll" -> unigramNll _,
     "text_tfidf" -> tfidf _,
@@ -288,6 +320,29 @@ object Ext2Queries {
         |     FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
         |GROUP BY l.l_partkey
         |ORDER BY l.l_partkey""".stripMargin,
+    "q36_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr,
+        |    CAST(ROUND(value * 1000) AS BIGINT) AS vm
+        |  FROM events WHERE user_id % 10 = 0
+        |), hourly AS (
+        |  SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n,
+        |    MAX(vm) AS vm_hr
+        |  FROM ev GROUP BY user_id, hr
+        |), bounds AS (
+        |  SELECT user_id, MIN(hr) AS hr0, MAX(hr) AS hr1
+        |  FROM ev GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id, CAST(g.hr AS TIMESTAMP) AS hr
+        |  FROM bounds,
+        |    UNNEST(generate_series(hr0, hr1, INTERVAL 1 HOUR)) AS g(hr))
+        |SELECT g.user_id, g.hr, coalesce(h.n, 0) AS n,
+        |  LAST_VALUE(h.vm_hr IGNORE NULLS) OVER
+        |    (PARTITION BY g.user_id ORDER BY g.hr
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vm_ff
+        |FROM grid g LEFT JOIN hourly h
+        |  ON h.user_id = g.user_id AND h.hr = g.hr
+        |ORDER BY g.user_id, g.hr""".stripMargin,
     "q35_variant_json" ->
       """WITH env AS (
         |  SELECT event_id,
