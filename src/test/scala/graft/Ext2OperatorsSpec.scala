@@ -108,6 +108,38 @@ class Ext2OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
   }
 
+  test("diffChangelog property: random snapshot pairs round-trip") {
+    import graft.operators.KeyedMerge
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      // random keyed snapshots over a small key space: plenty of
+      // inserts/updates/deletes/unchanged and null payloads
+      def snap() = (0 until 30).flatMap { k =>
+        if (rnd.nextBoolean()) Some((k.toLong,
+          if (rnd.nextInt(4) == 0) null
+          else rnd.nextPrintableChar().toString,
+          rnd.nextInt(5).toLong))
+        else None
+      }.toDF("id", "t", "v")
+      val before = snap()
+      val after = snap()
+      val diff = KeyedMerge.diffChangelog(before, after, Seq("id"))
+      val rebuilt = KeyedMerge.applyCdc(before, diff, Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2))).toSet
+      val want = after.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2))).toSet
+      assert(rebuilt === want, s"trial $trial")
+      // minimality: unchanged keys never appear in the diff
+      val diffKeys = diff.select("id").as[Long].collect().toSet
+      val unchanged = before.collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), r.getLong(2))).toSet
+        .intersect(after.collect().map(r => (r.getLong(0),
+          Option(r.getString(1)), r.getLong(2))).toSet).map(_._1)
+      assert(diffKeys.intersect(unchanged).isEmpty, s"trial $trial")
+    }
+  }
+
   test("dedup spans: duplicated 8-gram tokens removed, unique doc intact") {
     val d = Seq(
       // docs 1/2 share tokens 0..7 exactly; tails differ
