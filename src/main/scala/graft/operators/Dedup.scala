@@ -245,17 +245,18 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = explode(TextAnalysis.tokens(col(textCol))).as("tok")
-    val hexDigit = (h: Column, i: Int) =>
-      (instr(lit("0123456789abcdef"),
-        substring(h, i + 1, 1)) - 1).cast("long")
+    // ONE hex->long conversion per token; the 32 bit-vote aggregates
+    // are then shift/mask on that long (the per-bit instr+substring
+    // hex parse was 32 string scans per token — measured slower)
     val exploded = df.select(col(idCol).as("id"), tok)
-      .withColumn("h", md5(col("tok")))
-    // 32 bits from the first 8 hex nibbles (4 bits each)
+      .withColumn("h32",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    // bit 0 = MSB of the 32-bit md5 prefix (same bit order as the
+    // previous nibble walk: digit i, mask 1<<(3-i%4) == prefix bit
+    // 31-bit)
     val bitCols = (0 until 32).map { bit =>
-      val nib = hexDigit(col("h"), bit / 4)
-      val mask = 1L << (3 - bit % 4)
-      sum(when((nib.bitwiseAND(mask)) > 0, 1L).otherwise(-1L))
-        .as(s"b$bit")
+      sum(when(shiftright(col("h32"), 31 - bit).bitwiseAND(1L) === 1L,
+        1L).otherwise(-1L)).as(s"b$bit")
     }
     val votes = exploded.groupBy(col("id")).agg(bitCols.head,
       bitCols.tail: _*)
