@@ -120,6 +120,14 @@ object Ext2Queries {
         |ORDER BY l.l_partkey""".stripMargin)
   }
 
+  /** GPT-style sequence packing: 256-token bins over the hash-ordered
+    * token stream (distributed prefix sum via hash-prefix buckets).
+    */
+  def packSeqs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(t(spark, dir, "documents"), "doc_id",
+        "text", budget = 256)
+      .orderBy("doc_id")
+
   /** Time-series resample + forward fill: each user's event stream is
     * regularized onto an hourly grid (per-user min..max hour via
     * `sequence`), hours with no events carry the last observed value
@@ -284,6 +292,7 @@ object Ext2Queries {
     "text_sketch_overlap" -> sketchOverlap _,
     "q35_variant_json" -> variantJson _,
     "q36_resample_ffill" -> resampleFfill _,
+    "text_pack_sequences" -> packSeqs _,
     "text_dedup_spans" -> dedupSpans _,
     "text_unigram_nll" -> unigramNll _,
     "text_tfidf" -> tfidf _,
@@ -320,6 +329,25 @@ object Ext2Queries {
         |     FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
         |GROUP BY l.l_partkey
         |ORDER BY l.l_partkey""".stripMargin,
+    "text_pack_sequences" ->
+      """WITH base AS (
+        |  SELECT doc_id, md5(text) AS key,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS BIGINT) AS start_off
+        |  FROM base)
+        |SELECT doc_id, n_tokens, start_off,
+        |  CAST(floor(start_off / 256) AS BIGINT) AS bin_start,
+        |  CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 256)
+        |    AS BIGINT) AS bin_end,
+        |  CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 256)
+        |    - floor(start_off / 256) + 1 AS BIGINT) AS n_bins
+        |FROM cum ORDER BY doc_id""".stripMargin,
     "q36_resample_ffill" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('hour', ts) AS hr,

@@ -358,6 +358,56 @@ object TextAnalysis {
           / col("n_tokens").cast("double") / 1e6)
   }
 
+  /** Sequence PACKING for training (concat-and-chunk): documents are
+    * laid out in a deterministic global order (content hash, id) and
+    * the token stream is cut every `budget` tokens; each document
+    * reports its global token offset and the bin range it lands in
+    * (documents straddling a cut span two bins — exactly GPT-style
+    * packing).
+    *
+    * The global running offset is a DISTRIBUTED PREFIX SUM, not a
+    * single-partition window: documents bucket by the first hex digit
+    * of their hash (which PREFIXES the global sort key, so bucket-local
+    * order is a contiguous slice of the global order); each bucket
+    * computes its local cumulative sum in parallel, and the 16 bucket
+    * totals — a broadcast-sized table — turn local sums into global
+    * offsets. At 100 TB widen the bucket prefix; the per-bucket window
+    * stays the only heavy operator and it parallelizes across buckets.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+        md5(col(textCol)).as("key"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        conv(substring(col("key"), 1, 1), 16, 10).cast("int"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("key", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val local = base.withColumn("cum_in",
+      sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+    // 16-row offset table: tokens in all EARLIER buckets
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val offsets = base.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select("bucket", "off")
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("start_off", col("off") + col("cum_in"))
+      .withColumn("bin_start", floor(col("start_off") / budget))
+      .withColumn("bin_end", floor(
+        (col("start_off") + greatest(col("n_tokens"), lit(1L)) - 1)
+          / budget))
+      .withColumn("n_bins",
+        (col("bin_end") - col("bin_start") + 1).cast("long"))
+      .select("doc_id", "n_tokens", "start_off", "bin_start",
+        "bin_end", "n_bins")
+  }
+
   /** Document fingerprint: md5 over canonicalized text (lowercase,
     * alnum-only, collapsed whitespace) — robust to formatting noise.
     */

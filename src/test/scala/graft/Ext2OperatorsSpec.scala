@@ -161,6 +161,24 @@ class Ext2OperatorsSpec extends AnyFunSuite {
     assert(out(3L)._2 === 10L) // untouched
   }
 
+  test("sequence packing: bucketed prefix sum equals sequential layout") {
+    val d = (1L to 40L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(d, "doc_id", "text", budget = 10)
+      .collect()
+    // offsets are a permutation-free exact layout: sorted by start_off
+    // they tile the token stream with no gaps or overlaps
+    val byOff = out.sortBy(_.getAs[Long]("start_off"))
+    var expect = 0L
+    byOff.foreach { r =>
+      assert(r.getAs[Long]("start_off") === expect)
+      expect += r.getAs[Long]("n_tokens")
+      val spans = r.getAs[Long]("bin_end") - r.getAs[Long]("bin_start")
+      assert(spans >= 0 && spans <= 1) // docs <= 7 tokens, budget 10
+    }
+    assert(expect === out.map(_.getAs[Long]("n_tokens")).sum)
+  }
+
   test("unigram NLL: rare-token docs score higher than stopword docs") {
     val d = Seq(
       (1L, "the the the the"),          // all modal tokens
