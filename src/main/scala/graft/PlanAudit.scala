@@ -18,7 +18,9 @@ object PlanAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val interesting = args.headOption.map(Seq(_)).getOrElse(Seq(
       "q2_filter_project", "q4_broadcast_join", "q6_topk",
-      "q1_pricing_summary", "sim_cosine_topk"))
+      "q1_pricing_summary", "sim_cosine_topk", "q33_range_frame",
+      "q34_scalar_subquery", "text_tfidf", "text_bloom_decontaminate",
+      "text_pack_sequences"))
     interesting.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
