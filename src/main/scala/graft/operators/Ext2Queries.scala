@@ -120,6 +120,25 @@ object Ext2Queries {
         |ORDER BY l.l_partkey""".stripMargin)
   }
 
+  /** UNPIVOT (melt) — the inverse of q15's pivot: wide per-status
+    * order metrics fold into (status, metric, value) long form via the
+    * native `unpivot` operator (an Expand node, no shuffle beyond the
+    * feeding aggregate).
+    */
+  def unpivotQ(spark: SparkSession, dir: String): DataFrame = {
+    val wide = t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        countDistinct(col("o_custkey")).cast("double").as("n_customers"))
+    wide.unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("n_orders"), col("total_price"), col("n_customers")),
+        "metric", "value")
+      .orderBy("o_orderstatus", "metric")
+  }
+
   /** GPT-style sequence packing: 256-token bins over the hash-ordered
     * token stream (distributed prefix sum via hash-prefix buckets).
     */
@@ -293,6 +312,7 @@ object Ext2Queries {
     "q35_variant_json" -> variantJson _,
     "q36_resample_ffill" -> resampleFfill _,
     "text_pack_sequences" -> packSeqs _,
+    "q37_unpivot" -> unpivotQ _,
     "text_dedup_spans" -> dedupSpans _,
     "text_unigram_nll" -> unigramNll _,
     "text_tfidf" -> tfidf _,
@@ -329,6 +349,22 @@ object Ext2Queries {
         |     FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
         |GROUP BY l.l_partkey
         |ORDER BY l.l_partkey""".stripMargin,
+    "q37_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderstatus,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_price,
+        |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, metric, value FROM (
+        |  SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value
+        |  FROM wide
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'total_price', total_price FROM wide
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'n_customers', n_customers FROM wide)
+        |ORDER BY o_orderstatus, metric""".stripMargin,
     "text_pack_sequences" ->
       """WITH base AS (
         |  SELECT doc_id, md5(text) AS key,
