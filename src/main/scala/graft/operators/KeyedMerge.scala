@@ -24,14 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object KeyedMerge {
 
-  /** Last-writer-wins dedup per key by descending sequence column.
-    * Subsumes the reference's order-boundary flush (YqlWriter.java:
-    * 186-192): a later erase supersedes an earlier update of the key.
+  /** Last-writer-wins dedup per key by the sequence column (which must
+    * be unique per key — offsets/event ids are). Subsumes the
+    * reference's order-boundary flush (YqlWriter.java:186-192): a
+    * later erase supersedes an earlier update of the key.
+    *
+    * Shape: `max_by` aggregate, NOT a window + row_number — the
+    * aggregate gets map-side partial combining (each input partition
+    * pre-reduces to one row per local key before the shuffle) and no
+    * per-partition sort; the window form shuffles and sorts every
+    * batch row.
     */
   def lww(batch: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
-    batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val others = batch.columns.filterNot(keys.contains)
+    batch.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col).toIndexedSeq: _*),
+        col(seqCol)).as("__top"))
+      .select(batch.columns.map(c =>
+        if (keys.contains(c)) col(c)
+        else col(s"__top.$c").as(c)).toIndexedSeq: _*)
   }
 
   /** UPSERT: state rows whose key is touched are dropped, then all
