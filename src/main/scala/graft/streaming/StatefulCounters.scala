@@ -49,7 +49,50 @@ class CounterProcessor(ttl: java.time.Duration)
   }
 }
 
+/** Bounded streaming top-k per key: ListState holds at most k
+  * (score, item) entries per key — the streaming analog of the TopKBy
+  * bounded-heap aggregate. State is O(k) per key forever, regardless
+  * of stream length; every micro-batch emits the key's refreshed
+  * leaderboard.
+  */
+class TopKProcessor(k: Int)
+    extends StatefulProcessor[Long, (Long, Long, Long), TopKEntry] {
+
+  @transient private var state: ListState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getListState[(Long, Long)]("topk",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[TopKEntry] = {
+    val cur = scala.collection.mutable.ArrayBuffer
+      .from(state.get().map(identity))
+    rows.foreach { case (_, score, item) => cur += ((score, item)) }
+    // keep the k best by (score desc, item asc) — deterministic ties
+    val top = cur.sortBy { case (s, it) => (-s, it) }.take(k)
+    state.put(top.toArray)
+    top.iterator.zipWithIndex.map { case ((s, it), i) =>
+      TopKEntry(key, i + 1, s, it)
+    }
+  }
+}
+
+case class TopKEntry(key: Long, rank: Int, score: Long, item: Long)
+
 object StatefulCounters {
+
+  /** Streaming top-k per key over (key, score, item) rows; each
+    * micro-batch re-emits the key's current top-k (Update mode).
+    */
+  def runningTopK(events: Dataset[(Long, Long, Long)], k: Int)
+      : Dataset[TopKEntry] = {
+    implicit val outEnc: Encoder[TopKEntry] = Encoders.product[TopKEntry]
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(),
+        OutputMode.Update())
+  }
 
   /** Running (count, sum) per key over a stream of (key, value) rows;
     * emits the updated totals for every key touched in a micro-batch
