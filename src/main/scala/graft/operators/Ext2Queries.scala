@@ -120,6 +120,27 @@ object Ext2Queries {
         |ORDER BY l.l_partkey""".stripMargin)
   }
 
+  /** Multiplicity-preserving set operations (INTERSECT ALL / EXCEPT
+    * ALL — Catalyst rewrites them to generate+replicate plans, unlike
+    * q7's distinct variants): per-customer overlap of urgent vs high
+    * priority order multiplicities.
+    */
+  def setopsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val high = o.filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_custkey"))
+    val inter = urgent.intersectAll(high)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_inter"))
+    val minus = urgent.exceptAll(high)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_minus"))
+    inter.join(minus, Seq("o_custkey"), "full_outer")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_minus", coalesce(col("n_minus"), lit(0L)))
+      .orderBy("o_custkey")
+  }
+
   /** UNPIVOT (melt) — the inverse of q15's pivot: wide per-status
     * order metrics fold into (status, metric, value) long form via the
     * native `unpivot` operator (an Expand node, no shuffle beyond the
@@ -313,6 +334,7 @@ object Ext2Queries {
     "q36_resample_ffill" -> resampleFfill _,
     "text_pack_sequences" -> packSeqs _,
     "q37_unpivot" -> unpivotQ _,
+    "q38_setops_all" -> setopsAll _,
     "text_dedup_spans" -> dedupSpans _,
     "text_unigram_nll" -> unigramNll _,
     "text_tfidf" -> tfidf _,
@@ -349,6 +371,26 @@ object Ext2Queries {
         |     FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
         |GROUP BY l.l_partkey
         |ORDER BY l.l_partkey""".stripMargin,
+    "q38_setops_all" ->
+      """WITH urgent AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |), high AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |), inter AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_inter FROM
+        |    (SELECT o_custkey FROM urgent
+        |     INTERSECT ALL SELECT o_custkey FROM high)
+        |  GROUP BY o_custkey
+        |), minus AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_minus FROM
+        |    (SELECT o_custkey FROM urgent
+        |     EXCEPT ALL SELECT o_custkey FROM high)
+        |  GROUP BY o_custkey)
+        |SELECT coalesce(i.o_custkey, m.o_custkey) AS o_custkey,
+        |  coalesce(i.n_inter, 0) AS n_inter,
+        |  coalesce(m.n_minus, 0) AS n_minus
+        |FROM inter i FULL OUTER JOIN minus m ON m.o_custkey = i.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "q37_unpivot" ->
       """WITH wide AS (
         |  SELECT o_orderstatus,
