@@ -21,6 +21,7 @@ object SparkEntry {
       operators.CdcQueries.queries ++
       operators.ExtQueries.queries ++
       operators.Ext2Queries.queries ++
+      operators.Ext3Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.MiscQueries.queries
 
@@ -32,6 +33,7 @@ object SparkEntry {
       operators.CdcQueries.oracle ++
       operators.ExtQueries.oracle ++
       operators.Ext2Queries.oracle ++
+      operators.Ext3Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.MiscQueries.oracle
 }

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.Tables.{registerAll, t}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 batch 2: lateral top-n-per-group, fixed-width histograms,
+  * stratified hash sampling, and canonical-document selection over the
+  * near-dup cluster graph. Each query is backed by a hash-exact DuckDB
+  * oracle; scale notes inline per operator.
+  */
+object Ext3Queries {
+
+  /** Top-2 customers by balance per nation through a correlated
+    * LATERAL subquery with ORDER BY + LIMIT — Catalyst plans this as a
+    * per-group bounded sort under a LateralJoin (a different rewrite
+    * than window row_number or the TopKBy aggregate). Scale shape: the
+    * lateral subquery correlates on the nation key, so the physical
+    * plan is a join + per-key limit, never a global sort.
+    */
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(
+      """SELECT n.n_name, c2.c_name, c2.c_acctbal
+        |FROM nation n JOIN LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c2
+        |ORDER BY n.n_name, c2.c_acctbal DESC, c2.c_name""".stripMargin)
+  }
+
+  /** Fixed-width price histogram over orders: one narrow projection +
+    * one hash aggregate on a small bucket domain — the cheapest
+    * possible distribution profile at 100 TB (no sort, no sampling;
+    * contrast with the global-sort equi-depth ntile shape). Money is
+    * summed as exact DECIMAL so the per-bucket totals are immune to FP
+    * accumulation order.
+    */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("bucket",
+        floor(col("o_totalprice") / 50000.0).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("bucket")
+
+  /** Deterministic stratified sampling: per-language keep rates
+    * (en 25%, everything else 75%) applied by content-hash threshold —
+    * the re-shardable, engine-portable form of `sampleBy`. No rand():
+    * re-running on a re-partitioned 100 TB corpus keeps exactly the
+    * same rows. Same first-md5-byte bucket contract as
+    * [[TextAnalysis.hashSplit]].
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 2), 16, 10)
+      .cast("int")
+    val threshold = when(col("lang") === "en", 256 * 25 / 100)
+      .otherwise(256 * 75 / 100)
+    t(spark, dir, "documents")
+      .withColumn("bucket", bucket.cast("long"))
+      .filter(bucket < threshold)
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** Canonical-document selection: within each near-dup cluster (the
+    * LSH-fed connected components of dedup_clusters) keep the member
+    * with the most tokens (the standard keep-longest heuristic),
+    * tie-broken by lowest doc id. One window pass over the cluster
+    * labels — cluster cardinality is bounded by near-dup group size,
+    * so the per-partition sort is tiny even at 100 TB.
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 4, minJ = 0.1))
+    val sized = labels.join(
+      docs.select(col("doc_id").as("id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tokens")),
+      "id")
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n_tokens").desc, col("id"))
+    sized
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster")
+      .agg(max(when(col("rn") === 1, col("id"))).as("keep_id"),
+        max(when(col("rn") === 1, col("n_tokens"))).as("keep_tokens"),
+        count(lit(1)).as("n_members"))
+      .orderBy("cluster")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_lateral_topn" -> lateralTopN _,
+    "q40_price_histogram" -> priceHistogram _,
+    "text_stratified_sample" -> stratifiedSample _,
+    "dedup_keep_best" -> keepBest _)
+
+  /** The dedup_keep_best oracle re-derives the cluster labels with the
+    * same recursive-CTE walk as the dedup_clusters oracle, then picks
+    * arg-max-tokens (min doc id on ties) per cluster.
+    */
+  val oracle: Map[String, String] = Map(
+    "q39_lateral_topn" ->
+      """SELECT n.n_name, c2.c_name, c2.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c2
+        |ORDER BY n.n_name, c2.c_acctbal DESC, c2.c_name""".stripMargin,
+    "q40_price_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bucket,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "text_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+        |      AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 64 ELSE 192 END
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i)
+        |), sig AS (
+        |  SELECT id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+        |  FROM sh, UNNEST(range(0, 16)) AS sd(seed)
+        |  GROUP BY id, seed
+        |), bandsig AS (
+        |  SELECT id, seed // 4 AS band,
+        |    string_agg(mh, ',' ORDER BY seed) AS bsig
+        |  FROM sig GROUP BY id, seed // 4
+        |), cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bandsig a JOIN bandsig b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+        |), sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |common AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS common
+        |  FROM cands c
+        |  JOIN sh a ON a.id = c.id_a
+        |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY c.id_a, c.id_b),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.1),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |walk(a, b) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT w.a, e.b FROM walk w JOIN edges e ON e.a = w.b)
+        |, labels AS (
+        |  SELECT a AS id, MIN(b) AS cluster FROM walk GROUP BY a)
+        |, sized AS (
+        |  SELECT l.id, l.cluster,
+        |    CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM labels l JOIN documents d ON d.doc_id = l.id)
+        |, ranked AS (
+        |  SELECT cluster, id, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY n_tokens DESC, id) AS rn
+        |  FROM sized)
+        |SELECT cluster,
+        |  MAX(CASE WHEN rn = 1 THEN id END) AS keep_id,
+        |  MAX(CASE WHEN rn = 1 THEN n_tokens END) AS keep_tokens,
+        |  COUNT(*) AS n_members
+        |FROM ranked GROUP BY cluster ORDER BY cluster""".stripMargin)
+}

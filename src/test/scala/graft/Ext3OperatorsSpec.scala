@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Ext3Queries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 batch 2: lateral top-n, histogram, stratified sampling,
+  * keep-best canonical selection.
+  */
+class Ext3OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("lateral top-n: exactly 2 rows per nation, descending balance") {
+    val rows = Ext3Queries.lateralTopN(spark, TestSpark.sfDir).collect()
+    val byNation = rows.groupBy(_.getAs[String]("n_name"))
+    assert(byNation.size === 25)
+    byNation.values.foreach { rs =>
+      assert(rs.length === 2)
+      val bals = rs.map(_.getAs[Double]("c_acctbal"))
+      assert(bals(0) >= bals(1))
+    }
+  }
+
+  test("histogram: buckets partition all orders, bounds inside bucket") {
+    val rows = Ext3Queries.priceHistogram(spark, TestSpark.sfDir)
+      .collect()
+    val total = rows.map(_.getAs[Long]("n_orders")).sum
+    val nOrders = graft.Tables
+      .t(spark, TestSpark.sfDir, "orders").count()
+    assert(total === nOrders)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(r.getAs[Double]("min_price") >= b * 50000.0)
+      assert(r.getAs[Double]("max_price") < (b + 1) * 50000.0)
+    }
+  }
+
+  test("stratified sample: rate per stratum tracks its threshold") {
+    val docs = graft.Tables.t(spark, TestSpark.sfDir, "documents")
+    val kept = Ext3Queries.stratifiedSample(spark, TestSpark.sfDir)
+      .collect()
+    // every kept bucket respects its stratum threshold
+    kept.foreach { r =>
+      val limit = if (r.getAs[String]("lang") == "en") 64 else 192
+      assert(r.getAs[Long]("bucket") < limit)
+    }
+    // deterministic: second run keeps the identical doc_id set
+    val again = Ext3Queries.stratifiedSample(spark, TestSpark.sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again === kept.map(_.getAs[Long]("doc_id")).toSet)
+    assert(kept.nonEmpty && kept.length < docs.count())
+  }
+
+  test("keep best: keeper is a member with the max token count") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, TestSpark.sfDir, "documents")
+    val nTok = docs.select(col("doc_id"),
+      size(graft.operators.TextAnalysis.tokens(col("text")))
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Ext3Queries.keepBest(spark, TestSpark.sfDir).collect().foreach {
+      r =>
+        val keep = r.getAs[Long]("keep_id")
+        assert(nTok(keep) === r.getAs[Long]("keep_tokens"))
+        assert(r.getAs[Long]("n_members") >= 2L ||
+          r.getAs[Long]("cluster") === keep)
+    }
+  }
+}
