@@ -162,7 +162,29 @@ object CdcQueries {
       .orderBy("user_id")
   }
 
+  /** SCD type-2 dimension build from the changelog: every surviving
+    * update opens an interval [event_id, next-change-or-erase); erase
+    * events close the current interval without opening one. One window
+    * pass per key — the standard lead()-based interval construction,
+    * shuffle-partitioned on the entity key so it scales with keys, not
+    * history length.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    parsed(spark, dir)
+      .filter(col("op").isin(CdcParse.OpUpdate, CdcParse.OpNewImage,
+        CdcParse.OpErase))
+      .withColumn("valid_to", lead(col("event_id"), 1).over(w))
+      .filter(col("op") =!= CdcParse.OpErase)
+      .select(col("user_id"), col("event_id").as("valid_from"),
+        col("valid_to"), col("event_type"), col("value_milli"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_scd2" -> scd2 _,
     "cdc_debezium" -> debezium _,
     "cdc_parse_route" -> parseRoute _,
     "cdc_typed_assembly" -> typedAssembly _,
@@ -264,6 +286,19 @@ object CdcQueries {
         |  FROM typed WHERE op <> 'drop') x
         |WHERE rn = 1 AND op <> 'erase'
         |ORDER BY user_id""".stripMargin,
+    "cdc_scd2" -> (baseCte +
+      """
+        |SELECT user_id, valid_from, valid_to, event_type, value_milli,
+        |  (valid_to IS NULL) AS is_current
+        |FROM (
+        |  SELECT user_id, op, event_id AS valid_from,
+        |    LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS valid_to,
+        |    event_type, value_milli
+        |  FROM typed
+        |  WHERE op IN ('update', 'update_newimage', 'erase')) x
+        |WHERE op <> 'erase'
+        |ORDER BY user_id, valid_from""".stripMargin),
     "cdc_parse_route" -> (baseCte +
       "\nSELECT event_id, op FROM ops ORDER BY event_id"),
     "cdc_typed_assembly" -> (baseCte +

@@ -96,7 +96,51 @@ object Ext3Queries {
       .orderBy("cluster")
   }
 
+  /** Rank-distribution windows: quartile (ntile), percent_rank and
+    * cume_dist of each customer's balance within its market segment.
+    * The ORDER BY includes the unique key so ranks are total-ordered
+    * (no tie nondeterminism); the raw doubles are (rank-1)/(n-1) and
+    * rank/n — identical integer-division-in-IEEE on any engine.
+    */
+  def distributionWindows(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(spark, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select("c_custkey", "c_mktsegment", "c_acctbal", "quartile",
+        "pct_rank", "cume")
+      .orderBy("c_custkey")
+  }
+
+  /** Edit-distance verification of the LSH candidate pairs: classic
+    * Levenshtein over the canonicalized 64-char prefixes of both
+    * members. Work per pair is a bounded O(64²) — the cheap textual
+    * second opinion next to the shingle-Jaccard verify, and the cost
+    * scales with candidate pairs (band collisions), never all pairs.
+    */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    def norm(c: org.apache.spark.sql.Column) =
+      substring(trim(regexp_replace(
+        regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " ")), 1, 64)
+    Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 4, minJ = 0.1)
+      .select("id_a", "id_b")
+      .join(docs.select(col("doc_id").as("id_a"),
+        norm(col("text")).as("ta")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"),
+        norm(col("text")).as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_distribution_windows" -> distributionWindows _,
+    "dedup_edit_distance" -> editDistance _,
     "q39_lateral_topn" -> lateralTopN _,
     "q40_price_histogram" -> priceHistogram _,
     "text_stratified_sample" -> stratifiedSample _,
@@ -107,6 +151,58 @@ object Ext3Queries {
     * arg-max-tokens (min doc id on ties) per cluster.
     */
   val oracle: Map[String, String] = Map(
+    "q41_distribution_windows" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  NTILE(4) OVER w AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "dedup_edit_distance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i)
+        |), sig AS (
+        |  SELECT id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+        |  FROM sh, UNNEST(range(0, 16)) AS sd(seed)
+        |  GROUP BY id, seed
+        |), bandsig AS (
+        |  SELECT id, seed // 4 AS band,
+        |    string_agg(mh, ',' ORDER BY seed) AS bsig
+        |  FROM sig GROUP BY id, seed // 4
+        |), cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bandsig a JOIN bandsig b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+        |), sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |common AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS common
+        |  FROM cands c
+        |  JOIN sh a ON a.id = c.id_a
+        |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY c.id_a, c.id_b),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.1),
+        |norm AS (
+        |  SELECT doc_id,
+        |    substr(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 64) AS nt
+        |  FROM documents)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS edit_dist
+        |FROM pairs p
+        |JOIN norm na ON na.doc_id = p.id_a
+        |JOIN norm nb ON nb.doc_id = p.id_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
     "q39_lateral_topn" ->
       """SELECT n.n_name, c2.c_name, c2.c_acctbal
         |FROM nation n, LATERAL (

