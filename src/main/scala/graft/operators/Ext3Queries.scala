@@ -138,7 +138,43 @@ object Ext3Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Recursive-CTE sessionization (Spark 4 WITH RECURSIVE): per-user
+    * event chains linked while the inter-event gap stays <= 30 min;
+    * each event is labeled with its chain's root event id and depth.
+    * The recursion follows single-predecessor links (strictly
+    * increasing event time), so it is acyclic and bounded by chain
+    * length — the UNION ALL iteration is a handful of joins, not an
+    * unbounded fixpoint. Complements ev_window_session (same gap
+    * semantics via session_window) with an explicit-lineage variant.
+    */
+  def recursiveChains(spark: SparkSession, dir: String): DataFrame = {
+    registerAll(spark, dir)
+    // events.ts surfaces as nanos-since-epoch long (see Tables) —
+    // `ts div 1000` is the micros the DuckDB oracle gets via epoch_us.
+    spark.sql(
+      """WITH RECURSIVE l AS (
+        |  SELECT user_id, event_id, us,
+        |    LAG(event_id) OVER w AS prev_id,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |           OR us - LAG(us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS is_root
+        |  FROM (SELECT user_id, event_id, ts div 1000 AS us
+        |        FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), walk(user_id, event_id, root_id, depth) AS (
+        |  SELECT user_id, event_id, event_id, 1 FROM l WHERE is_root = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, w.root_id, w.depth + 1
+        |  FROM walk w JOIN l n
+        |    ON n.user_id = w.user_id AND n.prev_id = w.event_id
+        |    AND n.is_root = 0
+        |)
+        |SELECT user_id, event_id, root_id, depth
+        |FROM walk ORDER BY user_id, event_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_recursive_chains" -> recursiveChains _,
     "q41_distribution_windows" -> distributionWindows _,
     "dedup_edit_distance" -> editDistance _,
     "q39_lateral_topn" -> lateralTopN _,
@@ -151,6 +187,26 @@ object Ext3Queries {
     * arg-max-tokens (min doc id on ties) per cluster.
     */
   val oracle: Map[String, String] = Map(
+    "q42_recursive_chains" ->
+      """WITH RECURSIVE l AS (
+        |  SELECT user_id, event_id, us,
+        |    LAG(event_id) OVER w AS prev_id,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |           OR us - LAG(us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS is_root
+        |  FROM (SELECT user_id, event_id, epoch_us(ts) AS us
+        |        FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), walk(user_id, event_id, root_id, depth) AS (
+        |  SELECT user_id, event_id, event_id, 1 FROM l WHERE is_root = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, w.root_id, w.depth + 1
+        |  FROM walk w JOIN l n
+        |    ON n.user_id = w.user_id AND n.prev_id = w.event_id
+        |    AND n.is_root = 0
+        |)
+        |SELECT user_id, event_id, root_id, depth
+        |FROM walk ORDER BY user_id, event_id""".stripMargin,
     "q41_distribution_windows" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  NTILE(4) OVER w AS quartile,

@@ -88,6 +88,24 @@ class Ext3OperatorsSpec extends AnyFunSuite {
       .filter(col("edit_dist") === 0).count() >= 0)
   }
 
+  test("recursive chains: every event labeled once, depths contiguous") {
+    val rows = Ext3Queries.recursiveChains(spark, TestSpark.sfDir)
+      .collect()
+    val nEvents = graft.Tables.t(spark, TestSpark.sfDir, "events")
+      .count()
+    assert(rows.length.toLong === nEvents)
+    assert(rows.map(_.getAs[Long]("event_id")).distinct.length ===
+      rows.length)
+    rows.groupBy(r => r.getAs[Long]("root_id")).values.foreach { ch =>
+      val depths = ch.map(_.getAs[Int]("depth")).sorted
+      assert(depths === (1 to ch.length).toArray)
+      // the root labels itself at depth 1
+      assert(ch.exists(r =>
+        r.getAs[Long]("event_id") === r.getAs[Long]("root_id") &&
+          r.getAs[Int]("depth") === 1))
+    }
+  }
+
   test("keep best: keeper is a member with the max token count") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.t(spark, TestSpark.sfDir, "documents")
