@@ -173,7 +173,43 @@ object Ext3Queries {
         |FROM walk ORDER BY user_id, event_id""".stripMargin)
   }
 
+  /** FILTER (WHERE …) aggregates — the conditional-aggregation SQL
+    * surface (one pass, no self-joins; each aggregate keeps its own
+    * predicate). Money summed as exact DECIMAL before the final double.
+    */
+  def aggFilter(spark: SparkSession, dir: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Per-label mean-pooled embedding (the class-centroid primitive):
+    * explode to (label, dim, value), quantize each float to an exact
+    * micro-unit integer (round(x·1e6) — the engine-portable fixed-point
+    * trick), then one hash aggregate per (label, dim). Integer sums are
+    * order-independent, so the result is deterministic under any
+    * partitioning — the property a distributed mean MUST have; a naive
+    * float sum would be shuffle-order noise. 64 dims × labels output.
+    */
+  def meanPool(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xq", round(col("x").cast("double") * 1e6).cast("long"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum("xq").as("sum_micro"))
+      .withColumn("mean_micro",
+        col("sum_micro").cast("double") / col("n_vecs"))
+      .orderBy("label", "dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_agg_filter" -> aggFilter _,
+    "embed_mean_pool" -> meanPool _,
     "q42_recursive_chains" -> recursiveChains _,
     "q41_distribution_windows" -> distributionWindows _,
     "dedup_edit_distance" -> editDistance _,
@@ -187,6 +223,27 @@ object Ext3Queries {
     * arg-max-tokens (min doc id on ties) per cluster.
     */
   val oracle: Map[String, String] = Map(
+    "q43_agg_filter" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "embed_mean_pool" ->
+      """WITH x AS (
+        |  SELECT label,
+        |    generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings)
+        |SELECT label, dim, COUNT(*) AS n_vecs,
+        |  CAST(SUM(xq) AS BIGINT) AS sum_micro,
+        |  CAST(CAST(SUM(xq) AS BIGINT) AS DOUBLE) / COUNT(*)
+        |    AS mean_micro
+        |FROM x GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
     "q42_recursive_chains" ->
       """WITH RECURSIVE l AS (
         |  SELECT user_id, event_id, us,
