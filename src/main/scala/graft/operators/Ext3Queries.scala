@@ -207,7 +207,53 @@ object Ext3Queries {
         col("sum_micro").cast("double") / col("n_vecs"))
       .orderBy("label", "dim")
 
+  /** Boolean + bitwise aggregate surface: bool_and/bool_or and
+    * bit_and/bit_or/bit_xor — all associative-commutative, so they
+    * partial-aggregate map-side like any sum.
+    */
+  def boolBitAgg(spark: SparkSession, dir: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 1.0) AS all_multi,
+        |  bool_or(l_discount > 0.09) AS any_big_disc,
+        |  bit_and(l_orderkey) AS keys_band,
+        |  bit_or(l_orderkey) AS keys_bor,
+        |  bit_xor(l_orderkey) AS keys_bxor
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** IGNORE NULLS frame navigation: carry each customer's most recent
+    * finished-order date forward across subsequent orders (the
+    * last-observation-carried-forward primitive, complementing q36's
+    * grid resample). Per-key window, no global sort.
+    */
+  def lastFinished(spark: SparkSession, dir: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  last_value(CASE WHEN o_orderstatus = 'F'
+        |                  THEN o_orderdate END) IGNORE NULLS
+        |    OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_finished
+        |FROM orders WHERE o_custkey % 25 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  /** Per-doc bigram-LM NLL (see [[TextAnalysis.bigramLogprob]]). */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogprob(t(spark, dir, "documents"), "doc_id",
+        "text")
+      .select("doc_id", "n_bigrams", "sum_nll_micro", "avg_nll")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_bool_bit_agg" -> boolBitAgg _,
+    "q45_ignore_nulls_locf" -> lastFinished _,
+    "text_bigram_nll" -> bigramNll _,
     "q43_agg_filter" -> aggFilter _,
     "embed_mean_pool" -> meanPool _,
     "q42_recursive_chains" -> recursiveChains _,
@@ -223,6 +269,53 @@ object Ext3Queries {
     * arg-max-tokens (min doc id on ties) per cluster.
     */
   val oracle: Map[String, String] = Map(
+    "q44_bool_bit_agg" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 1.0) AS all_multi,
+        |  bool_or(l_discount > 0.09) AS any_big_disc,
+        |  bit_and(l_orderkey) AS keys_band,
+        |  bit_or(l_orderkey) AS keys_bor,
+        |  bit_xor(l_orderkey) AS keys_bxor
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q45_ignore_nulls_locf" ->
+      """SELECT o_custkey, o_orderkey,
+        |  last_value(CASE WHEN o_orderstatus = 'F'
+        |                  THEN o_orderdate END IGNORE NULLS)
+        |    OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_finished
+        |FROM orders WHERE o_custkey % 25 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "text_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      x -> lower(x)) AS tk
+        |  FROM documents
+        |), bi AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM toks, UNNEST(range(1, len(tk))) AS r(i)
+        |), db AS (
+        |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM bi GROUP BY doc_id, w1, w2
+        |), lm12 AS (
+        |  SELECT w1, w2, CAST(SUM(n_occ) AS BIGINT) AS c12
+        |  FROM db GROUP BY w1, w2
+        |), lm1 AS (
+        |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+        |  FROM lm12 GROUP BY w1
+        |), sc AS (
+        |  SELECT db.doc_id, db.n_occ,
+        |    CAST(ROUND(ln(CAST(lm12.c12 AS DOUBLE)
+        |      / CAST(lm1.c1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+        |  FROM db JOIN lm12 USING (w1, w2) JOIN lm1 USING (w1))
+        |SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(-lp_micro * n_occ) AS BIGINT) AS sum_nll_micro,
+        |  CAST(SUM(-lp_micro * n_occ) AS DOUBLE)
+        |    / CAST(SUM(n_occ) AS DOUBLE) / 1e6 AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q43_agg_filter" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_all,

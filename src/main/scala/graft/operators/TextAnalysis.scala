@@ -358,6 +358,42 @@ object TextAnalysis {
           / col("n_tokens").cast("double") / 1e6)
   }
 
+  /** Bigram-LM document scoring: P(w_i | w_{i-1}) from corpus bigram
+    * counts (conditional on the preceding token), per-doc NLL in exact
+    * integer micro-nats (same portability contract as
+    * [[unigramLogprob]]: each distinct bigram's log-prob is quantized
+    * once, so the per-doc sum is order-independent integer math).
+    * Scale shape: one (doc,w1,w2) pre-aggregate, the LM is two hash
+    * aggregates, and the score join shuffles on the bigram key — no
+    * driver-side vocabulary.
+    */
+  def bigramLogprob(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tk = transform(tokens(col(textCol)), t => lower(t))
+    val bi = df
+      .select(col(idCol).as("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val docBi = bi.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n_occ"))
+    val lm12 = docBi.groupBy("w1", "w2").agg(sum("n_occ").as("c12"))
+    val lm1 = lm12.groupBy("w1").agg(sum("c12").as("c1"))
+    docBi.join(lm12, Seq("w1", "w2")).join(lm1, "w1")
+      .withColumn("lp_micro",
+        round(log(col("c12").cast("double") / col("c1").cast("double"))
+          * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("n_occ").as("n_bigrams"),
+        sum(-col("lp_micro") * col("n_occ")).as("sum_nll_micro"))
+      .withColumn("avg_nll",
+        col("sum_nll_micro").cast("double")
+          / col("n_bigrams").cast("double") / 1e6)
+  }
+
   /** Sequence PACKING for training (concat-and-chunk): documents are
     * laid out in a deterministic global order (content hash, id) and
     * the token stream is cut every `budget` tokens; each document

@@ -106,6 +106,21 @@ class Ext3OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram nll: one bigram per adjacent pair, nll non-negative") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, TestSpark.sfDir, "documents")
+    val nTok = docs.select(col("doc_id"),
+      size(graft.operators.TextAnalysis.tokens(col("text")))
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Ext3Queries.bigramNll(spark, TestSpark.sfDir).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") === nTok(id) - 1)
+      assert(r.getAs[Long]("sum_nll_micro") >= 0L)
+    }
+  }
+
   test("keep best: keeper is a member with the max token count") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.t(spark, TestSpark.sfDir, "documents")
