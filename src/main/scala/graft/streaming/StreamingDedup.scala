@@ -28,6 +28,21 @@ object StreamingDedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** CHAINED stateful operators in one streaming query (Spark 4
+    * multi-stateful append mode): watermark-bounded dedup feeding a
+    * tumbling-window distinct-document count. The watermark set before
+    * the dedup propagates through it into the window aggregate, so
+    * both operators bound their state from the single event-time
+    * column — the shape of a production ingest-dedup-then-aggregate
+    * pipeline (no intermediate sink, one checkpoint).
+    */
+  def dedupThenWindowCount(df: DataFrame, textCol: String,
+      tsCol: String, delay: String, windowDur: String): DataFrame =
+    withinWatermark(df, textCol, tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("window_start"), col("n_docs"))
+
   /** public: the generated row encoder must be able to access it */
   case class KeyedDoc(hash: String, id: Long)
 

@@ -32,6 +32,41 @@ class StreamingDedupSpec extends AnyFunSuite {
     (flat, 4L) // 6 docs, 2 dups -> 4 distinct
   }
 
+  test("chained stateful ops: dedup then windowed count, one query") {
+    val dir = Files.createTempDirectory("dedup-chain").toString
+    // dups arrive within the 10-min delay of their originals; the
+    // final far-future event advances the watermark to 00:50 so both
+    // real windows close and emit
+    val batches = Seq(
+      Seq((1L, "alpha beta", "2024-01-01 00:00:30"),
+        (2L, "gamma delta", "2024-01-01 00:04:30")),
+      Seq((3L, "alpha beta", "2024-01-01 00:03:00"), // dup of 1
+        (4L, "epsilon", "2024-01-01 00:05:30")),
+      Seq((5L, "gamma delta", "2024-01-01 00:06:00"), // dup of 2
+        (6L, "omega", "2024-01-01 01:00:00"))) // watermark push
+    batches.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("doc_id", "text", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val src = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingDedup.dedupThenWindowCount(src, "text", "ts",
+        delay = "10 minutes", windowDur = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_chain")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_chain").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start").toString
+        -> r.getAs[Long]("n_docs")).toMap
+    // w[00:00,00:05): docs 1+2 (dup 3 dropped by the dedup stage);
+    // w[00:05,00:10): doc 4 (dup 5 dropped); doc 6's window stays open
+    assert(got === Map("2024-01-01 00:00:00.0" -> 2L,
+      "2024-01-01 00:05:00.0" -> 1L))
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per content hash") {
     val (dir, distinct) = stageCorpus()
     val src = spark.readStream
