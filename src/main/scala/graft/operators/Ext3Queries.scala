@@ -250,7 +250,44 @@ object Ext3Queries {
       .select("doc_id", "n_bigrams", "sum_nll_micro", "avg_nll")
       .orderBy("doc_id")
 
+  /** Windowed z-score anomaly detection over the event stream: each
+    * event against its user's trailing-20 window. All moments are
+    * exact integer sums of milli-quantized values (the CDC vm trick),
+    * so mean/variance are deterministic under any partitioning; the
+    * final z is one fixed expression over those integers — identical
+    * IEEE arithmetic on any engine. Per-key ROWS window, no global
+    * sort; at 100 TB this is the streaming-scorable shape (the same
+    * moments maintain incrementally in transformWithState).
+    */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(
+      """WITH v AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, event_id, vm,
+        |    COUNT(*) OVER win AS n,
+        |    CAST(SUM(vm) OVER win AS BIGINT) AS s,
+        |    CAST(SUM(vm * vm) OVER win AS BIGINT) AS ss
+        |  FROM v
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, vm,
+        |  (vm - CAST(s AS DOUBLE) / n)
+        |    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |           / (n - 1)) AS z
+        |FROM w
+        |WHERE n >= 5 AND ss * n > s * s
+        |  AND abs((vm - CAST(s AS DOUBLE) / n)
+        |    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |           / (n - 1))) > 2.5
+        |ORDER BY user_id, event_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly_zscore" -> anomalyZscore _,
     "q44_bool_bit_agg" -> boolBitAgg _,
     "q45_ignore_nulls_locf" -> lastFinished _,
     "text_bigram_nll" -> bigramNll _,
@@ -269,6 +306,29 @@ object Ext3Queries {
     * arg-max-tokens (min doc id on ties) per cluster.
     */
   val oracle: Map[String, String] = Map(
+    "ev_anomaly_zscore" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, event_id, vm,
+        |    COUNT(*) OVER win AS n,
+        |    CAST(SUM(vm) OVER win AS BIGINT) AS s,
+        |    CAST(SUM(vm * vm) OVER win AS BIGINT) AS ss
+        |  FROM v
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, vm,
+        |  (vm - CAST(s AS DOUBLE) / n)
+        |    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |           / (n - 1)) AS z
+        |FROM w
+        |WHERE n >= 5 AND ss * n > s * s
+        |  AND abs((vm - CAST(s AS DOUBLE) / n)
+        |    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |           / (n - 1))) > 2.5
+        |ORDER BY user_id, event_id""".stripMargin,
     "q44_bool_bit_agg" ->
       """SELECT l_returnflag,
         |  bool_and(l_quantity > 1.0) AS all_multi,
