@@ -148,24 +148,30 @@ object Ext3Queries {
     * semantics via session_window) with an explicit-lineage variant.
     */
   def recursiveChains(spark: SparkSession, dir: String): DataFrame = {
-    registerAll(spark, dir)
     // events.ts surfaces as nanos-since-epoch long (see Tables) —
     // `ts div 1000` is the micros the DuckDB oracle gets via epoch_us.
+    // The predecessor-link table is materialized ONCE (localCheckpoint)
+    // before the recursion: each UNION ALL step re-reads cached blocks
+    // instead of re-running the window over the raw scan per iteration.
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("is_root",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+          .otherwise(0))
+      .select("user_id", "event_id", "prev_id", "is_root")
+      .localCheckpoint()
+      .createOrReplaceTempView("q42_chain_links")
     spark.sql(
-      """WITH RECURSIVE l AS (
-        |  SELECT user_id, event_id, us,
-        |    LAG(event_id) OVER w AS prev_id,
-        |    CASE WHEN LAG(us) OVER w IS NULL
-        |           OR us - LAG(us) OVER w > 1800000000 THEN 1
-        |         ELSE 0 END AS is_root
-        |  FROM (SELECT user_id, event_id, ts div 1000 AS us
-        |        FROM events)
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        |), walk(user_id, event_id, root_id, depth) AS (
-        |  SELECT user_id, event_id, event_id, 1 FROM l WHERE is_root = 1
+      """WITH RECURSIVE walk(user_id, event_id, root_id, depth) AS (
+        |  SELECT user_id, event_id, event_id, 1
+        |  FROM q42_chain_links WHERE is_root = 1
         |  UNION ALL
         |  SELECT n.user_id, n.event_id, w.root_id, w.depth + 1
-        |  FROM walk w JOIN l n
+        |  FROM walk w JOIN q42_chain_links n
         |    ON n.user_id = w.user_id AND n.prev_id = w.event_id
         |    AND n.is_root = 0
         |)
@@ -286,7 +292,67 @@ object Ext3Queries {
         |ORDER BY user_id, event_id""".stripMargin)
   }
 
+  /** Ordered-funnel analysis (view -> click -> purchase): per-user
+    * first-view time, first click AT OR AFTER it, first purchase at or
+    * after that click, and the funnel stage reached. Three per-key
+    * aggregates + equi-joins on the user key — no window over the raw
+    * event stream, no per-user sort; the classic product-analytics
+    * operator in its shuffle-minimal form.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts div 1000 AS us FROM events
+        |), v AS (
+        |  SELECT user_id, MIN(us) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(us) AS t_click
+        |  FROM e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.us >= v.t_view
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(us) AS t_purchase
+        |  FROM e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |       WHEN c.t_click IS NOT NULL THEN 2
+        |       ELSE 1 END AS stage
+        |FROM v
+        |LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin)
+  }
+
+  /** Cohort retention grid: users bucketed by first-active day, then
+    * distinct-user counts per (cohort day, day offset). Two hash
+    * aggregates and one user-key join; the count-distinct is the only
+    * wide operator and it partial-aggregates on (cohort, offset,
+    * user) first.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(timestamp_micros(ts div 1000) AS DATE) AS day
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  datediff(d.day, c.cohort_day) AS day_offset,
+        |  COUNT(DISTINCT d.user_id) AS n_users
+        |FROM d JOIN cohort c ON c.user_id = d.user_id
+        |GROUP BY c.cohort_day, datediff(d.day, c.cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel" -> funnel _,
+    "ev_retention" -> retention _,
     "ev_anomaly_zscore" -> anomalyZscore _,
     "q44_bool_bit_agg" -> boolBitAgg _,
     "q45_ignore_nulls_locf" -> lastFinished _,
@@ -306,6 +372,42 @@ object Ext3Queries {
     * arg-max-tokens (min doc id on ties) per cluster.
     */
   val oracle: Map[String, String] = Map(
+    "ev_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT user_id, MIN(us) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(us) AS t_click
+        |  FROM e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.us >= v.t_view
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(us) AS t_purchase
+        |  FROM e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |       WHEN c.t_click IS NOT NULL THEN 2
+        |       ELSE 1 END AS stage
+        |FROM v
+        |LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "ev_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, d.day) AS INT)
+        |    AS day_offset,
+        |  COUNT(DISTINCT d.user_id) AS n_users
+        |FROM d JOIN cohort c ON c.user_id = d.user_id
+        |GROUP BY c.cohort_day, date_diff('day', c.cohort_day, d.day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "ev_anomaly_zscore" ->
       """WITH v AS (
         |  SELECT user_id, event_id,

@@ -106,6 +106,29 @@ class Ext3OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 current intervals reconstruct the LWW state") {
+    import org.apache.spark.sql.functions._
+    val cur = graft.operators.CdcQueries.scd2(spark, TestSpark.sfDir)
+      .filter(col("is_current"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("valid_from"), r.getAs[Long]("value_milli")))
+      .toMap
+    graft.operators.CdcQueries.lwwDedup(spark, TestSpark.sfDir)
+      .collect().foreach { r =>
+        val uid = r.getAs[Long]("user_id")
+        r.getAs[String]("op") match {
+          case "update" | "update_newimage" =>
+            // the key's winning event IS its open interval
+            assert(cur(uid)._1 === r.getAs[Long]("event_id"))
+            assert(cur(uid)._2 === r.getAs[Long]("value_milli"))
+          case "erase" =>
+            assert(!cur.contains(uid)) // erase closed the last interval
+          case _ => () // keys-only update: no value change recorded
+        }
+      }
+  }
+
   test("bigram nll: one bigram per adjacent pair, nll non-negative") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.t(spark, TestSpark.sfDir, "documents")
