@@ -32,6 +32,36 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(read.split(",").length <= 6, read)
   }
 
+  test("q39 lateral top-n decorrelates to a bounded group limit") {
+    val p = plan(graft.operators.Ext3Queries.lateralTopN(spark, dir))
+    // Catalyst rewrites the correlated LIMIT to WindowGroupLimit with
+    // a Partial pass BEFORE the shuffle — a map-side per-group top-k
+    // prune, never a global sort of the customer table
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q40 histogram partial-aggregates map-side, single exchange") {
+    val p = plan(graft.operators.Ext3Queries.priceHistogram(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial+final
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+  }
+
+  test("embed_mean_pool: explode then partial integer aggregation") {
+    val p = plan(graft.operators.Ext3Queries.meanPool(spark, dir))
+    assert(p.contains("Generate posexplode"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ev_funnel: per-key aggregates + hash joins, no cartesian") {
+    val p = plan(graft.operators.Ext3Queries.funnel(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q4 joins the dimension tables via broadcast, not shuffle") {
     val p = plan(graft.operators.Relational
       .queries("q4_broadcast_join")(spark, dir))
