@@ -183,7 +183,24 @@ object CdcQueries {
       .orderBy("user_id", "valid_from")
   }
 
+  /** Incrementally maintained per-event_type aggregate view: initial
+    * aggregates from pre-existing state, then one delta application
+    * for the LWW'd odd-event batch ([[KeyedMerge.applyAggDelta]]).
+    * The oracle RECOMPUTES the aggregate from the fully-applied state
+    * — hash equality proves the delta path exact, including nulled
+    * payloads from keys-only updates and group drops via erase.
+    */
+  def aggView(spark: SparkSession, dir: String): DataFrame = {
+    val st = state0(spark, dir)
+    val agg0 = st.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value_milli").as("sum_v"))
+    KeyedMerge.applyAggDelta(agg0, st, oddLww(spark, dir),
+        Seq("user_id"), "event_type", "value_milli")
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_agg_view" -> aggView _,
     "cdc_scd2" -> scd2 _,
     "cdc_debezium" -> debezium _,
     "cdc_parse_route" -> parseRoute _,
@@ -286,6 +303,17 @@ object CdcQueries {
         |  FROM typed WHERE op <> 'drop') x
         |WHERE rn = 1 AND op <> 'erase'
         |ORDER BY user_id""".stripMargin,
+    "cdc_agg_view" -> (baseCte +
+      """
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(value_milli) AS BIGINT) AS sum_v
+        |FROM (
+        |  SELECT s.event_type, s.value_milli FROM state0 s
+        |  WHERE NOT EXISTS (SELECT 1 FROM odd_lww b WHERE b.user_id = s.user_id)
+        |  UNION ALL
+        |  SELECT event_type, value_milli FROM odd_lww WHERE op <> 'erase') f
+        |GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin),
     "cdc_scd2" -> (baseCte +
       """
         |SELECT user_id, valid_from, valid_to, event_type, value_milli,

@@ -30,6 +30,44 @@ class KeyedMergeSpec extends AnyFunSuite {
       (4L, "D", 400L)))
   }
 
+  test("agg-view delta maintenance equals recompute over 3 batches") {
+    import org.apache.spark.sql.functions._
+    val batches = Seq(
+      // b1: move id=2 from group b to g1, insert id=4 (g1)
+      Seq((2L, Option("g1"), Option(200L), CdcParse.OpUpdate, 101L),
+        (4L, Option("g1"), Option(400L), CdcParse.OpUpdate, 102L)),
+      // b2: erase id=3 (drops group c entirely), re-update id=2
+      Seq((3L, Option.empty[String], Option.empty[Long],
+        CdcParse.OpErase, 103L),
+        (2L, Option("g2"), Option(250L), CdcParse.OpUpdate, 104L)),
+      // b3: keys-only-style nulled payload overwrites id=1
+      Seq((1L, Option.empty[String], Option.empty[Long],
+        CdcParse.OpKeysOnly, 105L))
+    ).map(_.toDF("id", "name", "v", "op", "seq"))
+
+    var st = state
+    var agg = st.groupBy("name")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+    batches.foreach { b =>
+      agg = KeyedMerge.applyAggDelta(agg, st, b, Seq("id"), "name", "v")
+        .localCheckpoint() // pin: st mutates beneath the lazy plan
+      st = KeyedMerge.applyCdc(st, b, Seq("id")).localCheckpoint()
+    }
+    val got = agg.collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("n"),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    val want = st.groupBy("name")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v")).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("n"),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    assert(got === want)
+    // and the maintained view saw every transition: group c vanished,
+    // null group exists (keys-only overwrite), g2 holds id=2
+    assert(!got.exists(_._1 == "c"))
+    assert(got.exists(_._1 == null))
+    assert(got.contains(("g2", 1L, 250L)))
+  }
+
   test("insert: only absent keys added, matched untouched") {
     val out = KeyedMerge.applyInsert(state, batch, Seq("id"))
     assert(rows(out) === Set((1L, "a", 10L), (2L, "b", 20L),
