@@ -248,6 +248,18 @@ class KeyedTableSink(spark: SparkSession, val path: String,
   /** Apply one LWW'd batch (typed rows + `op` column) with the given
     * write action (CdcMsgParser.java:225-248 dispatch).
     */
+  /** Full-table replace (flat mode only): for maintained projections
+    * whose next content is computed wholesale from the previous
+    * generation — e.g. the incremental aggregate view, whose output IS
+    * the complete new (small) aggregate table. Same crash-atomic
+    * manifest promote as `apply`; `next` may read the current
+    * generation (its files survive until the post-promote GC).
+    */
+  def replace(next: DataFrame): Unit = {
+    require(numBuckets <= 0, "replace is whole-table (flat) mode only")
+    swapIn(next)
+  }
+
   def apply(batch: DataFrame, action: String): Unit = {
     if (numBuckets <= 0) {
       val state = load().cache()

@@ -34,6 +34,16 @@ object CdcPipeline {
 
   val statuses = new java.util.concurrent.ConcurrentHashMap[String, Status]()
 
+  /** Maintained aggregate projection beside the main keyed table: a
+    * per-`groupCol` (row count, `valueCol` sum) table kept current by
+    * [[KeyedMerge.applyAggDelta]] each micro-batch — O(batch), never a
+    * rescan of the fact state. `sink` must be a flat (numBuckets=0)
+    * table; requires the upsert action (delta semantics) and a
+    * key-unique transform output (the apply contract).
+    */
+  case class AggView(sink: KeyedTableSink, groupCol: String,
+    valueCol: String)
+
   case class Pipeline(
     consumer: String,
     changelogDir: String,
@@ -68,7 +78,9 @@ object CdcPipeline {
     deleteAction: String = "deleteFrom",
     // columns declared Yson: unsupported payload, every present value
     // is rewritten to the literal "{}" (YqlQuery.java:139-141)
-    ysonCols: Seq[String] = Nil)
+    ysonCols: Seq[String] = Nil,
+    // optional maintained aggregate projection (see AggView)
+    aggView: Option[AggView] = None)
 
   /** Reference backoff: `25 << min(retry, 8)` ms plus uniform jitter of
     * the same magnitude (YqlWriter.java:244-247).
@@ -223,6 +235,30 @@ object CdcPipeline {
           val nRows = opCounts.map(_.getLong(1)).sum
           val nErase = opCounts.filter(_.getString(0) == CdcParse.OpErase)
             .map(_.getLong(1)).sum
+          // Maintained aggregate projection: delta-update BEFORE the
+          // fact apply. Ordering makes every crash window replay-exact:
+          //  - crash before the replace: clean replay;
+          //  - crash between replace and fact apply: the replay
+          //    recomputes the identical aggregate (fact state
+          //    unchanged) and the replace is idempotent;
+          //  - crash after both: the replay's deltas net to zero
+          //    (each touched key removes and re-adds its post-apply
+          //    contribution; erased keys are gone from state).
+          p.aggView.foreach { av =>
+            require(p.action == "upsertInto",
+              "aggView requires the upsert action (delta semantics)")
+            val applied = transformed.unionByName(erases)
+            val prevState = p.sink.load()
+            val agg0 =
+              if (av.sink.exists) av.sink.load()
+              else prevState.groupBy(col(av.groupCol))
+                .agg(count(lit(1)).as("n"),
+                  sum(col(av.valueCol)).cast("long").as("sum_v"))
+            withRetry(p, st) { withTimeout(spark, p) {
+              av.sink.replace(KeyedMerge.applyAggDelta(agg0, prevState,
+                applied, p.sink.keys, av.groupCol, av.valueCol))
+            } }
+          }
           if (p.action == "upsertInto" || p.action == "deleteFrom") {
             // these actions consume mixed update+erase batches natively
             // (upsert drops erased keys; delete ignores update rows) —

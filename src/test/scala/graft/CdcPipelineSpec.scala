@@ -73,6 +73,43 @@ class CdcPipelineSpec extends AnyFunSuite {
     sink
   }
 
+  test("maintained agg view tracks the fact table across micro-batches") {
+    val changelog = freshDir("agg-changelog")
+    Changelog.writeFromEvents(spark,
+      s"${TestSpark.sfDir}/events.parquet", changelog, numFiles = 6)
+    val sink = new KeyedTableSink(spark, freshDir("agg-fact"),
+      Seq("user_id"), sinkSchema)
+    val aggSink = new KeyedTableSink(spark, freshDir("agg-view"),
+      Seq("event_type"), StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("sum_v", LongType))))
+    val p = CdcPipeline.Pipeline(
+      consumer = "test-aggview",
+      changelogDir = changelog,
+      checkpointDir = freshDir("agg-ckpt"),
+      schema = schema,
+      updateSql = Some(
+        "SELECT user_id, event_type, value_milli FROM rows"),
+      deleteSql = None,
+      sink = sink,
+      maxFilesPerTrigger = 2, // several delta applications
+      aggView = Some(CdcPipeline.AggView(aggSink, "event_type",
+        "value_milli")))
+    CdcPipeline.start(spark, p).awaitTermination(120000)
+    // the maintained view must equal a recompute over the final table
+    val want = sink.load().groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value_milli").as("sum_v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val got = aggSink.load().collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("stream replay equals batch golden; multiple micro-batches") {
     val changelog = freshDir("changelog")
     val n = Changelog.writeFromEvents(spark,
