@@ -350,7 +350,48 @@ object Ext3Queries {
         |ORDER BY cohort_day, day_offset""".stripMargin)
   }
 
+  /** Event-type co-occurrence matrix: for every unordered type pair,
+    * how many users emitted both. The self-join runs on per-user
+    * DISTINCT types (bounded by the type vocabulary, not event
+    * volume), so the pair fan-out per user is at most |types| choose 2.
+    */
+  def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  COUNT(*) AS n_users
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY a.event_type, b.event_type
+        |ORDER BY type_a, type_b""".stripMargin)
+  }
+
+  /** Ordered string aggregation (Spark 4 LISTAGG ... WITHIN GROUP):
+    * per-nation roster of the 3 richest customers' names. The inner
+    * per-group ORDER BY makes the concatenation deterministic; input
+    * rows are pre-pruned by the lateral group limit so the aggregate
+    * state is O(k), not O(group).
+    */
+  def listaggRoster(spark: SparkSession, dir: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(
+      """SELECT n.n_name,
+        |  listagg(c2.c_name, ',')
+        |    WITHIN GROUP (ORDER BY c2.c_acctbal DESC, c2.c_name)
+        |    AS top3_names
+        |FROM nation n JOIN LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 3) c2
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cooccurrence" -> cooccurrence _,
+    "q46_listagg" -> listaggRoster _,
     "ev_funnel" -> funnel _,
     "ev_retention" -> retention _,
     "ev_anomaly_zscore" -> anomalyZscore _,
@@ -372,6 +413,25 @@ object Ext3Queries {
     * arg-max-tokens (min doc id on ties) per cluster.
     */
   val oracle: Map[String, String] = Map(
+    "ev_cooccurrence" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  COUNT(*) AS n_users
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY a.event_type, b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q46_listagg" ->
+      """SELECT n.n_name,
+        |  string_agg(c2.c_name, ','
+        |    ORDER BY c2.c_acctbal DESC, c2.c_name) AS top3_names
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 3) c2
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
     "ev_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
