@@ -81,7 +81,14 @@ object Main {
             .getOrElse("deleteFrom"),
           ysonCols = translated.map(_.declaredMembers.collect {
             case (n, t) if graft.config.YdbTypes.isYson(t) => n
-          }).getOrElse(Nil))))
+          }).getOrElse(Nil),
+          aggView = p.aggView.map { case (g, v) =>
+            CdcPipeline.AggView(new KeyedTableSink(spark,
+              s"$workDir/${p.consumer}-agg", Seq(g), StructType(Seq(
+                StructField(g, schema.columns(g).dataType),
+                StructField("n", LongType),
+                StructField("sum_v", LongType)))), g, v)
+          })))
       }
     }
     // O14 monitoring surface (port via GRAFT_HTTP_PORT; 0 = off)

@@ -21,7 +21,11 @@ case class CdcPipelineConf(
   timeoutSeconds: Int = 0,
   errorThreshold: Int = 0,
   updateQuery: Option[QueryDef],
-  deleteQuery: Option[QueryDef])
+  deleteQuery: Option[QueryDef],
+  // graft extension (not in the reference XML): maintain a per-group
+  // (count, sum) aggregate projection beside the target table —
+  // `<cdc aggViewGroupCol=… aggViewValueCol=…>`
+  aggView: Option[(String, String)] = None)
 
 case class EngineConf(pipelines: Seq[CdcPipelineConf])
 
@@ -62,7 +66,10 @@ object PipelineConfig {
         timeoutSeconds = attr(c, "timeoutSeconds", "0").toInt,
         errorThreshold = attr(c, "errorThreshold", "0").toInt,
         updateQuery = upd,
-        deleteQuery = del)
+        deleteQuery = del,
+        aggView = Some(attr(c, "aggViewGroupCol"))
+          .filter(_.nonEmpty)
+          .map(g => (g, attr(c, "aggViewValueCol"))))
     }
     EngineConf(pipelines)
   }

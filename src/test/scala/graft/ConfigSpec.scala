@@ -37,6 +37,17 @@ class ConfigSpec extends AnyFunSuite {
     assert(p2.batchSize === 1000) // default XmlConfig.java:18
     assert(p2.updateQuery.get.actionTable === "mat_view2")
     assert(p2.deleteQuery.get.actionMode === "deleteFrom")
+    assert(p1.aggView === None) // graft extension is strictly opt-in
+  }
+
+  test("aggView attributes parse into the maintained-projection conf") {
+    val conf = PipelineConfig.fromXml(
+      """<config><cdc changefeed="t/f" consumer="v3"
+        |  aggViewGroupCol="event_type" aggViewValueCol="value_milli">
+        |  SELECT user_id, event_type, value_milli FROM rows
+        |</cdc></config>""".stripMargin)
+    assert(conf.pipelines.head.aggView ===
+      Some(("event_type", "value_milli")))
   }
 
   val schema = StructType(Seq(
