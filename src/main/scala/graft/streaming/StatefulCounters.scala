@@ -81,6 +81,53 @@ class TopKProcessor(k: Int)
 
 case class TopKEntry(key: Long, rank: Int, score: Long, item: Long)
 
+case class Anomaly(key: Long, seq: Long, vm: Long, z: Double)
+
+/** Streaming trailing-window z-score: a ListState ring buffer holds
+  * the last `window` quantized values per key; each event is scored
+  * against the moments of the buffer INCLUDING itself — the exact
+  * streaming replica of ev_anomaly_zscore's
+  * `ROWS BETWEEN 19 PRECEDING AND CURRENT ROW` frame (integer moment
+  * sums, one fixed IEEE expression — StreamingAnomalySpec proves
+  * stream == batch on identical doubles). Rows are sorted by seq
+  * within each micro-batch; cross-batch order is the source's replay
+  * order (the changelog is seq-ordered). State is O(window) per key.
+  */
+class ZScoreProcessor(window: Int, minN: Int, threshold: Double)
+    extends StatefulProcessor[Long, (Long, Long, Long), Anomaly] {
+
+  @transient private var buf: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getListState[Long]("vmbuf", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[Anomaly] = {
+    val cur = scala.collection.mutable.ArrayBuffer
+      .from(buf.get().map(identity))
+    val out = scala.collection.mutable.ArrayBuffer[Anomaly]()
+    rows.toSeq.sortBy(_._2).foreach { case (_, seq, vm) =>
+      cur += vm
+      if (cur.length > window) cur.remove(0, cur.length - window)
+      val n = cur.length
+      if (n >= minN) {
+        var s = 0L; var ss = 0L
+        cur.foreach { v => s += v; ss += v * v }
+        if (ss * n > s * s) {
+          // identical term order to the batch SQL expression
+          val z = (vm - s.toDouble / n) /
+            math.sqrt((ss.toDouble - s.toDouble * s / n) / (n - 1))
+          if (math.abs(z) > threshold) out += Anomaly(key, seq, vm, z)
+        }
+      }
+    }
+    buf.put(cur.toArray)
+    out.iterator
+  }
+}
+
 object StatefulCounters {
 
   /** Streaming top-k per key over (key, score, item) rows; each
@@ -92,6 +139,17 @@ object StatefulCounters {
     events.groupByKey(_._1)(Encoders.scalaLong)
       .transformWithState(new TopKProcessor(k), TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** Streaming anomaly scores over (key, seq, vm) rows — see
+    * [[ZScoreProcessor]].
+    */
+  def anomalyScores(events: Dataset[(Long, Long, Long)], window: Int,
+      minN: Int, threshold: Double): Dataset[Anomaly] = {
+    implicit val outEnc: Encoder[Anomaly] = Encoders.product[Anomaly]
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new ZScoreProcessor(window, minN, threshold),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Running (count, sum) per key over a stream of (key, value) rows;
