@@ -389,7 +389,30 @@ object Ext3Queries {
         |ORDER BY n.n_name""".stripMargin)
   }
 
+  /** CCNet-style perplexity bucketing: per-language head/middle/tail
+    * split by unigram-LM average NLL (lower = more fluent = head).
+    * The tercile is an ntile over the per-doc score — one window per
+    * language partition; the NLL itself is the integer micro-nat
+    * aggregate, so bucket boundaries are deterministic everywhere.
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val nll = TextAnalysis.unigramLogprob(
+      t(spark, dir, "documents"), "doc_id", "text")
+    val lang = t(spark, dir, "documents").select("doc_id", "lang")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("sum_nll_micro").cast("double")
+        / col("n_tokens").cast("double"), col("doc_id"))
+    nll.join(lang, "doc_id")
+      .withColumn("tercile", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+      .select("doc_id", "lang", "sum_nll_micro", "tercile", "bucket")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ppl_buckets" -> pplBuckets _,
     "ev_cooccurrence" -> cooccurrence _,
     "q46_listagg" -> listaggRoster _,
     "ev_funnel" -> funnel _,
@@ -413,6 +436,37 @@ object Ext3Queries {
     * arg-max-tokens (min doc id on ties) per cluster.
     */
   val oracle: Map[String, String] = Map(
+    "text_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(tt.tok) AS tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |    FROM documents) tt
+        |), dt AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM toks GROUP BY doc_id, tok
+        |), lm AS (
+        |  SELECT tok, CAST(SUM(n_occ) AS BIGINT) AS c FROM dt GROUP BY tok
+        |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM lm),
+        |sc AS (
+        |  SELECT dt.doc_id, dt.n_occ,
+        |    CAST(ROUND(ln(CAST(lm.c AS DOUBLE) / CAST(tot.n_total AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS lp_micro
+        |  FROM dt JOIN lm USING (tok) CROSS JOIN tot),
+        |nll AS (
+        |  SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(-lp_micro * n_occ) AS BIGINT) AS sum_nll_micro
+        |  FROM sc GROUP BY doc_id),
+        |j AS (
+        |  SELECT n.doc_id, d.lang, n.sum_nll_micro,
+        |    NTILE(3) OVER (PARTITION BY d.lang
+        |      ORDER BY CAST(n.sum_nll_micro AS DOUBLE)
+        |        / CAST(n.n_tokens AS DOUBLE), n.doc_id) AS tercile
+        |  FROM nll n JOIN documents d ON d.doc_id = n.doc_id)
+        |SELECT doc_id, lang, sum_nll_micro, tercile,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM j ORDER BY doc_id""".stripMargin,
     "ev_cooccurrence" ->
       """WITH ut AS (
         |  SELECT DISTINCT user_id, event_type FROM events)
