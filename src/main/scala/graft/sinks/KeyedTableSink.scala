@@ -59,10 +59,17 @@ class KeyedTableSink(spark: SparkSession, val path: String,
   // fan-out the data was written with ----
 
   private val MetaBuckets = "buckets"
+  private val MetaEpoch = "epoch"
 
   /** Manifest minus meta entries — the lines that point at data dirs. */
   private def dataEntries(m: Map[String, String]): Map[String, String] =
-    m - MetaBuckets
+    m - MetaBuckets - MetaEpoch
+
+  /** The streaming epoch (foreachBatch batchId) recorded by the last
+    * `replace`, if any — the replay-idempotence token for maintained
+    * projections.
+    */
+  def lastEpoch: Option[Long] = manifest().get(MetaEpoch).map(_.toLong)
 
   /** Roll forward a crash that happened mid-promote: CURRENT.next is
     * only ever written AFTER its data dirs are complete, so it wins.
@@ -254,10 +261,20 @@ class KeyedTableSink(spark: SparkSession, val path: String,
     * the complete new (small) aggregate table. Same crash-atomic
     * manifest promote as `apply`; `next` may read the current
     * generation (its files survive until the post-promote GC).
+    * `epoch` >= 0 is recorded in the manifest so a streaming replay of
+    * the same foreachBatch epoch can detect the projection already
+    * reflects this batch (`lastEpoch`) and skip — without it, a crash
+    * after the replace but before the fact apply would re-apply the
+    * delta against the agg that already contains it (double count).
     */
-  def replace(next: DataFrame): Unit = {
+  def replace(next: DataFrame, epoch: Long = -1L): Unit = {
     require(numBuckets <= 0, "replace is whole-table (flat) mode only")
-    swapIn(next)
+    val gen = s"g-${uuid()}"
+    next.write.mode("overwrite").parquet(new Path(root, gen).toString)
+    val m0 = Map("flat" -> gen)
+    val m = if (epoch >= 0) m0 + (MetaEpoch -> epoch.toString) else m0
+    writeManifest(m)
+    gc(m)
   }
 
   def apply(batch: DataFrame, action: String): Unit = {

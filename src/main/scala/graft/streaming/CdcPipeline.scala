@@ -162,7 +162,8 @@ object CdcPipeline {
     * Public so batch jobs and tests can drive the identical code path
     * (two-phase read-then-act, O7).
     */
-  def applyBatch(spark: SparkSession, p: Pipeline, batch: DataFrame): Unit = {
+  def applyBatch(spark: SparkSession, p: Pipeline, batch: DataFrame,
+      batchId: Long = -1L): Unit = {
     val st = statuses.computeIfAbsent(p.consumer, new Status(_))
     st.lastReaded = System.currentTimeMillis()
     val typed = CdcParse.parseEnvelope(batch, "value", p.schema)
@@ -236,28 +237,35 @@ object CdcPipeline {
           val nErase = opCounts.filter(_.getString(0) == CdcParse.OpErase)
             .map(_.getLong(1)).sum
           // Maintained aggregate projection: delta-update BEFORE the
-          // fact apply. Ordering makes every crash window replay-exact:
-          //  - crash before the replace: clean replay;
-          //  - crash between replace and fact apply: the replay
-          //    recomputes the identical aggregate (fact state
-          //    unchanged) and the replace is idempotent;
-          //  - crash after both: the replay's deltas net to zero
-          //    (each touched key removes and re-adds its post-apply
-          //    contribution; erased keys are gone from state).
+          // fact apply, with the foreachBatch epoch recorded in the
+          // projection manifest. Every crash window replays exactly:
+          //  - crash before the replace: epoch unrecorded, clean
+          //    recompute against the unchanged fact state;
+          //  - crash between replace and fact apply: the replayed
+          //    epoch matches lastEpoch, so the delta is NOT re-applied
+          //    (it is already in the projection — re-applying it
+          //    against the pre-apply fact state would double-count);
+          //  - crash after both: same epoch skip; the fact apply
+          //    itself is idempotent.
           p.aggView.foreach { av =>
             require(p.action == "upsertInto",
               "aggView requires the upsert action (delta semantics)")
-            val applied = transformed.unionByName(erases)
-            val prevState = p.sink.load()
-            val agg0 =
-              if (av.sink.exists) av.sink.load()
-              else prevState.groupBy(col(av.groupCol))
-                .agg(count(lit(1)).as("n"),
-                  sum(col(av.valueCol)).cast("long").as("sum_v"))
-            withRetry(p, st) { withTimeout(spark, p) {
-              av.sink.replace(KeyedMerge.applyAggDelta(agg0, prevState,
-                applied, p.sink.keys, av.groupCol, av.valueCol))
-            } }
+            if (batchId >= 0 && av.sink.lastEpoch.contains(batchId)) {
+              () // replayed epoch: projection already reflects it
+            } else {
+              val applied = transformed.unionByName(erases)
+              val prevState = p.sink.load()
+              val agg0 =
+                if (av.sink.exists) av.sink.load()
+                else prevState.groupBy(col(av.groupCol))
+                  .agg(count(lit(1)).as("n"),
+                    sum(col(av.valueCol)).cast("long").as("sum_v"))
+              withRetry(p, st) { withTimeout(spark, p) {
+                av.sink.replace(KeyedMerge.applyAggDelta(agg0,
+                  prevState, applied, p.sink.keys, av.groupCol,
+                  av.valueCol), batchId)
+              } }
+            }
           }
           if (p.action == "upsertInto" || p.action == "deleteFrom") {
             // these actions consume mixed update+erase batches natively
@@ -325,8 +333,8 @@ object CdcPipeline {
       .queryName(p.consumer)
       .option("checkpointLocation", p.checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, p, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, p, batch, batchId)
       }
       .start()
   }

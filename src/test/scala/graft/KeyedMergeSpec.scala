@@ -68,6 +68,51 @@ class KeyedMergeSpec extends AnyFunSuite {
     assert(got.contains(("g2", 1L, 250L)))
   }
 
+  test("agg-view replay is exact in every crash window (epoch guard)") {
+    import org.apache.spark.sql.functions._
+    def agg(df: DataFrame) = df.groupBy("name")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("n"),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    val want = rows(agg(KeyedMerge.applyCdc(state, batch, Seq("id"))))
+
+    val firstPass = KeyedMerge.applyAggDelta(agg(state), state, batch,
+      Seq("id"), "name", "v")
+    assert(rows(firstPass) === want)
+
+    // WITHOUT the epoch guard, replaying the delta after a crash
+    // between the projection replace and the fact apply double-counts
+    // (the projection already contains the batch, the fact state does
+    // not) — exactly what lastEpoch exists to prevent:
+    val doubleCounted = KeyedMerge.applyAggDelta(firstPass, state,
+      batch, Seq("id"), "name", "v")
+    assert(rows(doubleCounted) !== want)
+
+    // the guard: a replace stamped with the epoch is detected on
+    // replay and the delta is skipped, leaving the exact aggregate
+    val sink = new graft.sinks.KeyedTableSink(spark,
+      java.nio.file.Files.createTempDirectory("agg-epoch").toString,
+      Seq("name"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_v",
+          org.apache.spark.sql.types.LongType))))
+    sink.replace(firstPass, epoch = 7L)
+    assert(sink.lastEpoch === Some(7L))
+    if (!sink.lastEpoch.contains(7L)) // replay of epoch 7: skipped
+      sink.replace(doubleCounted, epoch = 7L)
+    assert(rows(sink.load()) === want)
+
+    // a crash AFTER both writes also replays clean: deltas against
+    // the post-apply state net to zero even without the guard
+    val postState = KeyedMerge.applyCdc(state, batch, Seq("id"))
+    assert(rows(KeyedMerge.applyAggDelta(firstPass, postState, batch,
+      Seq("id"), "name", "v")) === want)
+  }
+
   test("insert: only absent keys added, matched untouched") {
     val out = KeyedMerge.applyInsert(state, batch, Seq("id"))
     assert(rows(out) === Set((1L, "a", 10L), (2L, "b", 20L),
