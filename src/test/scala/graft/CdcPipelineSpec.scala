@@ -110,6 +110,44 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("agg view: replaying the same batchId does not double-count") {
+    val changelog = freshDir("agg-replay-clog")
+    Changelog.writeFromEvents(spark,
+      s"${TestSpark.sfDir}/events.parquet", changelog, numFiles = 1)
+    val sink = new KeyedTableSink(spark, freshDir("agg-replay-fact"),
+      Seq("user_id"), sinkSchema)
+    val aggSink = new KeyedTableSink(spark, freshDir("agg-replay-view"),
+      Seq("event_type"), StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("sum_v", LongType))))
+    val p = CdcPipeline.Pipeline(
+      consumer = "test-agg-replay",
+      changelogDir = changelog,
+      checkpointDir = freshDir("agg-replay-ckpt"),
+      schema = schema,
+      updateSql = Some(
+        "SELECT user_id, event_type, value_milli FROM rows"),
+      deleteSql = None,
+      sink = sink,
+      aggView = Some(CdcPipeline.AggView(aggSink, "event_type",
+        "value_milli")))
+    val batch = Changelog.readBatch(spark, changelog)
+    // first delivery, then an at-least-once REDELIVERY of the same
+    // epoch (the crash-replay path foreachBatch can take)
+    CdcPipeline.applyBatch(spark, p, batch, batchId = 0L)
+    CdcPipeline.applyBatch(spark, p, batch, batchId = 0L)
+    val want = sink.load().groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value_milli").as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val got = aggSink.load().collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got === want)
+    assert(aggSink.lastEpoch === Some(0L))
+  }
+
   test("stream replay equals batch golden; multiple micro-batches") {
     val changelog = freshDir("changelog")
     val n = Changelog.writeFromEvents(spark,
