@@ -113,6 +113,41 @@ class KeyedMergeSpec extends AnyFunSuite {
       Seq("id"), "name", "v")) === want)
   }
 
+  test("property: random batch sequences keep the agg view == recompute") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(1337)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("n"),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    def agg(df: DataFrame) = df.groupBy("name")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+    (1 to 3).foreach { trial =>
+      var st: DataFrame = Seq.tabulate(8)(i =>
+        (i.toLong, Option(s"g${i % 3}"), Option(i * 10L)))
+        .toDF("id", "name", "v").localCheckpoint()
+      var a: DataFrame = agg(st).localCheckpoint()
+      (1 to 4).foreach { _ =>
+        // random LWW'd batch: unique keys, random op/group/value/null
+        val keys = rnd.shuffle((0L to 11L).toList).take(1 + rnd.nextInt(6))
+        val batch = keys.map { k =>
+          rnd.nextInt(4) match {
+            case 0 => (k, Option.empty[String], Option.empty[Long],
+              CdcParse.OpErase, 0L)
+            case 1 => (k, Option.empty[String], Option.empty[Long],
+              CdcParse.OpKeysOnly, 0L)
+            case _ => (k, Option(s"g${rnd.nextInt(4)}"),
+              Option(rnd.nextInt(100).toLong), CdcParse.OpUpdate, 0L)
+          }
+        }.toDF("id", "name", "v", "op", "seq")
+        a = KeyedMerge.applyAggDelta(a, st, batch, Seq("id"), "name", "v")
+          .localCheckpoint()
+        st = KeyedMerge.applyCdc(st, batch, Seq("id")).localCheckpoint()
+        assert(rows(a) === rows(agg(st)),
+          s"trial $trial diverged from recompute")
+      }
+    }
+  }
+
   test("insert: only absent keys added, matched untouched") {
     val out = KeyedMerge.applyInsert(state, batch, Seq("id"))
     assert(rows(out) === Set((1L, "a", 10L), (2L, "b", 20L),
