@@ -61,8 +61,21 @@ object Dedup {
     * removing the two post-join shuffles the old shape paid.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      minJ: Double, n: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+      minJ: Double, n: Int = 3, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, n)
+    // Stop-shingle suppression (maxDf < MaxValue): shingles present in
+    // more than maxDf documents — boilerplate — leave the shingle
+    // space entirely (candidate join AND set sizes), bounding the
+    // per-shingle join fan-out by maxDf. This is the mitigation for
+    // the exact path's quadratic cliff (hot shingle = df² candidate
+    // rows): the similarity becomes Jaccard over the FILTERED shingle
+    // sets — a deliberate, documented semantic (pairs related only
+    // through boilerplate drop out; that is the point). The default
+    // degenerates to exact semantics (spec-checked identical).
+    val sh = if (maxDf == Int.MaxValue) sh0
+      else sh0.join(
+        sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("shingle"), "shingle")
     val sized = sh
       .join(sh.groupBy(col("id")).agg(count(lit(1)).as("sz")), "id")
       .cache()

@@ -36,6 +36,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("stop-shingle cap: default is exact; cap drops boilerplate-only " +
+      "pairs and bounds fan-out") {
+    // boilerplate prefix shared by 4 docs; docs 10/11 share ONLY it
+    val corpus = Seq(
+      (10L, "terms of service apply here alpha beta gamma"),
+      (11L, "terms of service apply here delta epsilon zeta"),
+      (12L, "terms of service apply here red green blue teal"),
+      (13L, "terms of service apply here one two three four"),
+      (14L, "rare shingle payload xyzzy plugh quux deep content"),
+      (15L, "rare shingle payload xyzzy plugh quux deep matter")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", minJ = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dflt = Dedup.jaccardPairs(corpus, "doc_id", "text", minJ = 0.1,
+        maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt === exact) // MaxValue degenerates to exact semantics
+    assert(exact.contains((10L, 11L))) // boilerplate relates them
+    val capped = Dedup.jaccardPairs(corpus, "doc_id", "text",
+        minJ = 0.1, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate-only pairs drop; rare-content pairs survive
+    assert(!capped.contains((10L, 11L)))
+    assert(capped.contains((14L, 15L)))
+  }
+
   test("short doc below shingle width produces no shingles, no crash") {
     val sh = Dedup.shingles(docs.filter($"doc_id" === 5L), "doc_id", "text")
     assert(sh.count() === 0)
