@@ -257,7 +257,29 @@ object ExtQueries {
       .orderBy("media_id", "pos")
   }
 
+  /** Average-pool resize through the batched codec path: 8-dim stub
+    * features pooled to 4 (k=2). Pooled values are mapped back to
+    * exact integer counts (v·n·k = the sum of the pooled buckets'
+    * counts — float error << 0.5, so the round is exact) to keep the
+    * oracle integer-precise through the float pipeline.
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.attachMedia(docs, "doc_id", "text"), featureDim = 8)
+    val small = Multimodal.resizeFeatures(feats, inDim = 8, outDim = 4)
+    val lens = docs.select(col("doc_id").as("media_id"),
+      octet_length(col("text")).cast("long").as("n"))
+    small.select(col("media_id"),
+        posexplode(col("feature_small")).as(Seq("pos", "v")))
+      .join(lens, "media_id")
+      .select(col("media_id"), col("pos").cast("long").as("pos"),
+        round(col("v") * col("n") * 2).cast("long").as("cnt2"))
+      .orderBy("media_id", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resize" -> mmResize _,
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupJaccard _,
     "dedup_clusters" -> dedupClusters _,
@@ -750,6 +772,16 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
     // ASCII (verified octet_length(encode(text)) == length(text) for
     // every row), so char positions == byte positions; the engine
     // side slices real bytes
+    "mm_resize" ->
+      """WITH c AS (
+        |  SELECT doc_id AS media_id, text,
+        |    unnest(range(0, 4)) AS pos
+        |  FROM documents)
+        |SELECT media_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(len(list_filter(
+        |    list_transform(string_split(text, ''), ch -> (ord(ch) % 8) // 2),
+        |    x -> x = pos)) AS BIGINT) AS cnt2
+        |FROM c ORDER BY media_id, pos""".stripMargin,
     "mm_features" ->
       """WITH c AS (
         |  SELECT doc_id AS media_id, text,
