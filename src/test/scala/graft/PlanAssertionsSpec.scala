@@ -62,6 +62,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("join hints steer the physical strategy (SHUFFLE_HASH, MERGE)") {
+    graft.Tables.registerAll(spark, dir)
+    def planOf(hint: String) = spark.sql(
+      s"""SELECT /*+ $hint(n) */ c.c_custkey, n.n_name
+         |FROM customer c JOIN nation n
+         |  ON n.n_nationkey = c.c_nationkey""".stripMargin)
+      .queryExecution.executedPlan.toString
+    // nation is broadcast-sized, so only an honored hint produces
+    // these non-default join operators
+    assert(planOf("SHUFFLE_HASH").contains("ShuffledHashJoin"))
+    assert(planOf("MERGE").contains("SortMergeJoin"))
+  }
+
   test("q4 joins the dimension tables via broadcast, not shuffle") {
     val p = plan(graft.operators.Relational
       .queries("q4_broadcast_join")(spark, dir))
