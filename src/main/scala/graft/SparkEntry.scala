@@ -22,6 +22,7 @@ object SparkEntry {
       operators.ExtQueries.queries ++
       operators.Ext2Queries.queries ++
       operators.Ext3Queries.queries ++
+      operators.Ext4Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.MiscQueries.queries
 
@@ -34,6 +35,7 @@ object SparkEntry {
       operators.ExtQueries.oracle ++
       operators.Ext2Queries.oracle ++
       operators.Ext3Queries.oracle ++
+      operators.Ext4Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.MiscQueries.oracle
 }
