@@ -84,13 +84,35 @@ object Bench {
       System.err.println(s"[bench] stream section failed: ${e.getMessage}")
       0.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).sum
-    // headline fields LAST: the driver records only the trailing chars
-    // of the run's stdout, so totals must survive front-truncation of
-    // this (long) line once the per-query map grows
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"cdc_rows_per_sec":$rps,"cdc_stream_rows_per_sec":$streamRps,"n_queries":${results.size},"value":$total}""")
+    val detail = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // Full per-query detail goes to stderr AND a file: the driver
+    // records only the trailing ~2000 chars of stdout, so the single
+    // stdout JSON line must stay SHORT enough to survive whole (r1/r2
+    // both came back parsed=null because the line outgrew the tail).
+    System.err.println(s"""[bench-detail] $detail""")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"sf":"$sfDir","n_queries":${results.size},"total_sec":${fmt(total)},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"queries":$detail}""".getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // Curated headline subset (one per operator family + every query
+    // that has ever been hot) — fixed list so rounds stay comparable.
+    val headline = Seq("q1_pricing_summary", "q3_join_agg", "q5_window",
+      "q11_distinct_having", "q22_interval_join", "q25_sql_surface",
+      "q26_topk_per_key", "q42_recursive_chains", "cdc_apply_upsert",
+      "cdc_parse_route", "cdc_lww_dedup", "cdc_mat_view2", "cdc_agg_view",
+      "pipeline_prepare", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard", "dedup_clusters", "dedup_simhash",
+      "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf", "embed_near_dups",
+      "text_corpus_stats", "text_langid", "ev_window_session",
+      "ev_funnel", "mm_features", "q32_only_late_supplier")
+    val byName = results.toMap
+    val qs = headline.flatMap(n => byName.get(n).map(v =>
+      s"\"" + n + "\":" + fmt(v))).mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$qs,"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"value":${fmt(total)}}""")
     spark.stop()
   }
 }

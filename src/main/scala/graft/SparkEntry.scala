@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Ext2Queries.queries ++
       operators.Ext3Queries.queries ++
       operators.Ext4Queries.queries ++
+      operators.Ext5Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.MiscQueries.queries
 
@@ -36,6 +37,7 @@ object SparkEntry {
       operators.Ext2Queries.oracle ++
       operators.Ext3Queries.oracle ++
       operators.Ext4Queries.oracle ++
+      operators.Ext5Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.MiscQueries.oracle
 }
