@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Ext3Queries.queries ++
       operators.Ext4Queries.queries ++
       operators.Ext5Queries.queries ++
+      operators.Ext6Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.MiscQueries.queries
 
@@ -38,6 +39,7 @@ object SparkEntry {
       operators.Ext3Queries.oracle ++
       operators.Ext4Queries.oracle ++
       operators.Ext5Queries.oracle ++
+      operators.Ext6Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.MiscQueries.oracle
 }
