@@ -5,8 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-3 batch: training-data assembly operators — sequence packing
-  * (concat-and-chop into fixed token windows), Dolma-style
+/** Round-3 batch: training-data assembly operators — Dolma-style
   * paragraph-level exact dedup with document reassembly, a
   * fixed-iteration all-integer PageRank over the customer–supplier
   * interaction graph, and temperature-weighted data-mixing allocation
@@ -15,32 +14,6 @@ import org.apache.spark.sql.functions._
   * so no cross-engine float-summation order can break the hash.
   */
 object Ext5Queries {
-
-  /** Sequence packing (GPT-style concat-and-chop): within each shard,
-    * documents are concatenated in doc_id order and chopped into
-    * fixed 256-token training sequences; each document reports the
-    * sequence span it lands in. One window cumsum per shard — the
-    * shard is the parallelism unit, so at 100 TB this is a single
-    * narrow pass after a hash repartition (no global sort: packing
-    * order only needs to be deterministic per shard, not global).
-    * All-integer arithmetic (cumsum, integer div) — hash-exact.
-    */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 256
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(spark, dir, "documents")
-      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("end_tok", sum(col("n_tok")).over(w))
-      .withColumn("start_tok", col("end_tok") - col("n_tok"))
-      .withColumn("first_seq", expr(s"start_tok div $budget"))
-      .withColumn("last_seq", expr(s"(end_tok - 1) div $budget"))
-      .select(col("shard"), col("doc_id"), col("n_tok"),
-        col("start_tok"), col("first_seq"), col("last_seq"),
-        (col("last_seq") - col("first_seq") + 1).as("n_seqs"))
-      .orderBy("shard", "doc_id")
-  }
 
   /** Paragraph-level exact dedup (the Dolma/CCNet shape): explode
     * documents into paragraph units, give each distinct paragraph to
@@ -174,31 +147,11 @@ object Ext5Queries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_pack_sequences" -> packSequences _,
     "dedup_paragraphs" -> paragraphDedup _,
     "graph_pagerank" -> pageRank _,
     "text_mix_allocation" -> mixAllocation _)
 
   val oracle: Map[String, String] = Map(
-    "text_pack_sequences" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tok
-        |  FROM documents
-        |), c AS (
-        |  SELECT shard, doc_id, n_tok,
-        |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS end_tok
-        |  FROM d)
-        |SELECT shard, doc_id, n_tok,
-        |  end_tok - n_tok AS start_tok,
-        |  (end_tok - n_tok) // 256 AS first_seq,
-        |  (end_tok - 1) // 256 AS last_seq,
-        |  (end_tok - 1) // 256 - (end_tok - n_tok) // 256 + 1 AS n_seqs
-        |FROM c
-        |ORDER BY shard, doc_id""".stripMargin,
     "dedup_paragraphs" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants over the whole query catalog. */
+class EntryContractSpec extends AnyFunSuite {
+
+  private val modules: Seq[(String, Map[String, _], Map[String, String])] =
+    Seq(
+      ("Relational", operators.Relational.queries,
+        operators.Relational.oracle),
+      ("CdcQueries", operators.CdcQueries.queries,
+        operators.CdcQueries.oracle),
+      ("ExtQueries", operators.ExtQueries.queries,
+        operators.ExtQueries.oracle),
+      ("Ext2Queries", operators.Ext2Queries.queries,
+        operators.Ext2Queries.oracle),
+      ("Ext3Queries", operators.Ext3Queries.queries,
+        operators.Ext3Queries.oracle),
+      ("Ext4Queries", operators.Ext4Queries.queries,
+        operators.Ext4Queries.oracle),
+      ("Ext5Queries", operators.Ext5Queries.queries,
+        operators.Ext5Queries.oracle),
+      ("Ext6Queries", operators.Ext6Queries.queries,
+        operators.Ext6Queries.oracle),
+      ("EventTimeQueries", operators.EventTimeQueries.queries,
+        operators.EventTimeQueries.oracle),
+      ("MiscQueries", operators.MiscQueries.queries,
+        operators.MiscQueries.oracle))
+
+  test("no query name is declared by two modules (silent map shadowing)") {
+    val all = modules.flatMap { case (m, qs, _) =>
+      qs.keys.map(_ -> m)
+    }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty,
+      s"duplicate query keys: ${dups.map { case (k, ms) =>
+        s"$k in ${ms.map(_._2).mkString("+")}" }.mkString(", ")}")
+    val allO = modules.flatMap { case (m, _, os) => os.keys.map(_ -> m) }
+    val dupsO = allO.groupBy(_._1).filter(_._2.size > 1)
+    assert(dupsO.isEmpty, s"duplicate oracle keys: ${dupsO.keys}")
+  }
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+  }
+
+  test("catalog size equals the sum of module sizes") {
+    assert(SparkEntry.queries.size === modules.map(_._2.size).sum)
+  }
+}

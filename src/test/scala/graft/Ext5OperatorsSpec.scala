@@ -9,28 +9,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class Ext5OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("pack_sequences: spans are contiguous and token-conserving") {
-    val rows = Ext5Queries.packSequences(spark, TestSpark.sfDir).collect()
-    assert(rows.nonEmpty)
-    rows.groupBy(_.getAs[Long]("shard")).values.foreach { rs =>
-      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
-      // concatenation: each doc starts where the previous ended
-      sorted.sliding(2).foreach {
-        case Array(a, b) =>
-          assert(b.getAs[Long]("start_tok") ===
-            a.getAs[Long]("start_tok") + a.getAs[Long]("n_tok"))
-        case _ => ()
-      }
-      sorted.foreach { r =>
-        val first = r.getAs[Long]("first_seq")
-        val last = r.getAs[Long]("last_seq")
-        assert(first === r.getAs[Long]("start_tok") / 256)
-        assert(last >= first)
-        assert(r.getAs[Long]("n_seqs") === last - first + 1)
-      }
-    }
-  }
-
   test("paragraph dedup: kept counts bounded, distinct paras conserved") {
     val rows = Ext5Queries.paragraphDedup(spark, TestSpark.sfDir).collect()
     assert(rows.length === 500)
