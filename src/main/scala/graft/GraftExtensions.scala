@@ -37,5 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_hash",
         "rolling_hash(s) - Karp-Rabin 64-bit rolling hash"),
       (exprs: Seq[Expression]) => GraftFunctions.RollingHash(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("morton"),
+      info("morton",
+        "morton(a, b) - z-order interleave of the low 16 bits"),
+      (exprs: Seq[Expression]) =>
+        GraftFunctions.mortonExpr(exprs.head, exprs(1))))
   }
 }

@@ -113,6 +113,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", (exprs: Seq[Expression]) =>
         FloatVecDot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "morton", (exprs: Seq[Expression]) =>
+        mortonExpr(exprs.head, exprs(1)), "built-in")
   }
 
   /** Karp-Rabin rolling hash of a string (base 257, 64-bit wraparound)
@@ -152,7 +155,71 @@ object GraftFunctions {
       copy(child = newChild)
   }
 
+  /** Morton (z-order) interleave of the low 16 bits of two longs:
+    * bit i of `left` lands at position 2i, bit i of `right` at 2i+1.
+    * The data-layout primitive behind multi-dimensional clustering —
+    * sort/range-partition by this code and parquet min/max stats stay
+    * tight in BOTH dimensions (see Ext6Queries.zorderLayout). Codegen
+    * is the branch-free bit-spread (5 mask-shift steps per side), so
+    * the expression stays inside whole-stage codegen on the write
+    * path. ExpectsInputTypes inserts integral->long casts.
+    */
+  case class MortonInterleave(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.LongType
+    override def prettyName: String = "morton"
+    @inline private def spread(x: Long): Long = {
+      var s = x & 0xffffL
+      s = (s | s << 8) & 0x00ff00ffL
+      s = (s | s << 4) & 0x0f0f0f0fL
+      s = (s | s << 2) & 0x33333333L
+      s = (s | s << 1) & 0x55555555L
+      s
+    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.valueOf(
+        spread(a.asInstanceOf[Long]) | (spread(b.asInstanceOf[Long]) << 1))
+    private def genSpread(v: String, s: String): String =
+      s"""
+        |long $s = $v & 0xffffL;
+        |$s = ($s | $s << 8) & 0x00ff00ffL;
+        |$s = ($s | $s << 4) & 0x0f0f0f0fL;
+        |$s = ($s | $s << 2) & 0x33333333L;
+        |$s = ($s | $s << 1) & 0x55555555L;
+        |""".stripMargin
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val sa = ctx.freshName("sa")
+        val sb = ctx.freshName("sb")
+        s"""
+          |${genSpread(a, sa)}
+          |${genSpread(b, sb)}
+          |${ev.value} = $sa | ($sb << 1);
+          |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression) = copy(left = l, right = r)
+  }
+
+  /** Build a MortonInterleave with integral inputs cast to long
+    * (AbstractDataType is sql-private, so casts replace
+    * ExpectsInputTypes here).
+    */
+  def mortonExpr(a: Expression, b: Expression): Expression = {
+    def toLong(e: Expression) =
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.LongType)
+    MortonInterleave(toLong(a), toLong(b))
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column-API form of `morton` (no registration needed). */
+  def morton(a: Column, b: Column): Column =
+    ColumnBridge.column(mortonExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column-API form of `rolling_hash`. */
   def rollingHash(c: Column): Column =

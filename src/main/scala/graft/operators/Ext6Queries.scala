@@ -110,14 +110,6 @@ object Ext6Queries {
       .orderBy("sketch_row", "bucket")
   }
 
-  /** Bit-interleave of the low 16 bits of two dimensions (Spark SQL
-    * spells shifts as functions; DuckDB side uses operators).
-    */
-  private def zExpr(a: String, b: String): String =
-    (0 until 16).map(i =>
-      s"shiftleft(shiftright($a, $i) & 1, ${2 * i}) " +
-        s"| shiftleft(shiftright($b, $i) & 1, ${2 * i + 1})")
-      .mkString(" | ")
 
   /** Z-order layout audit: interleave (custkey, order epoch-day) into
     * a Morton code, bucket by its high bits, and report each bucket's
@@ -134,9 +126,9 @@ object Ext6Queries {
     */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val day = "datediff(o_orderdate, date'1992-01-01')"
-    val z = zExpr("o_custkey & 65535", s"($day) & 65535")
     t(spark, dir, "orders")
-      .withColumn("z", expr(z))
+      .withColumn("z", graft.functions.GraftFunctions.morton(
+        expr("o_custkey & 65535"), expr(s"($day) & 65535")))
       .withColumn("zbucket", expr("shiftright(z, 16)"))
       .groupBy(col("zbucket"))
       .agg(count(lit(1)).as("n_orders"),

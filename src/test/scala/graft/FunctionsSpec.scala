@@ -46,6 +46,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(hs(0) === (('a'.toLong * 257 + 'b') * 257 + 'c'))
   }
 
+  test("morton: codegen bit-spread equals the naive interleave; SQL-registered") {
+    def naive(a: Long, b: Long): Long =
+      (0 until 16).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (70000L, 3L)) // 70000: only low 16 bits count
+    val got = pairs.toDF("a", "b")
+      .select(GraftFunctions.morton($"a", $"b").as("z"))
+      .as[Long].collect()
+    pairs.zip(got).foreach { case ((a, b), z) =>
+      assert(z === naive(a & 65535, b & 65535))
+    }
+    // monotone block property: same high bytes -> same z >> 16
+    assert(naive(0x1200, 0x3400) >> 16 === naive(0x12ff, 0x34ff) >> 16)
+    // registry path
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT morton(3, 5)").head.getLong(0)
+    assert(viaSql === naive(3, 5))
+  }
+
   test("strptime translation covers the README format") {
     // DateTime::Parse('%Y-%m-%d %H:%M:%S %Z') — README.md:91
     assert(GraftFunctions.strptimeToSpark("%Y-%m-%d %H:%M:%S %Z") ===
