@@ -42,5 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "morton(a, b) - z-order interleave of the low 16 bits"),
       (exprs: Seq[Expression]) =>
         GraftFunctions.mortonExpr(exprs.head, exprs(1))))
+    // whole-operator extension: planned sort-merge as-of join
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -139,11 +139,41 @@ object Ext6Queries {
       .orderBy("zbucket")
   }
 
+  /** Click->view attribution through the PLANNED as-of join (the
+    * custom logical node + Strategy + AsOfJoinExec merge —
+    * plans/AsOfJoinPlan.scala), oracle-checked against the same
+    * window-SQL semantics ev_click_attrib uses. Times are scaled to
+    * 2·us (views) / 2·us+1 (clicks) so "view at identical micros
+    * matches the click" holds even under exact timestamp ties — the
+    * fixture has none (verified), but the operator shouldn't depend
+    * on that. Scale shape: two shuffles (one per side), one
+    * streaming merge pass, O(1) state per partition — and ZERO extra
+    * exchange when the inputs are already bucketed by user
+    * (PlannedAsOfSpec proves the no-op-exchange property).
+    */
+  def asofPlanned(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("us"),
+        (col("us") * 2 + 1).as("t2"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("view_us"),
+        round(col("value") * 1000).cast("long").as("view_vm"),
+        (col("us") * 2).as("t2v"))
+    graft.plans.PlannedAsOf.asofJoin(clicks, views, "user_id",
+        "t2", "t2v", Seq("view_us", "view_vm"))
+      .select(col("user_id"), col("event_id"),
+        col("us").as("click_us"), col("view_us"), col("view_vm"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_inverted_index" -> invertedIndex _,
     "text_bm25_topk" -> bm25TopK _,
     "sketch_cms" -> cmsSketch _,
-    "layout_zorder" -> zorderLayout _)
+    "layout_zorder" -> zorderLayout _,
+    "q47_asof_planned" -> asofPlanned _)
 
   private def zSql(a: String, b: String): String =
     (0 until 16).map(i =>
@@ -218,6 +248,25 @@ object Ext6Queries {
         |FROM cells
         |GROUP BY sketch_row, bucket
         |ORDER BY sketch_row, bucket""".stripMargin,
+    "q47_asof_planned" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), lv AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    last_value(CASE WHEN event_type = 'view' THEN us END
+        |      IGNORE NULLS) OVER w AS view_us,
+        |    last_value(CASE WHEN event_type = 'view' THEN vm END
+        |      IGNORE NULLS) OVER w AS view_vm
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, CASE WHEN event_type = 'view' THEN 0 ELSE 1
+        |      END, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, us AS click_us, view_us, view_vm
+        |FROM lv WHERE event_type = 'click'
+        |ORDER BY user_id, event_id""".stripMargin,
     "layout_zorder" -> {
       val day = "date_diff('day', DATE '1992-01-01', o_orderdate)"
       val z = zSql("o_custkey & 65535", s"($day) & 65535")

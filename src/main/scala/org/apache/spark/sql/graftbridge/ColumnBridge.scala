@@ -14,3 +14,25 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Same-namespace bridge for plan-level extension points (custom
+  * logical operators need `Dataset.ofRows` and the analyzed plan,
+  * both `private[sql]` in Spark 4).
+  */
+object PlanBridge {
+  import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .queryExecution.analyzed
+
+  def experimental(spark: SparkSession)
+      : org.apache.spark.sql.ExperimentalMethods =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+}
