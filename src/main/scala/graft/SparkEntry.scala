@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Ext4Queries.queries ++
       operators.Ext5Queries.queries ++
       operators.Ext6Queries.queries ++
+      operators.Ext7Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.MiscQueries.queries
 
@@ -40,6 +41,7 @@ object SparkEntry {
       operators.Ext4Queries.oracle ++
       operators.Ext5Queries.oracle ++
       operators.Ext6Queries.oracle ++
+      operators.Ext7Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.MiscQueries.oracle
 }

@@ -23,6 +23,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext5Queries.oracle),
       ("Ext6Queries", operators.Ext6Queries.queries,
         operators.Ext6Queries.oracle),
+      ("Ext7Queries", operators.Ext7Queries.queries,
+        operators.Ext7Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
