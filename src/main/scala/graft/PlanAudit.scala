@@ -20,7 +20,9 @@ object PlanAudit {
       "q2_filter_project", "q4_broadcast_join", "q6_topk",
       "q1_pricing_summary", "sim_cosine_topk", "q33_range_frame",
       "q34_scalar_subquery", "text_tfidf", "text_bloom_decontaminate",
-      "text_pack_sequences"))
+      "text_pack_sequences", "q47_asof_planned", "graph_pagerank",
+      "layout_zorder", "text_bm25_topk", "sketch_cms",
+      "dedup_paragraphs"))
     interesting.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
