@@ -27,19 +27,24 @@ class StreamingQuotaSpec extends AnyFunSuite {
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
     try {
-      val src = spark.readStream
-        .schema(spark.read.parquet(dir).schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir)
-      val q = graft.streaming.StreamingQuota
-        .capPerKey(src, "src", "id", cap = 3)
-        .writeStream.outputMode("append")
-        .format("memory").queryName("quota_out")
-        .option("checkpointLocation",
-          Files.createTempDirectory("quota-ckpt").toString)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
-      val got = spark.table("quota_out").as[(String, Long)]
-        .collect().toSet
+      val ckpt = Files.createTempDirectory("quota-ckpt").toString
+      val outDir = Files.createTempDirectory("quota-out").toString
+      def runOnce(): Unit = {
+        val src = spark.readStream
+          .schema(spark.read.parquet(dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir)
+        val q = graft.streaming.StreamingQuota
+          .capPerKey(src, "src", "id", cap = 3)
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      def admitted(): Set[(String, Long)] = spark.read.parquet(outDir)
+        .as[(String, Long)].collect().toSet
+      val got = admitted()
       // a: the 3 smallest of batch 1's four rows fill the quota; batch
       //    2's even smaller ids (1, 2) arrive after exhaustion and are
       //    rejected — quota is by arrival, not a global hash lottery
@@ -47,6 +52,13 @@ class StreamingQuotaSpec extends AnyFunSuite {
       // c: its single row
       assert(got === Set(("a", 10L), ("a", 11L), ("a", 12L),
         ("b", 20L), ("b", 21L), ("b", 22L), ("c", 30L)))
+      // restart continuation: budgets live in the checkpointed state,
+      // so a new query over NEW data must not re-admit exhausted keys
+      Seq(("a", 3L), ("b", 25L), ("c", 31L), ("c", 32L), ("c", 33L))
+        .toDF("src", "id").coalesce(1).write.mode("append").parquet(dir)
+      runOnce()
+      // a and b are full from the first run; c admits 2 more
+      assert(admitted() -- got === Set(("c", 31L), ("c", 32L)))
     } finally {
       prev match {
         case Some(p) => spark.conf.set(
