@@ -66,9 +66,37 @@ object Ext7Queries {
       .orderBy("shard", "pos")
   }
 
+  /** Near-dup graph triangle audit: per-node triangle counts over the
+    * simhash Hamming-pair graph — the density diagnostic that tells a
+    * dedup pipeline whether its near-dup clusters are tight cliques
+    * (safe to collapse to one canonical doc) or loose chains
+    * (transitive merging would over-delete). One triangle enumeration
+    * = two self-joins of the (already banded, already pruned) pair
+    * list, each on a single node column — the standard distributed
+    * triangle count; at 100 TB order the edge list by degree first so
+    * every triangle is enumerated exactly once from its lowest-degree
+    * corner (here a < b < c ids give the same uniqueness).
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.simhashNearDups(t(spark, dir, "documents"),
+        "doc_id", "text", maxHamming = 3)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val tri = e
+      .join(e.select(col("a").as("b2"), col("b").as("c")),
+        col("b") === col("b2"))
+      .join(e.select(col("a").as("a3"), col("b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_rangeparts" -> rangeParts _,
-    "text_shuffle_shards" -> shuffleShards _)
+    "text_shuffle_shards" -> shuffleShards _,
+    "graph_triangles" -> graphTriangles _)
 
   val oracle: Map[String, String] = Map(
     "layout_rangeparts" ->
@@ -87,6 +115,38 @@ object Ext7Queries {
         |FROM orders, b
         |GROUP BY 1
         |ORDER BY part""".stripMargin,
+    "graph_triangles" ->
+      """WITH tokrows AS (
+        |  SELECT doc_id AS id,
+        |    md5(unnest(string_split_regex(trim(text), '\s+'))) AS h
+        |  FROM documents
+        |), votes AS (
+        |  SELECT id, bit,
+        |    SUM(CASE WHEN
+        |      ((strpos('0123456789abcdef', substr(h, bit // 4 + 1, 1)) - 1)
+        |        & (1 << (3 - bit % 4))) > 0 THEN 1 ELSE -1 END) AS v
+        |  FROM tokrows, UNNEST(range(0, 32)) AS b(bit)
+        |  GROUP BY id, bit
+        |), fps AS (
+        |  SELECT id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (31 - bit)
+        |        ELSE 0 END) AS BIGINT) AS fp
+        |  FROM votes GROUP BY id
+        |), pairs AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM fps a JOIN fps b ON a.id < b.id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |), tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e2.a = e1.b
+        |  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, COUNT(*) AS n_triangles
+        |FROM (SELECT a AS node FROM tri UNION ALL
+        |      SELECT b FROM tri UNION ALL
+        |      SELECT c FROM tri)
+        |GROUP BY node
+        |ORDER BY node""".stripMargin,
     "text_shuffle_shards" ->
       """WITH h AS (
         |  SELECT doc_id, md5('shuf:' || doc_id) AS h
