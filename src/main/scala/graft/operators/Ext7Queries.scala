@@ -93,10 +93,41 @@ object Ext7Queries {
       .orderBy("node")
   }
 
+  /** Hybrid near-dup verification: lexical MinHash-LSH candidates
+    * re-scored by embedding cosine — the two-stage shape real dedup
+    * pipelines use (cheap lexical banding finds candidates, the
+    * semantic space decides). The embedding join is two hash joins on
+    * the pair ids against the (id -> vector, norm) table; candidate
+    * count is LSH-bounded, so the expensive cosine only ever runs on
+    * collisions, never all pairs. Disagreement between the two
+    * signals (high Jaccard, low cosine) is exactly what this query
+    * surfaces.
+    */
+  def hybridVerify(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(t(spark, dir, "documents"),
+      "doc_id", "text", numHashes = 16, bands = 4, minJ = 0.1)
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("vec"))
+      .withColumn("nrm", Similarity.norm(col("vec")))
+    val a = emb.select(col("vec_id").as("id_a"), col("vec").as("va"),
+      col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("vec").as("vb"),
+      col("nrm").as("nb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("cosine", round(
+        Similarity.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6))
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"), col("cosine"),
+        (col("cosine") >= 0.2).as("semantic_agree"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_rangeparts" -> rangeParts _,
     "text_shuffle_shards" -> shuffleShards _,
-    "graph_triangles" -> graphTriangles _)
+    "graph_triangles" -> graphTriangles _,
+    "dedup_hybrid_verify" -> hybridVerify _)
 
   val oracle: Map[String, String] = Map(
     "layout_rangeparts" ->
@@ -115,6 +146,61 @@ object Ext7Queries {
         |FROM orders, b
         |GROUP BY 1
         |ORDER BY part""".stripMargin,
+    "dedup_hybrid_verify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i)
+        |), sig AS (
+        |  SELECT id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+        |  FROM sh, UNNEST(range(0, 16)) AS sd(seed)
+        |  GROUP BY id, seed
+        |), bandsig AS (
+        |  SELECT id, seed // 4 AS band,
+        |    string_agg(mh, ',' ORDER BY seed) AS bsig
+        |  FROM sig GROUP BY id, seed // 4
+        |), cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bandsig a JOIN bandsig b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+        |), sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |common AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS common
+        |  FROM cands c
+        |  JOIN sh a ON a.id = c.id_a
+        |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY c.id_a, c.id_b
+        |), pairs AS (
+        |  SELECT id_a, id_b,
+        |    CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common
+        |      AS DOUBLE) AS jaccard
+        |  FROM common
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common
+        |      AS DOUBLE) >= 0.1
+        |), ee AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
+        |), cos AS (
+        |  SELECT p.id_a, p.id_b, p.jaccard,
+        |    ROUND(SUM(a.x * b.x) / (na.nrm * nb.nrm), 6) AS cosine
+        |  FROM pairs p
+        |  JOIN ee a ON a.vec_id = p.id_a
+        |  JOIN ee b ON b.vec_id = p.id_b AND b.i = a.i
+        |  JOIN norms na ON na.vec_id = p.id_a
+        |  JOIN norms nb ON nb.vec_id = p.id_b
+        |  GROUP BY p.id_a, p.id_b, p.jaccard, na.nrm, nb.nrm)
+        |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard, cosine,
+        |  cosine >= 0.2 AS semantic_agree
+        |FROM cos
+        |ORDER BY id_a, id_b""".stripMargin,
     "graph_triangles" ->
       """WITH tokrows AS (
         |  SELECT doc_id AS id,
