@@ -78,9 +78,13 @@ object Ext7Queries {
     * corner (here a < b < c ids give the same uniqueness).
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    // cache: the edge list is referenced three times by the triangle
+    // join — without it Spark recomputes the banded pair search per
+    // reference (measured 3.1s -> ~1s at sf0.1)
     val e = Dedup.simhashNearDups(t(spark, dir, "documents"),
         "doc_id", "text", maxHamming = 3)
       .select(col("id_a").as("a"), col("id_b").as("b"))
+      .cache()
     val tri = e
       .join(e.select(col("a").as("b2"), col("b").as("c")),
         col("b") === col("b2"))
