@@ -127,11 +127,31 @@ object Ext7Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Higher-order array functions (lambda expressions inside
+    * whole-stage codegen — the Spark-native way to process nested
+    * data without exploding it): filter / forall / aggregate over the
+    * token array, all in one narrow projection. No shuffle at all
+    * until the presentation sort.
+    */
+  def higherOrder(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(filter(col("tk"), x => length(x) > 4)).cast("long")
+          .as("n_long"),
+        aggregate(col("tk"), lit(0L), (acc, x) => acc + length(x))
+          .as("total_chars"),
+        array_contains(col("tk"), "spark").as("has_spark"),
+        forall(col("tk"), x => length(x) < 12).as("all_short"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_rangeparts" -> rangeParts _,
     "text_shuffle_shards" -> shuffleShards _,
     "graph_triangles" -> graphTriangles _,
-    "dedup_hybrid_verify" -> hybridVerify _)
+    "dedup_hybrid_verify" -> hybridVerify _,
+    "q48_higher_order" -> higherOrder _)
 
   val oracle: Map[String, String] = Map(
     "layout_rangeparts" ->
@@ -150,6 +170,20 @@ object Ext7Queries {
         |FROM orders, b
         |GROUP BY 1
         |ORDER BY part""".stripMargin,
+    "q48_higher_order" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tok,
+        |  CAST(len(list_filter(tk, x -> len(x) > 4)) AS BIGINT)
+        |    AS n_long,
+        |  CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT)
+        |    AS total_chars,
+        |  list_contains(tk, 'spark') AS has_spark,
+        |  len(list_filter(tk, x -> len(x) >= 12)) = 0 AS all_short
+        |FROM toks
+        |ORDER BY doc_id""".stripMargin,
     "dedup_hybrid_verify" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
