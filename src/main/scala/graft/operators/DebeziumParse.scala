@@ -45,7 +45,7 @@ object DebeziumParse {
         lit(null).cast(schema.columns(n).dataType))
         .otherwise(image.getField(n)).as(n)
     }
-    stage.select((df.columns.map(col) :+ op.as("op") :+
-      d.getField("ts_ms").as("seq")) ++ cols: _*)
+    stage.select(((df.columns.map(col) :+ op.as("op") :+
+      d.getField("ts_ms").as("seq")).toIndexedSeq ++ cols): _*)
   }
 }

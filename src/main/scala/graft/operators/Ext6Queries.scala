@@ -57,7 +57,7 @@ object Ext6Queries {
     val nDocs = docs.count()
     val avgdlMilli = docs
       .agg(expr("CAST(sum(dl) * 1000 div count(1) AS BIGINT)"))
-      .head.getLong(0)
+      .head().getLong(0)
     val tf = docs
       .select(col("doc_id"), col("dl"),
         explode(col("tk")).as("term"))

@@ -29,7 +29,7 @@ object Ext7Queries {
       """SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS b1,
         |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS b2,
         |  percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS b3
-        |FROM orders""".stripMargin).head
+        |FROM orders""".stripMargin).head()
     val (b1, b2, b3) = (b.getDouble(0), b.getDouble(1), b.getDouble(2))
     t(spark, dir, "orders")
       .withColumn("part",

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -18,8 +18,8 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * one window): that formulation materializes a unioned row set and
   * pays a window's full sort machinery. The planned operator instead
   * declares exactly what it needs from the engine —
-  * `ClusteredDistribution` on the key for BOTH children plus
-  * (key, time) `requiredChildOrdering` — and then streams the two
+  * `ClusteredDistribution` on the keys for BOTH children plus
+  * (keys..., time) `requiredChildOrdering` — and then streams the two
   * co-partitioned sorted iterators through a single-pass merge with
   * O(1) state (the most recent right row per key). EnsureRequirements
   * inserts the exchanges/sorts only when the children aren't already
@@ -37,26 +37,28 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * and the Strategy resolves names to the (by then stable) child
   * attributes at planning time.
   *
-  * v1 scope (checked at construction): key and time columns must be
-  * long/timestamp — both are 8-byte longs in UnsafeRow, so the merge
-  * compares primitives. Composite keys are a projection away (hash
-  * the tuple to one long upstream).
+  * Keys may be composite and of any orderable type; the merge
+  * compares projected key tuples with Catalyst's natural ascending
+  * ordering — the same order the engine sorts the children by, so the
+  * two are consistent by construction. Key and time columns must have
+  * identical types on both sides (checked at construction).
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
-    key: String, leftTime: String, rightTime: String,
+    keys: Seq[String], leftTime: String, rightTime: String,
     payload: Seq[String]) extends BinaryNode {
 
   private def byName(side: LogicalPlan, n: String): Option[Attribute] =
     side.output.find(_.name == n)
 
-  def leftKeyAttr: Attribute = byName(left, key).get
-  def rightKeyAttr: Attribute = byName(right, key).get
+  def leftKeyAttrs: Seq[Attribute] = keys.map(byName(left, _).get)
+  def rightKeyAttrs: Seq[Attribute] = keys.map(byName(right, _).get)
   def leftTimeAttr: Attribute = byName(left, leftTime).get
   def rightTimeAttr: Attribute = byName(right, rightTime).get
   def payloadAttrs: Seq[Attribute] = payload.map(byName(right, _).get)
 
   override lazy val resolved: Boolean = childrenResolved &&
-    byName(left, key).isDefined && byName(right, key).isDefined &&
+    keys.forall(k => byName(left, k).isDefined &&
+      byName(right, k).isDefined) &&
     byName(left, leftTime).isDefined &&
     byName(right, rightTime).isDefined &&
     payload.forall(byName(right, _).isDefined)
@@ -68,8 +70,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     * though they appear nowhere above as expressions.
     */
   override def references: AttributeSet = AttributeSet(
-    Seq(leftKeyAttr, rightKeyAttr, leftTimeAttr, rightTimeAttr) ++
-      payloadAttrs)
+    leftKeyAttrs ++ rightKeyAttrs ++
+      Seq(leftTimeAttr, rightTimeAttr) ++ payloadAttrs)
 
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
       newRight: LogicalPlan): AsOfJoinNode =
@@ -83,8 +85,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
       AsOfJoinExec(planLater(n.left), planLater(n.right),
-        n.leftKeyAttr, n.rightKeyAttr, n.leftTimeAttr, n.rightTimeAttr,
-        n.payloadAttrs) :: Nil
+        n.leftKeyAttrs, n.rightKeyAttrs, n.leftTimeAttr,
+        n.rightTimeAttr, n.payloadAttrs) :: Nil
     case _ => Nil
   }
 
@@ -97,11 +99,11 @@ object AsOfJoinStrategy extends SparkStrategy {
 }
 
 /** Co-partitioned sort-merge as-of join: for each left row, the most
-  * recent right row with the same key and rightTime <= leftTime.
+  * recent right row with the same key tuple and rightTime <= leftTime.
   * Single forward pass per partition, O(1) held state.
   */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     payload: Seq[Attribute]) extends BinaryExecNode {
 
@@ -109,14 +111,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     left.output ++ payload.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(Seq(leftKey)),
-      ClusteredDistribution(Seq(rightKey)))
+    Seq(ClusteredDistribution(leftKeys),
+      ClusteredDistribution(rightKeys))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(leftKey, Ascending),
-        SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending),
-        SortOrder(rightTime, Ascending)))
+    Seq((leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+      (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
 
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -124,37 +124,46 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   protected override def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
-    val lk: Expression = leftKey
+    val lks = leftKeys.map(e => e: Expression)
+    val rks = rightKeys.map(e => e: Expression)
     val lt: Expression = leftTime
-    val rk: Expression = rightKey
     val rt: Expression = rightTime
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
     val pay = payload
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lktProj = UnsafeProjection.create(Seq(lk, lt), leftOut)
-      val rktProj = UnsafeProjection.create(Seq(rk, rt), rightOut)
+      val lkProj = UnsafeProjection.create(lks, leftOut)
+      val rkProj = UnsafeProjection.create(rks, rightOut)
+      val ltProj = UnsafeProjection.create(Seq(lt), leftOut)
+      val rtProj = UnsafeProjection.create(Seq(rt), rightOut)
       val payProj = UnsafeProjection.create(pay.map(e => e: Expression),
         rightOut)
+      // the SAME ascending-nulls-first order the engine sorted by
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd =
+        RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val nullPay = new GenericInternalRow(pay.size)
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(
         outAttrs.map(e => e: Expression), leftOut ++ pay)
       // right lookahead (not yet consumed into the held state)
       var rValid = false
-      var rKey = 0L
-      var rTs = 0L
+      var rKey: InternalRow = null
+      var rTs: InternalRow = null
       var rRow: InternalRow = null
       // most recent right row already consumed, and its key
       var heldValid = false
-      var heldKey = 0L
+      var heldKey: InternalRow = null
       var held: InternalRow = nullPay
       def advanceRight(): Unit = {
         rValid = false
         while (!rValid && rIter.hasNext) {
           val r = rIter.next()
-          val kt = rktProj(r)
-          if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
-            rKey = kt.getLong(0); rTs = kt.getLong(1); rRow = r
+          val k = rkProj(r)
+          val ts = rtProj(r)
+          if (!k.anyNull && !ts.isNullAt(0)) {
+            rKey = k.copy(); rTs = ts.copy(); rRow = r
             rValid = true
           } // null key/time can never match — skip
         }
@@ -164,21 +173,24 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
-          val kt = lktProj(l)
-          if (kt.isNullAt(0) || kt.isNullAt(1))
+          val k = lkProj(l)
+          val ts = ltProj(l)
+          if (k.anyNull || ts.isNullAt(0))
             outProj(joined(l, nullPay))
           else {
-            val k = kt.getLong(0)
-            val ts = kt.getLong(1)
-            while (rValid && (rKey < k || (rKey == k && rTs <= ts))) {
-              if (rKey == k) {
+            while (rValid && {
+              val c = keyOrd.compare(rKey, k)
+              c < 0 || (c == 0 && timeOrd.compare(rTs, ts) <= 0)
+            }) {
+              if (keyOrd.compare(rKey, k) == 0) {
                 held = payProj(rRow).copy() // iterator reuses rows
-                heldKey = k
+                heldKey = rKey
                 heldValid = true
               }
               advanceRight()
             }
-            val p = if (heldValid && heldKey == k) held else nullPay
+            val p = if (heldValid && keyOrd.compare(heldKey, k) == 0)
+              held else nullPay
             outProj(joined(l, p))
           }
         }
@@ -194,11 +206,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 /** DataFrame API over the planned operator. */
 object PlannedAsOf {
 
-  /** As-of join `left` with `right` on single key/time columns; the
+  /** As-of join `left` with `right` on composite key/time columns; the
     * strategy is installed on the session if missing. Key and time
-    * must be long/timestamp on both sides.
+    * columns must have identical types on both sides; time must be an
+    * orderable atomic type.
     */
-  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
     val spark = left.sparkSession
@@ -208,19 +221,23 @@ object PlannedAsOf {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
-    // LongType and TimestampType are both 8-byte longs in UnsafeRow,
-    // so the merge's getLong comparisons are exact; narrower integrals
-    // would need widening casts — rejected rather than silently wrong
-    def longish(a: Attribute): Unit = a.dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.TimestampType => ()
-      case dt => throw new IllegalArgumentException(
-        s"asof v1 needs long/timestamp key+time, got $dt for $a")
+    keys.foreach { k =>
+      val (la, ra) = (attr(lPlan, k), attr(rPlan, k))
+      require(la.dataType == ra.dataType,
+        s"asof key $k type mismatch: ${la.dataType} vs ${ra.dataType}")
     }
-    Seq(attr(lPlan, key), attr(rPlan, key), attr(lPlan, leftTime),
-      attr(rPlan, rightTime)).foreach(longish)
+    require(attr(lPlan, leftTime).dataType ==
+      attr(rPlan, rightTime).dataType,
+      s"asof time type mismatch: ${attr(lPlan, leftTime).dataType} " +
+        s"vs ${attr(rPlan, rightTime).dataType}")
     payload.foreach(attr(rPlan, _))
     PlanBridge.ofRows(spark,
-      AsOfJoinNode(lPlan, rPlan, key, leftTime, rightTime, payload))
+      AsOfJoinNode(lPlan, rPlan, keys, leftTime, rightTime, payload))
   }
+
+  /** Single-key convenience overload. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame =
+    asofJoin(left, right, Seq(key), leftTime, rightTime, payload)
 }

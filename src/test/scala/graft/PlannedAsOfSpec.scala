@@ -82,9 +82,27 @@ class PlannedAsOfSpec extends AnyFunSuite {
     assert(nSorts === 2, s"expected only the 2 declared sorts:\n$preStr")
   }
 
-  test("rejects non-long keys rather than comparing wrong bytes") {
+  test("composite string+int keys merge correctly (natural row order)") {
+    val left = Seq(("a", 1, 10L, "l1"), ("a", 2, 10L, "l2"),
+      ("b", 1, 10L, "l3"), ("a", 1, 3L, "l4"))
+      .toDF("k1", "k2", "t", "tag")
+    val right = Seq(("a", 1, 5L, "r-a1@5"), ("a", 2, 11L, "r-a2@11"),
+      ("b", 1, 9L, "r-b1@9"))
+      .toDF("k1", "k2", "rt", "pv")
+    val got = PlannedAsOf.asofJoin(left, right, Seq("k1", "k2"),
+        "t", "rt", Seq("pv"))
+      .select("tag", "pv").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      "l1" -> "r-a1@5", // (a,1) matched, not (a,2)'s later row
+      "l2" -> null, // (a,2)'s only right row is in the future
+      "l3" -> "r-b1@9",
+      "l4" -> null)) // (a,1)@3 precedes the right row at 5
+  }
+
+  test("rejects mismatched key/time types across sides") {
     val l = Seq((1, 2L)).toDF("k", "t")
-    val r = Seq((1, 1L, "x")).toDF("k", "rt", "p")
+    val r = Seq((1L, 1L, "x")).toDF("k", "rt", "p")
     intercept[IllegalArgumentException] {
       PlannedAsOf.asofJoin(l, r, "k", "t", "rt", Seq("p"))
     }
