@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-catalog plan guard: no query may silently plan a cartesian
+  * product or an unbounded nested-loop join — the two shapes that
+  * turn a working sf0.01 query into a 100 TB incident. The whitelist
+  * is the EXACT set of queries that cross-join a bounded side by
+  * construction (probed with an empty whitelist; every other query
+  * in the catalog plans equi-joins only).
+  */
+class PlanSweepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // bounded cross joins, each by construction:
+  //  - sim_cosine_topk: broadcast 8-row probe-vector table vs corpus
+  //  - text_corpus_stats / text_unigram_nll / text_ppl_buckets /
+  //    text_tfidf: 1-row corpus-total aggregate rejoined to the facts
+  //  - text_sketch_overlap / text_sketch_shingles: 1-row HLL/theta
+  //    union vs 1-row exact-count aggregate
+  private val allowCross = Set(
+    "sim_cosine_topk", "text_corpus_stats", "text_ppl_buckets",
+    "text_sketch_overlap", "text_sketch_shingles", "text_tfidf",
+    "text_unigram_nll")
+
+  test("no unplanned cartesian/nested-loop join across all queries") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, TestSpark.sfDir).queryExecution.executedPlan
+            .toString
+          catch { case e: Throwable => s"PLANFAIL ${e.getMessage}" }
+        val bad =
+          (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin")) &&
+            !allowCross.contains(name)
+        if (bad || plan.startsWith("PLANFAIL")) Some(name -> plan.take(400))
+        else None
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, p) => s"$n:\n$p" }.mkString("\n\n"))
+  }
+}
