@@ -146,14 +146,142 @@ object Ext7Queries {
         forall(col("tk"), x => length(x) < 12).as("all_short"))
       .orderBy("doc_id")
 
+  /** OHLC bars: per (event_type, day) open/high/low/close from the
+    * event stream — the time-series downsampling shape. Open/close
+    * are arg-min/arg-max over a collision-free integer order key
+    * (us·4096 + event_id mod 4096 — a raw-timestamp tie would
+    * otherwise make the bar engine-dependent); one hash aggregate,
+    * no window, no sort until presentation.
+    */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        expr("datediff(timestamp_micros(ts div 1000), date'2024-01-01')")
+          .as("day"),
+        expr("(ts div 1000) * 4096 + event_id % 4096").as("ord"),
+        round(col("value") * 1000).cast("long").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("vm"), col("ord")).as("open_vm"),
+        max(col("vm")).as("high_vm"),
+        min(col("vm")).as("low_vm"),
+        max_by(col("vm"), col("ord")).as("close_vm"))
+      .orderBy("event_type", "day")
+
+  /** Running distinct users: each user charged to their first-seen
+    * day, then a cumulative sum over days — the exact running-uniques
+    * curve computed with ONE aggregate per user plus a days-sized
+    * window (never a per-day distinct over growing prefixes, which is
+    * O(days · users) and the classic naive trap). At 100 TB the
+    * first-seen aggregate is the only large shuffle; the cumsum runs
+    * on |days| rows.
+    */
+  def runningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = t(spark, dir, "events")
+      .select(col("user_id"),
+        expr("datediff(timestamp_micros(ts div 1000), date'2024-01-01')")
+          .as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    firstSeen.groupBy(col("first_day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy(col("first_day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("first_day")
+  }
+
+  /** Per-group Pearson correlation from integer moments: the five
+    * sums (x, y, xx, yy, xy) stay BIGINT — order-independent under
+    * any partitioning — and only the final closed-form expression
+    * touches doubles (identical text both engines, rounded to 1e-6).
+    * The portable way to ship statistical aggregates: never sum
+    * doubles across partitions. Value is quantized to whole units so
+    * n·sxx stays within BIGINT at bench scale.
+    */
+  def corrMoments(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        round(col("value")).cast("long").as("x"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("corr_r6", expr(
+        """round(CAST(n * sxy - sx * sy AS DOUBLE)
+          | / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          |    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)"""
+          .stripMargin))
+      .select("event_type", "n", "sx", "sy", "sxx", "syy", "sxy",
+        "corr_r6")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_rangeparts" -> rangeParts _,
     "text_shuffle_shards" -> shuffleShards _,
     "graph_triangles" -> graphTriangles _,
     "dedup_hybrid_verify" -> hybridVerify _,
-    "q48_higher_order" -> higherOrder _)
+    "q48_higher_order" -> higherOrder _,
+    "q49_ohlc_bars" -> ohlcBars _,
+    "q50_running_distinct" -> runningDistinct _,
+    "q51_corr_moments" -> corrMoments _)
 
   val oracle: Map[String, String] = Map(
+    "q49_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS day,
+        |    epoch_us(ts) * 4096 + event_id % 4096 AS ord,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm
+        |  FROM events)
+        |SELECT event_type, day, COUNT(*) AS n_events,
+        |  arg_min(vm, ord) AS open_vm,
+        |  MAX(vm) AS high_vm,
+        |  MIN(vm) AS low_vm,
+        |  arg_max(vm, ord) AS close_vm
+        |FROM e
+        |GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
+    "q50_running_distinct" ->
+      """WITH fs AS (
+        |  SELECT user_id,
+        |    MIN(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+        |      AS first_day
+        |  FROM events GROUP BY user_id
+        |), byday AS (
+        |  SELECT first_day, COUNT(*) AS n_new FROM fs
+        |  GROUP BY first_day)
+        |SELECT first_day, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY first_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_users
+        |FROM byday
+        |ORDER BY first_day""".stripMargin,
+    "q51_corr_moments" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(round(value) AS BIGINT) AS x,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n, sx, sy, sxx, syy, sxy,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |    AS corr_r6
+        |FROM m
+        |ORDER BY event_type""".stripMargin,
     "layout_rangeparts" ->
       """WITH b AS (
         |  SELECT quantile_disc(o_totalprice, 0.25) AS b1,
