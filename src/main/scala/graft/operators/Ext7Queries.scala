@@ -227,9 +227,38 @@ object Ext7Queries {
     "q48_higher_order" -> higherOrder _,
     "q49_ohlc_bars" -> ohlcBars _,
     "q50_running_distinct" -> runningDistinct _,
-    "q51_corr_moments" -> corrMoments _)
+    "q51_corr_moments" -> corrMoments _,
+    "q52_group_percentiles" -> groupPercentiles _)
+
+  /** Per-group latency-style percentiles (p50/p90/p99 of the event
+    * value per type) via SQL-standard percentile_disc — discrete
+    * percentiles pick actual data values, verified bit-identical
+    * across engines (no interpolation arithmetic to disagree on).
+    * One sort per group partition; at 100 TB swap in approx_percentile
+    * for a single-pass sketch with the same output shape.
+    */
+  def groupPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+        |  percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+  }
 
   val oracle: Map[String, String] = Map(
+    "q52_group_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.9) AS p90,
+        |  quantile_disc(value, 0.99) AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q49_ohlc_bars" ->
       """WITH e AS (
         |  SELECT event_type,
