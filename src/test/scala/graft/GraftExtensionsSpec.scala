@@ -39,5 +39,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s2.sql("SELECT unwrap(CAST(NULL AS INT)) AS u").collect()
     }
     assert(err.getMessage.toLowerCase.contains("unwrap"))
+
+    // morton resolves through the plugin too:
+    // 3 = 0b11 -> even bits 0b101 = 5; 5 = 0b101 -> odd bits
+    // 0b100010 = 34; z = 39
+    assert(s2.sql("SELECT morton(3, 5) AS z").head().getLong(0) === 39L)
+
+    // the PLANNER strategy is injected by the plugin as well: an
+    // AsOfJoinNode constructed directly (no AsOfJoinStrategy.setup
+    // call) must plan and execute on this session
+    import s2.implicits._
+    val l = Seq((1L, 10L, "l")).toDF("k", "t", "tag")
+    val r2 = Seq((1L, 5L, "p")).toDF("k", "rt", "pv")
+    val node = graft.plans.AsOfJoinNode(
+      org.apache.spark.sql.graftbridge.PlanBridge.analyzed(l),
+      org.apache.spark.sql.graftbridge.PlanBridge.analyzed(r2),
+      Seq("k"), "t", "rt", Seq("pv"))
+    val out = org.apache.spark.sql.graftbridge.PlanBridge
+      .ofRows(s2, node).select("tag", "pv").head()
+    assert(out.getString(0) === "l" && out.getString(1) === "p")
   }
 }
