@@ -145,8 +145,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val nullPay = new GenericInternalRow(pay.size)
       val joined = new JoinedRow
+      // bind the payload slots NULLABLE: the right-side attrs are
+      // non-nullable, but unmatched left rows read a null-filled
+      // payload row — binding with the original nullability makes
+      // codegen skip the null check and read 0 instead of NULL
+      // (caught by PlannedAsOfPropertySpec)
       val outProj = UnsafeProjection.create(
-        outAttrs.map(e => e: Expression), leftOut ++ pay)
+        outAttrs.map(e => e: Expression),
+        leftOut ++ pay.map(_.withNullability(true)))
       // right lookahead (not yet consumed into the held state)
       var rValid = false
       var rKey: InternalRow = null
