@@ -34,6 +34,16 @@ class CdcParseSpec extends AnyFunSuite {
     assert(r === Row(CdcParse.OpKeysOnly, 7L, null, null))
   }
 
+  test("schema evolution: unknown payload columns are ignored, absent declared columns null") {
+    // producer ahead of consumer: extra fields ride along harmlessly
+    val ahead = parse(
+      """{"key":[7],"update":{"name":"a","val":1.5,"new_col":9,"nested":{"x":1}}}""")
+    assert(ahead === Row(CdcParse.OpUpdate, 7L, "a", 1.5))
+    // producer behind consumer: declared-but-absent columns are null
+    val behind = parse("""{"key":[7],"update":{"name":"b"}}""")
+    assert(behind === Row(CdcParse.OpUpdate, 7L, "b", null))
+  }
+
   test("non-object update + newImage -> newImage payload used") {
     val r = parse(
       """{"key":[9],"update":42,"newImage":{"name":"img","val":2.0}}""")
