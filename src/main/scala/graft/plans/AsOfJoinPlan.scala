@@ -121,7 +121,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val leftOut = left.output
     val rightOut = right.output
     val lks = leftKeys.map(e => e: Expression)
@@ -181,6 +189,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val l = lIter.next()
           val k = lkProj(l)
           val ts = ltProj(l)
+          numOutputRows += 1
           if (k.anyNull || ts.isNullAt(0))
             outProj(joined(l, nullPay))
           else {
@@ -195,8 +204,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               }
               advanceRight()
             }
-            val p = if (heldValid && keyOrd.compare(heldKey, k) == 0)
-              held else nullPay
+            val p = if (heldValid && keyOrd.compare(heldKey, k) == 0) {
+              numMatched += 1
+              held
+            } else nullPay
             outProj(joined(l, p))
           }
         }
