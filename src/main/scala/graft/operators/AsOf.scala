@@ -56,4 +56,35 @@ object AsOf {
       .select((leftCols.map(n => col(s"__l.$n").as(n)) ++
         payload.map(p => col(s"__carry.$p").as(p))): _*)
   }
+
+  /** Stream-static as-of enrichment: each (streaming) left row picks
+    * the most recent row of a STATIC right table with the same key and
+    * rightTime <= leftTime — fully STATELESS on the stream side, so
+    * it runs in append mode with no watermark and no state store. The
+    * static side is pre-aggregated ONCE into a per-key history array
+    * sorted by time; the stream then pays one equi-join (broadcast
+    * when the dimension fits) plus a pure projection:
+    * `element_at(filter(hist, _.t <= leftTime), -1)` — filter
+    * preserves sort order, so the last survivor IS the as-of match.
+    * Per-key history length bounds the array (snapshot/compact the
+    * dimension first for unbounded histories — KeyedTableSink.load is
+    * exactly that snapshot).
+    */
+  def asofStreamStatic(leftStream: DataFrame, rightStatic: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = leftStream.columns.toSeq
+    val hist = rightStatic
+      .select((keys.map(col) :+
+        struct((col(rightTime).as("__rt") +:
+          payload.map(col)): _*).as("__e")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("__e"))).as("__hist"))
+    leftStream.join(hist, keys, "left")
+      .withColumn("__best", try_element_at(
+        filter(col("__hist"), e => e.getField("__rt") <= col(leftTime)),
+        lit(-1)))
+      .select((leftCols.map(col) ++
+        payload.map(p => col(s"__best.$p").as(p))): _*)
+  }
 }
