@@ -228,7 +228,35 @@ object Ext7Queries {
     "q49_ohlc_bars" -> ohlcBars _,
     "q50_running_distinct" -> runningDistinct _,
     "q51_corr_moments" -> corrMoments _,
-    "q52_group_percentiles" -> groupPercentiles _)
+    "q52_group_percentiles" -> groupPercentiles _,
+    "q53_approx_topk" -> approxTopK _)
+
+  /** Frequent-items sketch (Spark 4 approx_top_k): top-10 suppliers
+    * by lineitem row count. Below the tracked-items capacity the
+    * sketch is EXACT, which gives the oracle a real contract (the
+    * same testable-approximation pattern as q23_approx_distinct); at
+    * 100 TB cardinalities the same one-pass mergeable sketch degrades
+    * gracefully instead of paying an exact global count per item.
+    * The sketch tracks 50 candidates and the deterministic
+    * (count desc, item) re-rank cuts to 10 AFTER — a count tie at the
+    * k boundary would otherwise make the sketch's own candidate pick
+    * engine-ambiguous (observed at rank 9/10 on sf0.01).
+    */
+  def approxTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH sk AS (
+        |  SELECT explode(approx_top_k(l_suppkey, 50, 10000)) AS e
+        |  FROM lineitem
+        |), ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY e.count DESC, e.item)
+        |      AS INT) AS rnk,
+        |    e.item AS suppkey, e.count AS cnt
+        |  FROM sk)
+        |SELECT rnk, suppkey, cnt FROM ranked
+        |WHERE rnk <= 10
+        |ORDER BY rnk""".stripMargin)
+  }
 
   /** Per-group latency-style percentiles (p50/p90/p99 of the event
     * value per type) via SQL-standard percentile_disc — discrete
@@ -251,6 +279,16 @@ object Ext7Queries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q53_approx_topk" ->
+      """WITH c AS (
+        |  SELECT l_suppkey AS suppkey, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, suppkey)
+        |    AS INT) AS rnk,
+        |  suppkey, cnt
+        |FROM c
+        |ORDER BY rnk
+        |LIMIT 10""".stripMargin,
     "q52_group_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,
         |  quantile_disc(value, 0.5) AS p50,
