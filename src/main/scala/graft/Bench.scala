@@ -84,7 +84,11 @@ object Bench {
       System.err.println(s"[bench] stream section failed: ${e.getMessage}")
       0.0
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would render every
+    // value as "12,345" and break both JSON outputs
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f",
+        java.lang.Double.valueOf(v))
     val total = results.map(_._2).sum
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

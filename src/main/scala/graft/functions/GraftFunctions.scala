@@ -162,7 +162,10 @@ object GraftFunctions {
     * tight in BOTH dimensions (see Ext6Queries.zorderLayout). Codegen
     * is the branch-free bit-spread (5 mask-shift steps per side), so
     * the expression stays inside whole-stage codegen on the write
-    * path. ExpectsInputTypes inserts integral->long casts.
+    * path. Construct via `mortonExpr`/`morton`, which insert
+    * integral->long casts (ExpectsInputTypes is sql-private);
+    * interpreted eval widens any integral defensively so eval and
+    * codegen agree even on a hand-built node with int children.
     */
   case class MortonInterleave(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -179,7 +182,8 @@ object GraftFunctions {
     }
     override protected def nullSafeEval(a: Any, b: Any): Any =
       java.lang.Long.valueOf(
-        spread(a.asInstanceOf[Long]) | (spread(b.asInstanceOf[Long]) << 1))
+        spread(a.asInstanceOf[Number].longValue)
+          | (spread(b.asInstanceOf[Number].longValue) << 1))
     private def genSpread(v: String, s: String): String =
       s"""
         |long $s = $v & 0xffffL;

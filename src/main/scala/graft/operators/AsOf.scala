@@ -69,6 +69,12 @@ object AsOf {
     * Per-key history length bounds the array (snapshot/compact the
     * dimension first for unbounded histories — KeyedTableSink.load is
     * exactly that snapshot).
+    *
+    * Tie contract: on duplicate (key, rightTime) rows the LARGEST
+    * payload struct wins (sort_array orders by time, then payload) —
+    * deterministic, unlike the batch formulations, where exact right
+    * duplicates are engine-order ties; dedupe the dimension first if
+    * the distinction matters.
     */
   def asofStreamStatic(leftStream: DataFrame, rightStatic: DataFrame,
       keys: Seq[String], leftTime: String, rightTime: String,

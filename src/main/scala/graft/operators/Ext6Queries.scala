@@ -54,10 +54,13 @@ object Ext6Queries {
         TextAnalysis.tokens(col("text")).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         col("tk"))
-    val nDocs = docs.count()
-    val avgdlMilli = docs
-      .agg(expr("CAST(sum(dl) * 1000 div count(1) AS BIGINT)"))
-      .head().getLong(0)
+    // corpus stats ride as a broadcast 1-row aggregate, NOT
+    // construction-time jobs: building this DataFrame must stay lazy
+    // (plan sweeps/audits inspect plans without paying corpus scans)
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs_d"),
+      expr("CAST(sum(dl) * 1000 div count(1) AS BIGINT)")
+        .as("avgdl_milli"))
     val tf = docs
       .select(col("doc_id"), col("dl"),
         explode(col("tk")).as("term"))
@@ -66,17 +69,19 @@ object Ext6Queries {
       .agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
       .withColumn("idf",
-        log(lit(nDocs.toDouble) - col("df") + 0.5)
+        log(col("n_docs_d") - col("df") + 0.5)
           - log(col("df") + 0.5))
     // per-term contribution quantized to integer 1e-4 units BEFORE the
     // sum: summing doubles is addition-order-dependent across engines,
     // summing BIGINTs is not
-    val scored = tf.join(broadcast(idf.select("term", "idf")), "term")
+    val scored = tf
+      .join(broadcast(idf.select("term", "idf", "avgdl_milli")), "term")
       .withColumn("contrib_e4",
         round(col("idf") * (col("tf") * 2.2)
-          / (col("tf") + (col("dl") * 1000.0 / avgdlMilli * 0.75
-            + 0.25) * 1.2) * 10000).cast("long"))
+          / (col("tf") + (col("dl") * 1000.0 / col("avgdl_milli")
+            * 0.75 + 0.25) * 1.2) * 10000).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("contrib_e4")).as("score_e4"))

@@ -25,23 +25,30 @@ object Ext7Queries {
     */
   def rangeParts(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerAll(spark, dir)
-    val b = spark.sql(
-      """SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS b1,
-        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS b2,
-        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS b3
-        |FROM orders""".stripMargin).head()
-    val (b1, b2, b3) = (b.getDouble(0), b.getDouble(1), b.getDouble(2))
-    t(spark, dir, "orders")
-      .withColumn("part",
-        when(col("o_totalprice") <= b1, 0)
-          .when(col("o_totalprice") <= b2, 1)
-          .when(col("o_totalprice") <= b3, 2)
-          .otherwise(3))
-      .groupBy(col("part"))
-      .agg(count(lit(1)).as("n_orders"),
-        min(col("o_totalprice")).as("price_min"),
-        max(col("o_totalprice")).as("price_max"))
-      .orderBy("part")
+    // boundaries as a 1-row CTE cross join, not a construction-time
+    // head(): building the DataFrame stays lazy (plan sweeps/audits
+    // must not pay an orders scan), and the boundary aggregate is
+    // computed inside the same job
+    spark.sql(
+      """WITH b AS (
+        |  SELECT
+        |    percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+        |      AS b1,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+        |      AS b2,
+        |    percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+        |      AS b3
+        |  FROM orders)
+        |SELECT CASE WHEN o_totalprice <= b.b1 THEN 0
+        |            WHEN o_totalprice <= b.b2 THEN 1
+        |            WHEN o_totalprice <= b.b3 THEN 2
+        |            ELSE 3 END AS part,
+        |  COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS price_min,
+        |  MAX(o_totalprice) AS price_max
+        |FROM orders, b
+        |GROUP BY 1
+        |ORDER BY part""".stripMargin)
   }
 
   /** Deterministic global shuffle: the md5-keyed permutation that
@@ -148,17 +155,23 @@ object Ext7Queries {
 
   /** OHLC bars: per (event_type, day) open/high/low/close from the
     * event stream — the time-series downsampling shape. Open/close
-    * are arg-min/arg-max over a collision-free integer order key
-    * (us·4096 + event_id mod 4096 — a raw-timestamp tie would
-    * otherwise make the bar engine-dependent); one hash aggregate,
-    * no window, no sort until presentation.
+    * are arg-min/arg-max over a TRULY injective order key: within a
+    * bar only intra-day ordering matters, so
+    * `(us - epoch2024 - day·86400e6)·2^26 + event_id` fits a long
+    * (37 time bits + 26 id bits) and embeds the FULL event id — a
+    * timestamp tie can
+    * never make the bar engine-dependent (the first draft's
+    * `event_id mod 4096` could collide). One hash aggregate, no
+    * window, no sort until presentation.
     */
   def ohlcBars(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .select(col("event_type"),
         expr("datediff(timestamp_micros(ts div 1000), date'2024-01-01')")
           .as("day"),
-        expr("(ts div 1000) * 4096 + event_id % 4096").as("ord"),
+        expr("""((ts div 1000) - 1704067200000000L -
+            datediff(timestamp_micros(ts div 1000), date'2024-01-01')
+              * 86400000000L) * 67108864L + event_id""").as("ord"),
         round(col("value") * 1000).cast("long").as("vm"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_events"),
@@ -302,7 +315,9 @@ object Ext7Queries {
         |  SELECT event_type,
         |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
         |      AS day,
-        |    epoch_us(ts) * 4096 + event_id % 4096 AS ord,
+        |    (epoch_us(ts) - 1704067200000000
+        |      - date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |        * 86400000000) * 67108864 + event_id AS ord,
         |    CAST(round(value * 1000) AS BIGINT) AS vm
         |  FROM events)
         |SELECT event_type, day, COUNT(*) AS n_events,

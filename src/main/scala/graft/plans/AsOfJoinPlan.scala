@@ -47,8 +47,18 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     keys: Seq[String], leftTime: String, rightTime: String,
     payload: Seq[String]) extends BinaryNode {
 
-  private def byName(side: LogicalPlan, n: String): Option[Attribute] =
-    side.output.find(_.name == n)
+  /** Exact-name match first, else a UNIQUE case-insensitive match
+    * (Spark's default resolution is case-insensitive); ambiguity —
+    * duplicate names on one side — resolves to None so analysis
+    * fails loudly instead of silently binding the first column.
+    */
+  private def byName(side: LogicalPlan, n: String): Option[Attribute] = {
+    val exact = side.output.filter(_.name == n)
+    val ci =
+      if (exact.nonEmpty) exact
+      else side.output.filter(_.name.equalsIgnoreCase(n))
+    if (ci.length == 1) ci.headOption else None
+  }
 
   def leftKeyAttrs: Seq[Attribute] = keys.map(byName(left, _).get)
   def rightKeyAttrs: Seq[Attribute] = keys.map(byName(right, _).get)
@@ -235,9 +245,15 @@ object PlannedAsOf {
     AsOfJoinStrategy.setup(spark)
     val lPlan = PlanBridge.analyzed(left)
     val rPlan = PlanBridge.analyzed(right)
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
+    def attr(p: LogicalPlan, n: String): Attribute = {
+      val exact = p.output.filter(_.name == n)
+      val ci = if (exact.nonEmpty) exact
+        else p.output.filter(_.name.equalsIgnoreCase(n))
+      if (ci.length > 1) throw new IllegalArgumentException(
+        s"column $n is ambiguous (${ci.length} matches)")
+      ci.headOption.getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
+    }
     keys.foreach { k =>
       val (la, ra) = (attr(lPlan, k), attr(rPlan, k))
       require(la.dataType == ra.dataType,

@@ -35,8 +35,10 @@ class QuotaProcessor(cap: Long)
       timerValues: TimerValues): Iterator[Admitted] = {
     val have = Option(taken.get()).getOrElse(0L)
     if (have >= cap) return Iterator.empty
+    // clamp before toInt: a cap beyond Int.MaxValue would wrap
+    // negative and admit nothing
     val admitted = rows.map(_._2).toArray.sorted
-      .take((cap - have).toInt)
+      .take(math.min(cap - have, Int.MaxValue.toLong).toInt)
     taken.update(have + admitted.length)
     admitted.iterator.map(Admitted(key, _))
   }

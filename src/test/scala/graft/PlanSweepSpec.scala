@@ -18,10 +18,12 @@ class PlanSweepSpec extends AnyFunSuite {
   //    text_tfidf: 1-row corpus-total aggregate rejoined to the facts
   //  - text_sketch_overlap / text_sketch_shingles: 1-row HLL/theta
   //    union vs 1-row exact-count aggregate
+  //  - text_bm25_topk / layout_rangeparts: 1-row corpus-stats /
+  //    boundary aggregate cross-joined back (kept lazy on purpose)
   private val allowCross = Set(
     "sim_cosine_topk", "text_corpus_stats", "text_ppl_buckets",
     "text_sketch_overlap", "text_sketch_shingles", "text_tfidf",
-    "text_unigram_nll")
+    "text_unigram_nll", "text_bm25_topk", "layout_rangeparts")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -19,7 +19,9 @@ class StreamingOhlcSpec extends AnyFunSuite {
       .select(col("event_type"),
         expr("datediff(timestamp_micros(ts div 1000), date'2024-01-01')")
           .as("day"),
-        expr("(ts div 1000) * 4096 + event_id % 4096").as("ord"),
+        expr("""((ts div 1000) - 1704067200000000L -
+            datediff(timestamp_micros(ts div 1000), date'2024-01-01')
+              * 86400000000L) * 67108864L + event_id""").as("ord"),
         round(col("value") * 1000).cast("long").as("vm"))
       .filter(col("day") < 6)
     val dir = Files.createTempDirectory("ohlc-src").toString
