@@ -11,6 +11,37 @@ class StreamingQuotaSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("a cap beyond Int.MaxValue admits everything (no toInt wrap)") {
+    val dir = Files.createTempDirectory("quota-big-src").toString
+    Seq(("a", 1L), ("a", 2L), ("b", 3L))
+      .toDF("src", "id").coalesce(1).write.mode("append").parquet(dir)
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = graft.streaming.StreamingQuota
+        .capPerKey(src, "src", "id", cap = 3000000000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("quota_big_out")
+        .option("checkpointLocation",
+          Files.createTempDirectory("quota-big-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(spark.table("quota_big_out").count() === 3L)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("quota admits exactly cap rows per key across batches, by arrival") {
     val dir = Files.createTempDirectory("quota-src").toString
     // batch 1: a gets ids 10..13, b gets 20..21
