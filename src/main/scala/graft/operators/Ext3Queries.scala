@@ -179,6 +179,38 @@ object Ext3Queries {
         |FROM walk ORDER BY user_id, event_id""".stripMargin)
   }
 
+  /** The scale-safe equivalent of `recursiveChains`: identical output
+    * (same chains, roots, depths) computed in ONE window pass instead
+    * of one join round per chain-depth level. Chain membership is a
+    * running sum of root markers (`chain_no`), the root id is the
+    * chain's first event, and depth is the row number within the
+    * chain — so the cost is two sorts over the same user partition
+    * (the second window's (user_id, chain_no) clustering is satisfied
+    * by the user_id hash partitioning: no extra shuffle), independent
+    * of chain length. At 100 TB this replaces the recursion's
+    * depth-many self-joins; the recursive form stays declared as the
+    * SQL-surface demo (q42).
+    */
+  def chainWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wc = Window.partitionBy("user_id", "chain_no")
+      .orderBy("us", "event_id")
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"))
+      .withColumn("is_root",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("chain_no", sum(col("is_root")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("root_id", first(col("event_id")).over(wc))
+      .withColumn("depth", row_number().over(wc))
+      .select(col("user_id"), col("event_id"), col("root_id"),
+        col("depth"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** FILTER (WHERE …) aggregates — the conditional-aggregation SQL
     * surface (one pass, no self-joins; each aggregate keeps its own
     * predicate). Money summed as exact DECIMAL before the final double.
@@ -424,6 +456,7 @@ object Ext3Queries {
     "q43_agg_filter" -> aggFilter _,
     "embed_mean_pool" -> meanPool _,
     "q42_recursive_chains" -> recursiveChains _,
+    "q54_chain_windowed" -> chainWindowed _,
     "q41_distribution_windows" -> distributionWindows _,
     "dedup_edit_distance" -> editDistance _,
     "q39_lateral_topn" -> lateralTopN _,
@@ -633,6 +666,29 @@ object Ext3Queries {
         |)
         |SELECT user_id, event_id, root_id, depth
         |FROM walk ORDER BY user_id, event_id""".stripMargin,
+    "q54_chain_windowed" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |           OR us - LAG(us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS is_root
+        |  FROM (SELECT user_id, event_id, epoch_us(ts) AS us
+        |        FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), c AS (
+        |  SELECT user_id, event_id, us,
+        |    CAST(SUM(is_root) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS chain_no
+        |  FROM l)
+        |SELECT user_id, event_id,
+        |  FIRST_VALUE(event_id) OVER wc AS root_id,
+        |  CAST(ROW_NUMBER() OVER wc AS INT) AS depth
+        |FROM c
+        |WINDOW wc AS (PARTITION BY user_id, chain_no
+        |  ORDER BY us, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q41_distribution_windows" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  NTILE(4) OVER w AS quartile,

@@ -80,16 +80,27 @@ object Ext5Queries {
       .select(col("o_custkey").as("cust"),
         (col("l_suppkey") + 1000000L).as("supp"))
       .distinct()
+    // lazy localCheckpoint, not cache(): the edge list is re-read by
+    // every iteration's join, but the materialized blocks are owned by
+    // the RDD and reclaimed by ContextCleaner when the DataFrame goes
+    // unreferenced — a session-lifetime cache entry per construction
+    // (specs, audits, bench warmups) would accumulate instead
     val edges = edgesOneWay.select(col("cust").as("src"),
         col("supp").as("dst"))
       .unionAll(edgesOneWay.select(col("supp").as("src"),
         col("cust").as("dst")))
-      .cache()
+      .localCheckpoint(false)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nNodes = deg.count()
-    val base = (15L * scale) / (100L * nNodes)
-    var ranks = deg.select(col("src").as("node"), col("deg"),
-      lit(scale / nNodes).as("rank"))
+    // node count stays IN the plan (whole-set window over the small
+    // node table, same pattern as mixAllocation) — a driver-side
+    // deg.count() here would run a full scan+shuffle job during
+    // DataFrame CONSTRUCTION, breaking the lazy-construction contract
+    // plan sweeps/audits rely on
+    var ranks = deg
+      .withColumn("n_nodes",
+        count(lit(1)).over(Window.partitionBy()))
+      .select(col("src").as("node"), col("deg"), col("n_nodes"),
+        expr(s"$scale div n_nodes").as("rank"))
     for (_ <- 1 to 3) {
       val contrib = ranks
         .select(col("node"), expr("rank div deg").as("share"))
@@ -98,8 +109,9 @@ object Ext5Queries {
         .agg(sum(col("share")).as("sum_in"))
       ranks = ranks.drop("rank")
         .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"), col("deg"),
-          (lit(base) + expr("85 * coalesce(sum_in, 0L) div 100"))
+        .select(col("node"), col("deg"), col("n_nodes"),
+          (expr(s"(15 * $scale) div (100 * n_nodes)") +
+            expr("85 * coalesce(sum_in, 0L) div 100"))
             .as("rank"))
     }
     ranks

@@ -73,36 +73,68 @@ object Ext7Queries {
       .orderBy("shard", "pos")
   }
 
-  /** Near-dup graph triangle audit: per-node triangle counts over the
-    * simhash Hamming-pair graph — the density diagnostic that tells a
-    * dedup pipeline whether its near-dup clusters are tight cliques
-    * (safe to collapse to one canonical doc) or loose chains
-    * (transitive merging would over-delete). One triangle enumeration
-    * = two self-joins of the (already banded, already pruned) pair
-    * list, each on a single node column — the standard distributed
-    * triangle count; at 100 TB order the edge list by degree first so
-    * every triangle is enumerated exactly once from its lowest-degree
-    * corner (here a < b < c ids give the same uniqueness).
+  /** Per-node triangle counts of an undirected graph given as (a, b)
+    * pairs with a < b — DEGREE-ORDERED enumeration: every edge is
+    * oriented from its lower-(degree, id) endpoint to the higher one,
+    * wedges open at each node's out-neighbours, and a wedge closes
+    * along an oriented edge. Each triangle is therefore found exactly
+    * once, from its lowest-degree corner, and the self-join fan-out
+    * per node is bounded by the ORIENTED out-degree — which degree
+    * ordering caps at O(sqrt(m)) even on a power-law graph: a hub's
+    * edges all point INTO it, so the hub contributes no wedges at all
+    * (the skew fix the round-3 comment promised; TriangleSkewSpec
+    * proves the bound on a hub graph).
     */
-  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    // cache: the edge list is referenced three times by the triangle
-    // join — without it Spark recomputes the banded pair search per
-    // reference (measured 3.1s -> ~1s at sf0.1)
-    val e = Dedup.simhashNearDups(t(spark, dir, "documents"),
-        "doc_id", "text", maxHamming = 3)
-      .select(col("id_a").as("a"), col("id_b").as("b"))
-      .cache()
-    val tri = e
-      .join(e.select(col("a").as("b2"), col("b").as("c")),
-        col("b") === col("b2"))
-      .join(e.select(col("a").as("a3"), col("b").as("c3")),
-        col("a") === col("a3") && col("c") === col("c3"))
-      .select(col("a"), col("b"), col("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // ties in degree fall back to id order, so the a < b input
+    // orientation is kept when degrees are equal. `dk` carries the
+    // destination's (degree, id) sort key: struct ordering gives the
+    // total order that both picks each wedge once AND matches the
+    // closing edge's orientation (no OR-of-two-orientations join).
+    //
+    // lazy localCheckpoint, not cache(): the oriented edge list is
+    // referenced three times by the joins, but its blocks are owned by
+    // the RDD and reclaimed by ContextCleaner when unreferenced — a
+    // session-lifetime cache entry per construction would accumulate.
+    val e = pairs
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b"))
+          .as("src"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a"))
+          .as("dst"),
+        when(col("da") <= col("db"),
+            struct(col("db").as("kd"), col("b").as("ki")))
+          .otherwise(struct(col("da").as("kd"), col("a").as("ki")))
+          .as("dk"))
+      .localCheckpoint(false)
+    val tri = e.as("e1")
+      .join(e.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dk") < col("e2.dk"))
+      .join(e.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy("node")
   }
+
+  /** Near-dup graph triangle audit: per-node triangle counts over the
+    * simhash Hamming-pair graph — the density diagnostic that tells a
+    * dedup pipeline whether its near-dup clusters are tight cliques
+    * (safe to collapse to one canonical doc) or loose chains
+    * (transitive merging would over-delete).
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(
+      Dedup.simhashNearDups(t(spark, dir, "documents"),
+          "doc_id", "text", maxHamming = 3)
+        .select(col("id_a").as("a"), col("id_b").as("b")))
 
   /** Hybrid near-dup verification: lexical MinHash-LSH candidates
     * re-scored by embedding cosine — the two-stage shape real dedup
@@ -163,9 +195,20 @@ object Ext7Queries {
     * never make the bar engine-dependent (the first draft's
     * `event_id mod 4096` could collide). One hash aggregate, no
     * window, no sort until presentation.
+    *
+    * PRECONDITION (enforced): event_id < 2^26 (~67M). Beyond that the
+    * id bits overflow into the time bits, colliding ord values would
+    * make min_by/max_by ties partition-order-dependent — and the
+    * oracle, using the identical formula, could NOT catch the
+    * within-Spark nondeterminism. assert_true fails the query loudly
+    * instead; a wider corpus should widen the shift (id fits 2^b,
+    * time gets 63-b bits).
     */
   def ohlcBars(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
+      .filter(isnull(expr(
+        "assert_true(event_id < 67108864, " +
+          "'ohlcBars ord key requires event_id < 2^26')")))
       .select(col("event_type"),
         expr("datediff(timestamp_micros(ts div 1000), date'2024-01-01')")
           .as("day"),

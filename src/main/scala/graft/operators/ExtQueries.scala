@@ -172,7 +172,7 @@ object ExtQueries {
     val emb = t(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
       "embedding", k = 5, nCells = 16, kmeansIters = 2,
-      fitSample = 2000).orderBy("q_id", "rank")
+      fitSampleMod = 2).orderBy("q_id", "rank")
   }
 
   def embedNearDups(spark: SparkSession, dir: String): DataFrame =
@@ -321,18 +321,27 @@ object ExtQueries {
     * engines.
     */
   private def ivfKmeansOracleSql(nCells: Int, iters: Int, k: Int,
-      nQ: Int, fitSample: Int): String = {
+      nQ: Int, fitSampleMod: Int): String = {
+    // fit-sample keep rule — identical to Similarity.fitKeep: first
+    // two md5 hex digits of "ivfs:<id>" as a 0..255 bucket, keep
+    // bucket % mod == 0; init = the nCells smallest sampled ids
     val b = new StringBuilder
     b ++= s"""WITH ee AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
     CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings
 ), ef AS (
-  SELECT * FROM ee WHERE vec_id < $fitSample
+  SELECT * FROM ee WHERE
+    ((strpos('0123456789abcdef',
+        substr(md5('ivfs:' || vec_id), 1, 1)) - 1) * 16
+     + (strpos('0123456789abcdef',
+        substr(md5('ivfs:' || vec_id), 2, 1)) - 1)) % $fitSampleMod = 0
 ), norms AS (
   SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
 ), cent0 AS (
-  SELECT vec_id AS cell, i, x AS m FROM ee WHERE vec_id < $nCells
+  SELECT vec_id AS cell, i, x AS m FROM ef
+  WHERE vec_id IN (SELECT vec_id FROM (
+    SELECT DISTINCT vec_id FROM ef ORDER BY vec_id LIMIT $nCells))
 )"""
     for (it <- 1 to iters) {
       val p = it - 1
@@ -921,7 +930,7 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
         |  FROM sims)
         |SELECT q_id, n_id, bucket, sim, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-    "sim_ann_ivf" -> ivfKmeansOracleSql(16, 2, 5, 8, 2000),
+    "sim_ann_ivf" -> ivfKmeansOracleSql(16, 2, 5, 8, 2),
     "embed_near_dups" ->
       """WITH ee AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

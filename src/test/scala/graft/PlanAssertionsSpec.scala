@@ -118,7 +118,7 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = graft.operators.Similarity.ivfTopK(emb,
       emb.filter(col("vec_id") < 4), "vec_id", "embedding",
-      k = 5, nCells = 8, kmeansIters = 1, fitSample = 200)
+      k = 5, nCells = 8, kmeansIters = 1, fitSampleMod = 2)
     val p = plan(df)
     // the only hash shuffle is the per-query window rank; the corpus
     // gets its cell from a projection over driver-held centroids and
