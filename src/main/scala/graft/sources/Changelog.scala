@@ -67,11 +67,13 @@ object Changelog {
     * 200 MB admission-cap analog (CdcReader.java:43).
     */
   def readTopicStream(spark: SparkSession, topic: String,
-      maxOffsetsPerTrigger: Long = 0L): DataFrame =
+      maxOffsetsPerTrigger: Long = 0L,
+      maxBytesPerTrigger: Long = 0L): DataFrame =
     spark.readStream
       .format("graft.sources.TopicSourceProvider")
       .option("topic", topic)
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
+      .option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
       .load()
       .select(col("value"), col("offset").as("seq"))
 

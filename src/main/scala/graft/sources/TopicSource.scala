@@ -18,8 +18,10 @@ import java.util
   * (offsets advance only after the batch succeeds, O10).
   *
   * Admission control: `maxOffsetsPerTrigger` caps rows per micro-batch
-  * via `SupportsAdmissionControl` — the analog of the reference
-  * reader's 200 MB read-ahead cap (CdcReader.java:43).
+  * via `SupportsAdmissionControl`, and `maxBytesPerTrigger` caps the
+  * admitted VALUE BYTES per micro-batch — the direct analog of the
+  * reference reader's 200 MB read-ahead cap (CdcReader.java:43). Both
+  * caps compose (whichever bites first).
   *
   * The log itself is [[TopicBroker]], an in-JVM partitioned-log stub:
   * this sandbox has no broker, and the POINT is the source contract —
@@ -32,6 +34,13 @@ object TopicBroker {
   final class Topic(val partitions: Int) {
     val logs: Array[scala.collection.mutable.ArrayBuffer[String]] =
       Array.fill(partitions)(scala.collection.mutable.ArrayBuffer())
+    // byte prefix sums per partition: bytesCum(p)(i) = total UTF-8
+    // bytes of messages [0, i) — byte-budget admission is then an
+    // O(log n)-searchable range query, never a value scan (the walk
+    // below is linear only because the stub is in-JVM; a broker
+    // client gets the same numbers from record batch sizes)
+    val bytesCum: Array[scala.collection.mutable.ArrayBuffer[Long]] =
+      Array.fill(partitions)(scala.collection.mutable.ArrayBuffer(0L))
   }
   private val topics =
     new java.util.concurrent.ConcurrentHashMap[String, Topic]()
@@ -54,7 +63,25 @@ object TopicBroker {
     val t = topic(name)
     t.logs(partition).synchronized {
       t.logs(partition) += value
+      t.bytesCum(partition) += t.bytesCum(partition).last +
+        value.getBytes("UTF-8").length
       t.logs(partition).length - 1L
+    }
+  }
+
+  /** Byte-budget admission: the largest end in [from, until] such that
+    * messages [from, end) total at most `budget` bytes. Returns
+    * (end, bytesAdmitted).
+    */
+  def admitBytes(name: String, partition: Int, from: Long, until: Long,
+      budget: Long): (Long, Long) = {
+    val t = topic(name)
+    t.logs(partition).synchronized {
+      val cum = t.bytesCum(partition)
+      var end = from
+      while (end < until &&
+          cum(end.toInt + 1) - cum(from.toInt) <= budget) end += 1
+      (end, cum(end.toInt) - cum(from.toInt))
     }
   }
 
@@ -106,9 +133,13 @@ class TopicTable extends Table with SupportsRead {
     private val maxOffsets =
       Option(options.get("maxOffsetsPerTrigger"))
         .map(_.toLong).getOrElse(0L)
+    private val maxBytes =
+      Option(options.get("maxBytesPerTrigger"))
+        .map(_.toLong).getOrElse(0L)
     override def readSchema(): StructType = TopicSource.schema
     override def toMicroBatchStream(checkpointLocation: String)
-        : MicroBatchStream = new TopicMicroBatchStream(topic, maxOffsets)
+        : MicroBatchStream =
+      new TopicMicroBatchStream(topic, maxOffsets, maxBytes)
   }
 }
 
@@ -117,7 +148,8 @@ case class TopicOffsets(ends: Array[Long]) extends Offset {
   override def json(): String = ends.mkString("[", ",", "]")
 }
 
-class TopicMicroBatchStream(topic: String, maxOffsets: Long)
+class TopicMicroBatchStream(topic: String, maxOffsets: Long,
+    maxBytes: Long = 0L)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -141,8 +173,16 @@ class TopicMicroBatchStream(topic: String, maxOffsets: Long)
     throw new UnsupportedOperationException(
       "admission-controlled source: latestOffset(start, limit)")
 
-  /** Advance per-partition ends, admitting at most the row cap across
-    * partitions (greedy, like the reference's global byte budget).
+  /** Advance per-partition ends, admitting at most the row cap AND at
+    * most the byte budget across partitions (greedy). The byte budget
+    * is the direct analog of the reference reader's 200 MB read-ahead
+    * cap (CdcReader.java:43): micro-batch memory is bounded by BYTES,
+    * not row count, which is what survives at 100 TB ingest where row
+    * sizes vary by orders of magnitude. Bytes are not a Spark
+    * `ReadLimit` kind, so the budget is enforced source-side from the
+    * scan option. A single message larger than the whole budget is
+    * still admitted alone (the cap is a buffer, not a filter — the
+    * stream must always make progress).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[TopicOffsets].ends
@@ -154,10 +194,25 @@ class TopicMicroBatchStream(topic: String, maxOffsets: Long)
       case _: ReadAllAvailable => Long.MaxValue
       case _ => Long.MaxValue
     }
+    var byteBudget = if (maxBytes > 0) maxBytes else Long.MaxValue
+    var admittedAny = false
     val ends = from.indices.map { p =>
-      val take = math.min(avail(p) - from(p), budget)
-      budget -= take
-      from(p) + take
+      var until = from(p) + math.min(avail(p) - from(p), budget)
+      if (maxBytes > 0 && until > from(p)) {
+        val (e, used) =
+          TopicBroker.admitBytes(topic, p, from(p), until, byteBudget)
+        if (e == from(p) && !admittedAny && budget > 0) {
+          // oversized head message: admit exactly it
+          val (e1, used1) = TopicBroker.admitBytes(topic, p, from(p),
+            from(p) + 1, Long.MaxValue)
+          until = e1; byteBudget -= used1
+        } else {
+          until = e; byteBudget -= used
+        }
+      }
+      budget -= until - from(p)
+      if (until > from(p)) admittedAny = true
+      until
     }.toArray
     TopicOffsets(ends)
   }

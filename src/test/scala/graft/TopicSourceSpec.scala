@@ -113,6 +113,60 @@ class TopicSourceSpec extends AnyFunSuite {
     TopicBroker.delete(topic)
   }
 
+  test("maxBytesPerTrigger splits batches at the byte cap " +
+      "(CdcReader.java:43 200MB analog)") {
+    val topic = s"cdc-bytes-${System.nanoTime()}"
+    TopicBroker.create(topic, 1)
+    // 10 messages of exactly 100 UTF-8 bytes each
+    val pad = "x" * 30
+    (0 until 10).foreach { i =>
+      val v = s"""{"key":[$i],"update":{"event_type":"$pad","value_milli":$i}}"""
+        .padTo(100, ' ')
+      assert(v.getBytes("UTF-8").length === 100)
+      TopicBroker.send(topic, 0, v)
+    }
+    val sizes = scala.collection.mutable.Buffer[Long]()
+    val q = Changelog.readTopicStream(spark, topic,
+        maxBytesPerTrigger = 250)
+      .writeStream
+      .option("checkpointLocation", freshDir("ckpt-bytes"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes += df.count(); ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(sizes.sum === 10L)
+    // 250-byte budget admits exactly 2 of the 100-byte messages
+    assert(sizes.forall(_ <= 2L), s"batch sizes $sizes exceed byte cap")
+    assert(sizes.count(_ > 0) === 5) // the cap actually split the stream
+    TopicBroker.delete(topic)
+  }
+
+  test("an oversized single message still flows (cap is a buffer, " +
+      "not a filter)") {
+    val topic = s"cdc-bigmsg-${System.nanoTime()}"
+    TopicBroker.create(topic, 1)
+    val big = s"""{"key":[1],"update":{"event_type":"${"y" * 500}","value_milli":1}}"""
+    TopicBroker.send(topic, 0, big)
+    TopicBroker.send(topic, 0,
+      """{"key":[2],"update":{"event_type":"e","value_milli":2}}""")
+    val sizes = scala.collection.mutable.Buffer[Long]()
+    val q = Changelog.readTopicStream(spark, topic,
+        maxBytesPerTrigger = 100) // smaller than the first message
+      .writeStream
+      .option("checkpointLocation", freshDir("ckpt-bigmsg"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes += df.count(); ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(sizes.sum === 2L) // nothing stuck behind the oversized head
+    assert(sizes.count(_ > 0) === 2) // big one alone, then the small one
+    TopicBroker.delete(topic)
+  }
+
   test("offsets checkpoint: restart consumes only new records (O10)") {
     val topic = s"cdc-resume-${System.nanoTime()}"
     TopicBroker.create(topic, 2)
