@@ -240,18 +240,27 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: all pairs within `maxHamming` bits.
-    * Scale path — NOT an all-pairs join: the 32-bit fingerprint is
+    * Scale path — NOT an all-pairs join: the 60-bit fingerprint is
     * split into `maxHamming + 1` bands; by pigeonhole, any pair within
     * the distance agrees EXACTLY on at least one band, so candidates
     * come from an equi-join on (band, band-value) and only candidates
     * pay the xor/bit_count verify. The classic simhash sharding
     * scheme — candidate volume tracks band-collision rates, not n².
+    *
+    * Fingerprint width matters at scale (sf1 probe, round 4): 32-bit
+    * fingerprints put random-collision probability per 8-bit band at
+    * 2^-8, so banded candidates grow ~n²/128 — a measured 33× blowup
+    * on 10× data. At 60 bits (15 md5 hex chars, the repo's standard
+    * portable width) a maxHamming=3 band is 15 bits → candidate
+    * collisions drop 8192×, restoring ~linear candidate volume until
+    * n approaches 2^15 per band value — and the width is one constant
+    * away from wider if needed.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
-    require(32 % bands == 0, s"32 bits must split evenly into $bands bands")
-    val bitsPer = 32 / bands
+    require(60 % bands == 0, s"60 bits must split evenly into $bands bands")
+    val bitsPer = 60 / bands
     val fp = simhash(df, idCol, textCol)
     val banded = fp.select(col("id"), col("simhash"),
         explode(array((0 until bands).map(b =>
@@ -274,29 +283,33 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** SimHash (32-bit, from md5 nibbles of tokens): each token votes
+  /** SimHash (60-bit, from md5 nibbles of tokens): each token votes
     * +1/-1 per bit; fingerprint bit i is the sign of the vote sum.
-    * Near-dups = fingerprints within a small Hamming distance.
+    * Near-dups = fingerprints within a small Hamming distance. 60 bits
+    * = 15 hex chars, safely inside a signed long in BOTH engines (no
+    * sign-bit games), and wide enough that banded candidate volume
+    * stays collision-bounded at 100 TB corpus sizes (see
+    * simhashNearDups).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = explode(TextAnalysis.tokens(col(textCol))).as("tok")
-    // ONE hex->long conversion per token; the 32 bit-vote aggregates
+    // ONE hex->long conversion per token; the 60 bit-vote aggregates
     // are then shift/mask on that long (the per-bit instr+substring
-    // hex parse was 32 string scans per token — measured slower)
+    // hex parse was one string scan per bit per token — measured
+    // slower)
     val exploded = df.select(col(idCol).as("id"), tok)
-      .withColumn("h32",
-        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    // bit 0 = MSB of the 32-bit md5 prefix (same bit order as the
-    // previous nibble walk: digit i, mask 1<<(3-i%4) == prefix bit
-    // 31-bit)
-    val bitCols = (0 until 32).map { bit =>
-      sum(when(shiftright(col("h32"), 31 - bit).bitwiseAND(1L) === 1L,
+      .withColumn("h60",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    // bit 0 = MSB of the 60-bit md5 prefix (same bit order as the
+    // nibble walk: digit i, mask 1<<(3-i%4) == prefix bit 59-bit)
+    val bitCols = (0 until 60).map { bit =>
+      sum(when(shiftright(col("h60"), 59 - bit).bitwiseAND(1L) === 1L,
         1L).otherwise(-1L)).as(s"b$bit")
     }
     val votes = exploded.groupBy(col("id")).agg(bitCols.head,
       bitCols.tail: _*)
-    val fp = (0 until 32).map(bit =>
-      when(col(s"b$bit") > 0, lit(1L << (31 - bit))).otherwise(0L))
+    val fp = (0 until 60).map(bit =>
+      when(col(s"b$bit") > 0, lit(1L << (59 - bit))).otherwise(0L))
       .reduce(_ + _)
     votes.select(col("id"), fp.as("simhash"))
   }

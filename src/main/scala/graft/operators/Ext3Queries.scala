@@ -165,6 +165,12 @@ object Ext3Queries {
       .select("user_id", "event_id", "prev_id", "is_root")
       .localCheckpoint()
       .createOrReplaceTempView("q42_chain_links")
+    // the walk emits one row per event, so Spark's recursion row-limit
+    // safety valve (default 1e6) trips at ~sf1 even though depth is
+    // bounded; raise it for this demo query. The PRODUCTION form of
+    // this labeling is q54_chain_windowed (one window pass, no
+    // recursion) — this recursive variant is the SQL-surface demo.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
     spark.sql(
       """WITH RECURSIVE walk(user_id, event_id, root_id, depth) AS (
         |  SELECT user_id, event_id, event_id, 1

@@ -131,9 +131,14 @@ object Ext7Queries {
     * (transitive merging would over-delete).
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    // maxHamming=5 (6 bands of 10 bits on the 60-bit fingerprint): at
+    // distance 3 the wide fingerprint leaves the synthetic corpus with
+    // pairs only (no 3-cliques); 5 keeps the triangle structure the
+    // audit exists to measure while the candidate join stays
+    // collision-bounded
     triangleCounts(
       Dedup.simhashNearDups(t(spark, dir, "documents"),
-          "doc_id", "text", maxHamming = 3)
+          "doc_id", "text", maxHamming = 5)
         .select(col("id_a").as("a"), col("id_b").as("b")))
 
   /** Hybrid near-dup verification: lexical MinHash-LSH candidates
@@ -502,17 +507,17 @@ object Ext7Queries {
         |    SUM(CASE WHEN
         |      ((strpos('0123456789abcdef', substr(h, bit // 4 + 1, 1)) - 1)
         |        & (1 << (3 - bit % 4))) > 0 THEN 1 ELSE -1 END) AS v
-        |  FROM tokrows, UNNEST(range(0, 32)) AS b(bit)
+        |  FROM tokrows, UNNEST(range(0, 60)) AS b(bit)
         |  GROUP BY id, bit
         |), fps AS (
         |  SELECT id,
-        |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (31 - bit)
+        |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (59 - bit)
         |        ELSE 0 END) AS BIGINT) AS fp
         |  FROM votes GROUP BY id
         |), pairs AS (
         |  SELECT a.id AS a, b.id AS b
         |  FROM fps a JOIN fps b ON a.id < b.id
-        |  WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= 5
         |), tri AS (
         |  SELECT e1.a, e1.b, e2.b AS c
         |  FROM pairs e1

@@ -861,10 +861,10 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
         |    SUM(CASE WHEN
         |      ((strpos('0123456789abcdef', substr(h, bit // 4 + 1, 1)) - 1)
         |        & (1 << (3 - bit % 4))) > 0 THEN 1 ELSE -1 END) AS v
-        |  FROM tokrows, UNNEST(range(0, 32)) AS b(bit)
+        |  FROM tokrows, UNNEST(range(0, 60)) AS b(bit)
         |  GROUP BY id, bit)
         |SELECT id,
-        |  CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (31 - bit)
+        |  CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (59 - bit)
         |      ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY id ORDER BY id""".stripMargin,
     // banded pair search is pigeonhole-exact, so the brute-force
@@ -879,11 +879,11 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
         |    SUM(CASE WHEN
         |      ((strpos('0123456789abcdef', substr(h, bit // 4 + 1, 1)) - 1)
         |        & (1 << (3 - bit % 4))) > 0 THEN 1 ELSE -1 END) AS v
-        |  FROM tokrows, UNNEST(range(0, 32)) AS b(bit)
+        |  FROM tokrows, UNNEST(range(0, 60)) AS b(bit)
         |  GROUP BY id, bit
         |), fps AS (
         |  SELECT id,
-        |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (31 - bit)
+        |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (59 - bit)
         |        ELSE 0 END) AS BIGINT) AS fp
         |  FROM votes GROUP BY id)
         |SELECT a.id AS id_a, b.id AS id_b,
