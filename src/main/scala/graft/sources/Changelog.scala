@@ -58,6 +58,31 @@ object Changelog {
       .withColumn("seq",
         get_json_object(col("value"), "$.offset").cast("long"))
 
+  /** Adapter from the spark-sql-kafka column contract — `key BINARY,
+    * value BINARY, topic STRING, partition INT, offset LONG,
+    * timestamp TIMESTAMP` — to this pipeline's (value, seq) source
+    * contract. This is the ENTIRE Kafka front door: a real changefeed
+    * topic drives `CdcPipeline.startWithSource` unchanged via
+    *
+    * {{{
+    * CdcPipeline.startWithSource(spark, pipeline,
+    *   Changelog.fromKafkaShaped(
+    *     spark.readStream.format("kafka")
+    *       .option("kafka.bootstrap.servers", "...")
+    *       .option("subscribe", topic).load()))
+    * }}}
+    *
+    * `seq` is the partition-local Kafka offset — per-key order holds
+    * for key-partitioned producers exactly as with [[TopicBroker]]
+    * (partition-affine routing, YqlWriter.java:117-120). The kafka
+    * connector jar is not present in this sandbox, so the adapter is
+    * exercised by a spec that feeds kafka-SHAPED columns from the
+    * in-JVM topic source through the full pipeline.
+    */
+  def fromKafkaShaped(df: DataFrame): DataFrame =
+    df.select(col("value").cast("string").as("value"),
+      col("offset").cast("long").as("seq"))
+
   /** Open a [[TopicBroker]] topic as the same (value, seq) contract —
     * the reference's actual front door (async partitioned topic
     * consumer, CdcReader.java:34-53). `seq` is the PARTITION-LOCAL

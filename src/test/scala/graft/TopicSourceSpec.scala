@@ -167,6 +167,31 @@ class TopicSourceSpec extends AnyFunSuite {
     TopicBroker.delete(topic)
   }
 
+  test("kafka-shaped column contract drives the pipeline unchanged " +
+      "(spark-sql-kafka front door)") {
+    val events = s"${TestSpark.sfDir}/events.parquet"
+    val clog = freshDir("clog-kafka")
+    Changelog.writeFromEvents(spark, events, clog, numFiles = 4)
+    val fileSink = runOver(
+      Changelog.readStream(spark, clog, maxFilesPerTrigger = 2), "kafka-f")
+    val topic = s"cdc-kafka-${System.nanoTime()}"
+    Changelog.publishFromEvents(spark, events, topic, partitions = 2)
+    // reshape the in-JVM topic stream to the exact spark-sql-kafka
+    // output schema, then run it back through the adapter: proves a
+    // real .format("kafka") load() plugs in with zero pipeline changes
+    val kafkaShaped = Changelog.readTopicStream(spark, topic)
+      .select(lit(null).cast("binary").as("key"),
+        col("value").cast("binary").as("value"),
+        lit(topic).as("topic"),
+        lit(0).as("partition"),
+        col("seq").cast("long").as("offset"),
+        current_timestamp().as("timestamp"))
+    val sink = runOver(Changelog.fromKafkaShaped(kafkaShaped), "kafka-t")
+    assert(sinkRows(sink) === sinkRows(fileSink))
+    assert(sinkRows(sink).nonEmpty)
+    TopicBroker.delete(topic)
+  }
+
   test("offsets checkpoint: restart consumes only new records (O10)") {
     val topic = s"cdc-resume-${System.nanoTime()}"
     TopicBroker.create(topic, 2)
