@@ -116,17 +116,20 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4, minJ: Double, n: Int = 3)
       : DataFrame = {
     val rowsPerBand = numHashes / bands
-    // shingle rows carry their set size from the start (same shape as
-    // jaccardPairs): the size prune rides the candidate join and the
-    // verify aggregate carries the sizes, so no post-agg size joins
-    val sh = shingles(df, idCol, textCol, n)
-    val sized = sh
-      .join(sh.groupBy(col("id")).agg(count(lit(1)).as("sz")), "id")
-      .cache()
+    // the shingle table is cached with its TWO narrow columns only.
+    // Set sizes live on (a) the band-signature table — doc-count-sized,
+    // where the PPJoin prune needs them inside the candidate join —
+    // and (b) two post-aggregate joins against the (tiny, AQE-
+    // broadcast) size table. The old shape joined sz onto every
+    // shingle row and cached the widened result: at sf1 (10×) that
+    // cache spilled under suite memory pressure and the whole LSH
+    // family (clusters, keep_best, hybrid) paid for it — measured
+    // 8-14× on 10× data, vs the linear shuffle volume this shape has.
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val szOf = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // wide signatures -> one row per (id, band) with the concatenated
     // band signature; cached for both sides of the candidate self-join
-    val sig = minhashSignatures(sized, numHashes)
-    val szOf = sized.groupBy(col("id")).agg(max(col("sz")).as("sz"))
+    val sig = minhashSignatures(sh, numHashes)
     val bandSig = sig.join(szOf, "id")
       .select(col("id"), col("sz"),
         explode(array((0 until bands).map { b =>
@@ -149,13 +152,16 @@ object Dedup {
     // sets; the shingle equality is IN the join condition — joining on
     // id alone would fan out |sh_a| x |sh_b| rows per candidate pair
     cands
-      .join(sized.select(col("id").as("id_a"), col("shingle").as("s"),
-        col("sz").as("sz_a")), Seq("id_a"))
-      .join(sized.select(col("id").as("id_b"), col("shingle").as("s"),
-        col("sz").as("sz_b")), Seq("id_b", "s"))
+      .join(sh.select(col("id").as("id_a"), col("shingle").as("s")),
+        Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle").as("s")),
+        Seq("id_b", "s"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"),
-        max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(szOf.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(szOf.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
       .withColumn("jaccard", col("common").cast("double") /
         (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJ)
