@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Ext6Queries.queries ++
       operators.Ext7Queries.queries ++
       operators.EventTimeQueries.queries ++
+      operators.Pq.queries ++
       operators.MiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
       operators.Ext6Queries.oracle ++
       operators.Ext7Queries.oracle ++
       operators.EventTimeQueries.oracle ++
+      operators.Pq.oracle ++
       operators.MiscQueries.oracle
 }

@@ -28,7 +28,8 @@ class EntryContractSpec extends AnyFunSuite {
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
-        operators.MiscQueries.oracle))
+        operators.MiscQueries.oracle),
+      ("Pq", operators.Pq.queries, operators.Pq.oracle))
 
   test("no query name is declared by two modules (silent map shadowing)") {
     val all = modules.flatMap { case (m, qs, _) =>

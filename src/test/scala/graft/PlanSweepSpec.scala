@@ -20,8 +20,12 @@ class PlanSweepSpec extends AnyFunSuite {
   //    union vs 1-row exact-count aggregate
   //  - text_bm25_topk / layout_rangeparts: 1-row corpus-stats /
   //    boundary aggregate cross-joined back (kept lazy on purpose)
+  //  - sim_ann_pq: broadcast 8-row query lookup-table vs coded corpus
+  //    (same shape as sim_cosine_topk — the non-equi self-exclusion
+  //    n_id <> q_id makes it a BNLJ over a bounded broadcast side)
   private val allowCross = Set(
-    "sim_cosine_topk", "text_corpus_stats", "text_ppl_buckets",
+    "sim_cosine_topk", "sim_ann_pq", "text_corpus_stats",
+    "text_ppl_buckets",
     "text_sketch_overlap", "text_sketch_shingles", "text_tfidf",
     "text_unigram_nll", "text_bm25_topk", "layout_rangeparts")
 
