@@ -144,7 +144,8 @@ object Bench {
       "dedup_clusters", "graph_triangles", "graph_pagerank",
       "cdc_agg_view", "cdc_mat_view2", "cdc_typed_assembly",
       "cdc_lww_dedup", "cdc_scd2", "cdc_parse_route", "dedup_keep_best",
-      "dedup_simhash_pairs", "sim_ann_ivf", "dedup_minhash_lsh",
+      "dedup_simhash_pairs", "sim_ann_ivf", "sim_ann_pq",
+      "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "cdc_apply_upsert", "pipeline_prepare")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
