@@ -78,7 +78,7 @@ object Dedup {
           .filter(col("df") <= maxDf).select("shingle"), "shingle")
     val sized = sh
       .join(sh.groupBy(col("id")).agg(count(lit(1)).as("sz")), "id")
-      .cache()
+      .localCheckpoint(false)
     sized.as("a").join(sized.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.id") < col("b.id") &&
@@ -125,10 +125,15 @@ object Dedup {
     // cache spilled under suite memory pressure and the whole LSH
     // family (clusters, keep_best, hybrid) paid for it — measured
     // 8-14× on 10× data, vs the linear shuffle volume this shape has.
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // lazy localCheckpoint, not cache(): blocks are owned by the RDD
+    // and reclaimed by ContextCleaner when the query goes
+    // unreferenced, instead of accumulating session-lifetime cache
+    // entries per construction (specs, audits, bench warmups)
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(false)
     val szOf = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // wide signatures -> one row per (id, band) with the concatenated
-    // band signature; cached for both sides of the candidate self-join
+    // band signature; materialized for both sides of the candidate
+    // self-join
     val sig = minhashSignatures(sh, numHashes)
     val bandSig = sig.join(szOf, "id")
       .select(col("id"), col("sz"),
@@ -139,7 +144,7 @@ object Dedup {
         }: _*)).as("bs"))
       .select(col("id"), col("sz"), col("bs.band").as("band"),
         col("bs.bsig").as("bsig"))
-      .cache()
+      .localCheckpoint(false)
     // PPJoin-style size prune INSIDE the candidate join: J >= t needs
     // min(sz) >= t * max(sz) — exact, never drops a qualifying pair
     val cands = bandSig.as("a").join(bandSig.as("b"),

@@ -147,12 +147,20 @@ object Ext3Queries {
     * unbounded fixpoint. Complements ev_window_session (same gap
     * semantics via session_window) with an explicit-lineage variant.
     */
-  def recursiveChains(spark: SparkSession, dir: String): DataFrame = {
+  def recursiveChains(spark0: SparkSession, dir: String): DataFrame = {
     // events.ts surfaces as nanos-since-epoch long (see Tables) —
     // `ts div 1000` is the micros the DuckDB oracle gets via epoch_us.
     // The predecessor-link table is materialized ONCE (localCheckpoint)
     // before the recursion: each UNION ALL step re-reads cached blocks
     // instead of re-running the window over the raw scan per iteration.
+    //
+    // The whole query runs on a CLONED session (shared SparkContext,
+    // own SQLConf + temp views) so raising the recursion row-limit
+    // valve — the walk emits one row per event and trips the 1e6
+    // default at ~sf1 — never disables that safety net for the rest
+    // of the caller's session.
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     t(spark, dir, "events")
       .select(col("user_id"), col("event_id"),
@@ -165,12 +173,9 @@ object Ext3Queries {
       .select("user_id", "event_id", "prev_id", "is_root")
       .localCheckpoint()
       .createOrReplaceTempView("q42_chain_links")
-    // the walk emits one row per event, so Spark's recursion row-limit
-    // safety valve (default 1e6) trips at ~sf1 even though depth is
-    // bounded; raise it for this demo query. The PRODUCTION form of
-    // this labeling is q54_chain_windowed (one window pass, no
-    // recursion) — this recursive variant is the SQL-surface demo.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
+    // the PRODUCTION form of this labeling is q54_chain_windowed (one
+    // window pass, no recursion) — this recursive variant is the
+    // SQL-surface demo
     spark.sql(
       """WITH RECURSIVE walk(user_id, event_id, root_id, depth) AS (
         |  SELECT user_id, event_id, event_id, 1

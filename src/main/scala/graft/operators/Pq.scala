@@ -67,17 +67,23 @@ object Pq {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    require(sample.nonEmpty,
+      s"PQ fit: hash sample (mod $sampleMod) kept no vectors")
     val total = sample.head._2.length
     require(total % nSub == 0, s"$total dims must split into $nSub")
     val subDim = total / nSub
     Array.tabulate(nSub) { m =>
       val subs = sample.map { case (id, v) =>
         (id, v.slice(m * subDim, (m + 1) * subDim)) }
+      // a sample smaller than k yields a smaller codebook (kEff
+      // cells) — degrade, don't crash; the oracle's LIMIT k does the
+      // same
       var cents: Array[Array[Double]] =
         subs.take(k).map(_._2.clone())
+      val kEff = cents.length
       for (_ <- 0 until iters) {
-        val sums = Array.fill(k)(new Array[Double](subDim))
-        val counts = new Array[Long](k)
+        val sums = Array.fill(kEff)(new Array[Double](subDim))
+        val counts = new Array[Long](kEff)
         subs.foreach { case (_, s) =>
           var best = 0; var bestD = Long.MaxValue
           var c = 0
@@ -94,7 +100,7 @@ object Pq {
           while (j < subDim) { sums(best)(j) += s(j); j += 1 }
           counts(best) += 1
         }
-        cents = Array.tabulate(k)(c =>
+        cents = Array.tabulate(kEff)(c =>
           if (counts(c) == 0) cents(c) // emptied cell keeps centroid
           else sums(c).map(s => roundN(s / counts(c), 6)))
       }

@@ -173,16 +173,27 @@ class TopicMicroBatchStream(topic: String, maxOffsets: Long,
     throw new UnsupportedOperationException(
       "admission-controlled source: latestOffset(start, limit)")
 
+  // rotates which partition gets first claim on the byte budget each
+  // trigger — greedy-by-partition-index would let a busy low-indexed
+  // partition starve a higher one forever
+  private var rotation = 0
+
   /** Advance per-partition ends, admitting at most the row cap AND at
-    * most the byte budget across partitions (greedy). The byte budget
-    * is the direct analog of the reference reader's 200 MB read-ahead
-    * cap (CdcReader.java:43): micro-batch memory is bounded by BYTES,
-    * not row count, which is what survives at 100 TB ingest where row
+    * most the byte budget across partitions. The byte budget is the
+    * direct analog of the reference reader's 200 MB read-ahead cap
+    * (CdcReader.java:43): micro-batch memory is bounded by BYTES, not
+    * row count, which is what survives at 100 TB ingest where row
     * sizes vary by orders of magnitude. Bytes are not a Spark
     * `ReadLimit` kind, so the budget is enforced source-side from the
-    * scan option. A single message larger than the whole budget is
-    * still admitted alone (the cap is a buffer, not a filter — the
-    * stream must always make progress).
+    * scan option.
+    *
+    * Fairness/progress guarantees: partitions are visited in an order
+    * that ROTATES each trigger, so every partition periodically gets
+    * first claim on a fresh budget; and a head message larger than the
+    * entire budget is admitted alone when its partition holds the
+    * fresh budget (the cap is a buffer, not a filter). Together: no
+    * partition can starve behind other partitions' traffic or behind
+    * its own oversized head, regardless of message sizes.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[TopicOffsets].ends
@@ -195,14 +206,17 @@ class TopicMicroBatchStream(topic: String, maxOffsets: Long,
       case _ => Long.MaxValue
     }
     var byteBudget = if (maxBytes > 0) maxBytes else Long.MaxValue
-    var admittedAny = false
-    val ends = from.indices.map { p =>
+    val order = from.indices.map(i => (i + rotation) % from.length)
+    rotation = if (from.isEmpty) 0 else (rotation + 1) % from.length
+    val ends = from.clone()
+    order.foreach { p =>
       var until = from(p) + math.min(avail(p) - from(p), budget)
       if (maxBytes > 0 && until > from(p)) {
         val (e, used) =
           TopicBroker.admitBytes(topic, p, from(p), until, byteBudget)
-        if (e == from(p) && !admittedAny && budget > 0) {
-          // oversized head message: admit exactly it
+        if (e == from(p) && byteBudget == maxBytes) {
+          // head message exceeds even the FULL budget: admit exactly
+          // it (this partition holds the fresh budget this trigger)
           val (e1, used1) = TopicBroker.admitBytes(topic, p, from(p),
             from(p) + 1, Long.MaxValue)
           until = e1; byteBudget -= used1
@@ -211,9 +225,8 @@ class TopicMicroBatchStream(topic: String, maxOffsets: Long,
         }
       }
       budget -= until - from(p)
-      if (until > from(p)) admittedAny = true
-      until
-    }.toArray
+      ends(p) = until
+    }
     TopicOffsets(ends)
   }
 

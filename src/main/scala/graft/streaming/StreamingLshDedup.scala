@@ -52,16 +52,20 @@ class LshBucketProcessor(minJ: Double, n: Int)
     // replays are deterministic
     val sorted = rows.toArray.sortBy(h => (h.seq, h.id))
     var cur = Option(owner.get())
+    // the owner's shingle set is constant across this invocation —
+    // shingle it once, not once per colliding row
+    var ownerShingles: Set[String] =
+      cur.map(o => StreamingLshDedup.shingleSet(o._2, n)).orNull
     val out = Array.newBuilder[LshCollision]
     sorted.foreach { h =>
       cur match {
         case None =>
           cur = Some((h.id, h.text))
+          ownerShingles = StreamingLshDedup.shingleSet(h.text, n)
           owner.update((h.id, h.text))
-        case Some((oid, otext)) if oid != h.id =>
+        case Some((oid, _)) if oid != h.id =>
           val j = StreamingLshDedup.jaccard(
-            StreamingLshDedup.shingleSet(h.text, n),
-            StreamingLshDedup.shingleSet(otext, n))
+            StreamingLshDedup.shingleSet(h.text, n), ownerShingles)
           if (j >= minJ) out += LshCollision(h.id, band, oid, j)
         case _ => () // duplicate delivery of the owner itself
       }

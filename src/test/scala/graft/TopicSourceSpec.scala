@@ -192,6 +192,38 @@ class TopicSourceSpec extends AnyFunSuite {
     TopicBroker.delete(topic)
   }
 
+  test("no partition starves: oversized head drains despite steady " +
+      "traffic on another partition") {
+    val topic = s"cdc-starve-${System.nanoTime()}"
+    TopicBroker.create(topic, 2)
+    // partition 0: many small messages; partition 1: one message
+    // larger than the whole byte budget, then a small one behind it
+    (0 until 20).foreach { i =>
+      TopicBroker.send(topic, 0,
+        s"""{"key":[$i],"update":{"event_type":"e","value_milli":$i}}""")
+    }
+    TopicBroker.send(topic, 1,
+      s"""{"key":[100],"update":{"event_type":"${"z" * 400}","value_milli":100}}""")
+    TopicBroker.send(topic, 1,
+      """{"key":[101],"update":{"event_type":"e","value_milli":101}}""")
+    var total = 0L
+    val q = Changelog.readTopicStream(spark, topic,
+        maxBytesPerTrigger = 120) // smaller than partition 1's head
+      .writeStream
+      .option("checkpointLocation", freshDir("ckpt-starve"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        total += df.count(); ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    // every message flowed — the rotation gives partition 1 first
+    // claim on a fresh budget within 2 triggers, and the oversized
+    // head is admitted alone at that point
+    assert(total === 22L)
+    TopicBroker.delete(topic)
+  }
+
   test("offsets checkpoint: restart consumes only new records (O10)") {
     val topic = s"cdc-resume-${System.nanoTime()}"
     TopicBroker.create(topic, 2)
