@@ -94,10 +94,12 @@ object Ext7Queries {
     // total order that both picks each wedge once AND matches the
     // closing edge's orientation (no OR-of-two-orientations join).
     //
-    // lazy localCheckpoint, not cache(): the oriented edge list is
-    // referenced three times by the joins, but its blocks are owned by
-    // the RDD and reclaimed by ContextCleaner when unreferenced — a
-    // session-lifetime cache entry per construction would accumulate.
+    // cache(), deliberately: the oriented edge list is referenced
+    // three times by the joins; CacheManager keys entries by
+    // canonicalized plan, so repeated constructions reuse ONE entry
+    // (no accumulation) and bench's between-query clearCache releases
+    // it. A lazy localCheckpoint re-materialized the banded pair
+    // search per construction — measured slower at sf1.
     val e = pairs
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -110,7 +112,7 @@ object Ext7Queries {
             struct(col("db").as("kd"), col("b").as("ki")))
           .otherwise(struct(col("da").as("kd"), col("a").as("ki")))
           .as("dk"))
-      .localCheckpoint(false)
+      .cache()
     val tri = e.as("e1")
       .join(e.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dk") < col("e2.dk"))
