@@ -24,7 +24,8 @@ class PlanSweepSpec extends AnyFunSuite {
   //    (same shape as sim_cosine_topk — the non-equi self-exclusion
   //    n_id <> q_id makes it a BNLJ over a bounded broadcast side)
   private val allowCross = Set(
-    "sim_cosine_topk", "sim_ann_pq", "text_corpus_stats",
+    "sim_cosine_topk", "sim_ann_pq", "sim_pq_rerank",
+    "text_corpus_stats",
     "text_ppl_buckets",
     "text_sketch_overlap", "text_sketch_shingles", "text_tfidf",
     "text_unigram_nll", "text_bm25_topk", "layout_rangeparts")

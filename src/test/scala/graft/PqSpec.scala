@@ -55,6 +55,39 @@ class PqSpec extends AnyFunSuite {
     assert(wrong === 0L, s"$wrong cross-cluster neighbours")
   }
 
+  test("exact re-rank recovers recall the codes lose") {
+    import spark.implicits._
+    val dims = 16; val perCluster = 25; val nClusters = 8
+    val rows = (0 until nClusters * perCluster).map { id =>
+      val c = id / perCluster
+      val raw = Array.tabulate(dims) { j =>
+        val center = if (j == c * 2) 1.0 else 0.0
+        center + 0.15 * math.sin(id * 131.0 + j * 7.0)
+      }
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      (id.toLong, raw.map(x => (x / nrm).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.cosineTopK(corpus, qs, "vec_id",
+        "embedding", 5)
+      .select(col("q_id"), col("n_id"))
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double =
+      ann.select(col("q_id"), col("n_id"))
+        .join(exact, Seq("q_id", "n_id"), "left_semi").count()
+        .toDouble / exact.count()
+    val rPlain = recallOf(Pq.adcTopK(corpus, qs, "vec_id",
+      "embedding", topK = 5, nSub = 4, k = 8, iters = 2,
+      sampleMod = 1))
+    val rRerank = recallOf(Pq.rerankTopK(corpus, qs, "vec_id",
+      "embedding", shortlist = 20, topK = 5, nSub = 4, k = 8,
+      iters = 2, sampleMod = 1))
+    info(f"recall@5 plain ADC=$rPlain%.3f, reranked=$rRerank%.3f")
+    assert(rRerank >= rPlain,
+      f"rerank $rRerank%.3f worse than plain $rPlain%.3f")
+    assert(rRerank >= 0.9, f"reranked recall $rRerank%.3f low")
+  }
+
   test("corpus scoring is a narrow projection: one shuffle (the topk " +
       "window), codes never join") {
     val df = Pq.adcTopK(emb, emb.filter(col("vec_id") < 4), "vec_id",
