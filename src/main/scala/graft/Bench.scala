@@ -152,8 +152,15 @@ object Bench {
       "cdc_agg_view", "cdc_mat_view2", "cdc_typed_assembly",
       "cdc_lww_dedup", "cdc_scd2", "cdc_parse_route", "dedup_keep_best",
       "dedup_simhash_pairs", "sim_ann_ivf", "sim_ann_pq",
-      "dedup_minhash_lsh",
-      "dedup_ngram_jaccard", "cdc_apply_upsert", "pipeline_prepare")
+      "sim_pq_rerank", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard", "cdc_apply_upsert", "pipeline_prepare",
+      // breadth: one representative per light family, so the probe
+      // also witnesses the scan-bound shapes staying ~flat at 10x
+      "q1_pricing_summary", "q3_join_agg", "q5_window",
+      "q22_interval_join", "q26_topk_per_key", "ev_window_session",
+      "text_token_stats", "text_tfidf", "text_bigram_nll",
+      "sketch_cms", "layout_rangeparts", "sim_cosine_topk",
+      "embed_near_dups", "text_pack_sequences", "mm_features")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()
