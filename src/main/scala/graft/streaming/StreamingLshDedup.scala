@@ -34,7 +34,7 @@ case class LshCollision(id: Long, band: Int, owner_id: Long,
   * over memory), and TTL can bound bucket lifetime like the batch
   * side's corpus windows.
   */
-class LshBucketProcessor(minJ: Double, n: Int)
+class LshBucketProcessor(minJ: Double, n: Int, ttlMs: Long = 0L)
     extends StatefulProcessor[String, BucketHit, LshCollision] {
 
   @transient private var owner: ValueState[(Long, String)] = _
@@ -42,7 +42,11 @@ class LshBucketProcessor(minJ: Double, n: Int)
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     owner = getHandle.getValueState[(Long, String)]("owner",
       Encoders.tuple(Encoders.scalaLong, Encoders.STRING),
-      TTLConfig.NONE)
+      // ttl bounds bucket-owner lifetime (RocksDB native TTL) — the
+      // streaming analog of the batch side's corpus windows; 0 keeps
+      // owners forever (exact first-come-keeps over the whole stream)
+      if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+      else TTLConfig.NONE)
 
   override def handleInputRows(bucket: String,
       rows: Iterator[BucketHit],
@@ -125,15 +129,16 @@ object StreamingLshDedup {
     */
   def collisions(df: DataFrame, idCol: String, seqCol: String,
       textCol: String, minJ: Double, numHashes: Int = 16,
-      bands: Int = 4, n: Int = 3): DataFrame = {
+      bands: Int = 4, n: Int = 3, ttlMs: Long = 0L): DataFrame = {
     import df.sparkSession.implicits._
     val hits: Dataset[BucketHit] =
       bandHits(df, idCol, seqCol, textCol, numHashes, bands, n)
         .select(col("bucket"), col("id"), col("seq"), col("text"))
         .as[BucketHit]
     hits.groupByKey(_.bucket)
-      .transformWithState(new LshBucketProcessor(minJ, n),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new LshBucketProcessor(minJ, n, ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
       .toDF()
   }
 }
