@@ -180,6 +180,15 @@ object ExtQueries {
       "embedding", minSim = 0.35, planes = 4, dims = 64)
       .orderBy("id_a", "id_b")
 
+  /** The scale form: 3 tables × 8 planes (256 buckets each) — see
+    * Similarity.embeddingNearDupsMulti.
+    */
+  def embedNearDupsMulti(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupsMulti(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", minSim = 0.3, planes = 8, dims = 64,
+      tables = 3)
+      .orderBy("id_a", "id_b")
+
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.hashSplit(t(spark, dir, "documents"), "text")
       .select("doc_id", "bucket", "split").orderBy("doc_id")
@@ -306,6 +315,7 @@ object ExtQueries {
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_ivf" -> simAnnIvf _,
     "embed_near_dups" -> embedNearDups _,
+    "embed_near_dups_multi" -> embedNearDupsMulti _,
   )
 
   private val enList = TextAnalysis.enStopwords
@@ -963,6 +973,45 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
         |JOIN norms na ON na.vec_id = id_a
         |JOIN norms nb ON nb.vec_id = id_b
         |WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "embed_near_dups_multi" ->
+      """WITH ee AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), contrib AS (
+        |  SELECT vec_id, t, p,
+        |    SUM(x * CASE WHEN substr(md5((t * 1000 + p) || ',' ||
+        |        (i - 1)), 1, 1)
+        |      IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END)
+        |      AS c
+        |  FROM ee, UNNEST(range(0, 3)) AS tt(t),
+        |    UNNEST(range(0, 8)) AS pl(p)
+        |  GROUP BY vec_id, t, p
+        |), buckets AS (
+        |  SELECT vec_id, t,
+        |    string_agg(CASE WHEN c >= 0 THEN '1' ELSE '0' END, ''
+        |      ORDER BY p) AS bucket
+        |  FROM contrib GROUP BY vec_id, t
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buckets a JOIN buckets b
+        |    ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id < b.vec_id
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
+        |), dots AS (
+        |  SELECT c.id_a, c.id_b, SUM(a.x * b.x) AS dot
+        |  FROM cand c
+        |  JOIN ee a ON a.vec_id = c.id_a
+        |  JOIN ee b ON b.vec_id = c.id_b AND b.i = a.i
+        |  GROUP BY c.id_a, c.id_b
+        |)
+        |SELECT id_a, id_b,
+        |  ROUND(dot / (na.nrm * nb.nrm), 6) AS sim
+        |FROM dots
+        |JOIN norms na ON na.vec_id = id_a
+        |JOIN norms nb ON nb.vec_id = id_b
+        |WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -66,14 +66,16 @@ object Similarity {
   /** Sign-random-projection LSH bucket id: `planes` pseudo-random
     * hyperplanes with ±1 components derived from md5 hex parity — fully
     * deterministic and engine-portable. Bucket = bit-string of
-    * sign(dot(v, plane)).
+    * sign(dot(v, plane)). `offset` shifts the plane ids, giving
+    * independent hyperplane sets per LSH table.
     */
-  def srpBucket(v: Column, planes: Int, dims: Int): Column = {
+  def srpBucket(v: Column, planes: Int, dims: Int,
+      offset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       // ±1 weights are exact in float; products identical to the
       // previous double-weight fold
       val weights = lit((0 until dims)
-        .map(j => planeComponent(p, j).toFloat).toArray)
+        .map(j => planeComponent(offset + p, j).toFloat).toArray)
       val contrib = dot(v, weights)
       when(contrib >= 0, lit("1")).otherwise(lit("0"))
     }
@@ -316,6 +318,46 @@ object Similarity {
     * pruned by SRP bucket equality (scale path) — exact within buckets.
     * Norms precomputed per vector.
     */
+  /** Multi-table SRP near-dup pairs — the shape that scales where the
+    * single-table version cannot: one table of few planes keeps
+    * recall but its 2^planes buckets fill up as the corpus grows
+    * (candidates ~ n²/2^planes — measured 9.7× on 10× data at
+    * planes=4), while many planes alone lose recall. L independent
+    * tables of NARROW buckets restore it: a pair is a candidate if
+    * ANY table agrees on the full bit-string, so candidate volume per
+    * table stays collision-bounded (2^planes cells) and recall
+    * compounds across tables (1-(1-p^planes)^L). Plane ids are offset
+    * by table (t·1000+p) — same md5-parity family, engine-portable.
+    */
+  def embeddingNearDupsMulti(corpus: DataFrame, idCol: String,
+      vecCol: String, minSim: Double, planes: Int, dims: Int,
+      tables: Int): DataFrame = {
+    val base = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+    val withB = base.select(col("id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            srpBucket(col("vec"), planes, dims, t * 1000)
+              .as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cand = withB.as("a").join(withB.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // a pair colliding in several tables verifies once
+    cand
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .withColumn("sim", round(
+        dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")),
+        6))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
       minSim: Double, planes: Int, dims: Int): DataFrame = {
     val withB = corpus
