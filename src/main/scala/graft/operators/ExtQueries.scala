@@ -180,6 +180,14 @@ object ExtQueries {
       "embedding", minSim = 0.35, planes = 4, dims = 64)
       .orderBy("id_a", "id_b")
 
+  /** Same fit params as sim_ann_ivf, so the quantizer is identical —
+    * this query exposes the full-corpus assignment + cluster sizes.
+    */
+  def embedKmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.assignClusters(t(spark, dir, "embeddings"), "vec_id",
+        "embedding", nCells = 16, kmeansIters = 2, fitSampleMod = 2)
+      .orderBy("vec_id")
+
   /** The scale form: 3 tables × 8 planes (256 buckets each) — see
     * Similarity.embeddingNearDupsMulti.
     */
@@ -316,6 +324,7 @@ object ExtQueries {
     "sim_ann_ivf" -> simAnnIvf _,
     "embed_near_dups" -> embedNearDups _,
     "embed_near_dups_multi" -> embedNearDupsMulti _,
+    "embed_kmeans_clusters" -> embedKmeans _,
   )
 
   private val enList = TextAnalysis.enStopwords
@@ -330,8 +339,12 @@ object ExtQueries {
     * by cell id) so the fitted quantizer is bit-identical across
     * engines.
     */
-  private def ivfKmeansOracleSql(nCells: Int, iters: Int, k: Int,
-      nQ: Int, fitSampleMod: Int): String = {
+  /** The fit + whole-corpus assignment prefix (through the `assign`
+    * CTE) — shared by the IVF top-k oracle and the cluster-assignment
+    * oracle.
+    */
+  private def ivfFitAssignSql(nCells: Int, iters: Int,
+      fitSampleMod: Int): String = {
     // fit-sample keep rule — identical to Similarity.fitKeep: first
     // two md5 hex digits of "ivfs:<id>" as a 0..255 bucket, keep
     // bucket % mod == 0; init = the nCells smallest sampled ids
@@ -396,7 +409,13 @@ object ExtQueries {
     JOIN norms nv ON nv.vec_id = d.vec_id
     JOIN cnF cc ON cc.cell = d.cell) z
   WHERE rn = 1
-), dots AS (
+)"""
+    b.toString
+  }
+
+  private def ivfKmeansOracleSql(nCells: Int, iters: Int, k: Int,
+      nQ: Int, fitSampleMod: Int): String =
+    ivfFitAssignSql(nCells, iters, fitSampleMod) + s""", dots AS (
   SELECT q.vec_id AS q_id, e.vec_id AS n_id, SUM(q.x * e.x) AS dot
   FROM ee q JOIN ee e ON q.i = e.i AND q.vec_id <> e.vec_id
   WHERE q.vec_id < $nQ
@@ -416,8 +435,18 @@ object ExtQueries {
   FROM sims)
 SELECT q_id, n_id, cell, sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
-    b.toString
-  }
+
+  /** Whole-corpus cluster assignment with per-cluster sizes — the
+    * curation primitive (topic buckets for mixing/dedup/analysis).
+    */
+  private def kmeansAssignOracleSql(nCells: Int, iters: Int,
+      fitSampleMod: Int): String =
+    ivfFitAssignSql(nCells, iters, fitSampleMod) +
+      """, csz AS (
+  SELECT cell, COUNT(*) AS cluster_size FROM assign GROUP BY cell)
+SELECT a.vec_id, a.cell, CAST(c.cluster_size AS BIGINT) AS cluster_size
+FROM assign a JOIN csz c ON c.cell = a.cell
+ORDER BY a.vec_id"""
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -941,6 +970,7 @@ FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
         |SELECT q_id, n_id, bucket, sim, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "sim_ann_ivf" -> ivfKmeansOracleSql(16, 2, 5, 8, 2),
+    "embed_kmeans_clusters" -> kmeansAssignOracleSql(16, 2, 2),
     "embed_near_dups" ->
       """WITH ee AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -314,6 +314,29 @@ object Similarity {
         col("rank"))
   }
 
+  /** Whole-corpus cluster assignment over the fitted quantizer, with
+    * per-cluster sizes — the curation primitive (topic buckets for
+    * data mixing, per-cluster dedup, distribution analysis). Same
+    * deterministic fit contract as ivfTopK; assignment is the narrow
+    * literal-centroid projection, so the only shuffle is the
+    * cluster-size aggregate (tiny, nCells rows, broadcast back).
+    */
+  def assignClusters(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, kmeansIters: Int, fitSampleMod: Int): DataFrame = {
+    val centArr = fitCentArr(corpus, idCol, vecCol, nCells,
+      kmeansIters, fitSampleMod)
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("v"))
+      .withColumn("__nrm_d", normD(col("v")))
+      .withColumn("cell", cellExpr(col("v"), col("__nrm_d"), centArr))
+      .select("vec_id", "cell")
+    val sizes = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(broadcast(sizes), "cell")
+      .select("vec_id", "cell", "cluster_size")
+  }
+
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
     * pruned by SRP bucket equality (scale path) — exact within buckets.
     * Norms precomputed per vector.
