@@ -343,38 +343,44 @@ object ExtQueries {
     * CTE) — shared by the IVF top-k oracle and the cluster-assignment
     * oracle.
     */
-  private def ivfFitAssignSql(nCells: Int, iters: Int,
-      fitSampleMod: Int): String = {
+  private[operators] def ivfFitAssignSql(nCells: Int, iters: Int,
+      fitSampleMod: Int, mat: Boolean = false): String = {
     // fit-sample keep rule — identical to Similarity.fitKeep: first
     // two md5 hex digits of "ivfs:<id>" as a 0..255 bucket, keep
     // bucket % mod == 0; init = the nCells smallest sampled ids
+    //
+    // `mat` marks every CTE MATERIALIZED: DuckDB 1.0 inlines CTEs by
+    // default, so a consumer that references `assign`/`cent$iters`
+    // several more levels deep (the IVFPQ oracle) re-evaluates the
+    // whole Lloyd chain per reference — exponential in CTE depth.
+    val M = if (mat) "MATERIALIZED " else ""
     val b = new StringBuilder
-    b ++= s"""WITH ee AS (
+    b ++= s"""WITH ee AS $M(
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
     CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings
-), ef AS (
+), ef AS $M(
   SELECT * FROM ee WHERE
     ((strpos('0123456789abcdef',
         substr(md5('ivfs:' || vec_id), 1, 1)) - 1) * 16
      + (strpos('0123456789abcdef',
         substr(md5('ivfs:' || vec_id), 2, 1)) - 1)) % $fitSampleMod = 0
-), norms AS (
+), norms AS $M(
   SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
-), cent0 AS (
+), cent0 AS $M(
   SELECT vec_id AS cell, i, x AS m FROM ef
   WHERE vec_id IN (SELECT vec_id FROM (
     SELECT DISTINCT vec_id FROM ef ORDER BY vec_id LIMIT $nCells))
 )"""
     for (it <- 1 to iters) {
       val p = it - 1
-      b ++= s""", cn$p AS (
+      b ++= s""", cn$p AS $M(
   SELECT cell, sqrt(SUM(m * m)) AS cnrm FROM cent$p GROUP BY cell
-), cd$it AS (
+), cd$it AS $M(
   SELECT v.vec_id, c.cell, SUM(v.x * c.m) AS dot
   FROM ef v JOIN cent$p c ON v.i = c.i
   GROUP BY v.vec_id, c.cell
-), asg$it AS (
+), asg$it AS $M(
   SELECT vec_id, cell FROM (
     SELECT d.vec_id, d.cell,
       ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
@@ -383,24 +389,24 @@ object ExtQueries {
     JOIN norms nv ON nv.vec_id = d.vec_id
     JOIN cn$p cc ON cc.cell = d.cell) z
   WHERE rn = 1
-), cm$it AS (
+), cm$it AS $M(
   SELECT a.cell, e.i, ROUND(AVG(e.x), 6) AS m
   FROM asg$it a JOIN ef e ON e.vec_id = a.vec_id
   GROUP BY a.cell, e.i
-), cent$it AS (
+), cent$it AS $M(
   SELECT * FROM cm$it
   UNION ALL
   SELECT p.* FROM cent$p p
   WHERE p.cell NOT IN (SELECT cell FROM cm$it)
 )"""
     }
-    b ++= s""", cnF AS (
+    b ++= s""", cnF AS $M(
   SELECT cell, sqrt(SUM(m * m)) AS cnrm FROM cent$iters GROUP BY cell
-), cdF AS (
+), cdF AS $M(
   SELECT v.vec_id, c.cell, SUM(v.x * c.m) AS dot
   FROM ee v JOIN cent$iters c ON v.i = c.i
   GROUP BY v.vec_id, c.cell
-), assign AS (
+), assign AS $M(
   SELECT vec_id, cell FROM (
     SELECT d.vec_id, d.cell,
       ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY

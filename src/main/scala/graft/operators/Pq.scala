@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** In-order squared-L2 fold over a double subvector pair. */
-  private def l2sq(a: Column, b: Column): Column =
+  private[operators] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b,
       (x, y) => (x.cast("double") - y.cast("double")) *
         (x.cast("double") - y.cast("double"))),
@@ -41,14 +41,14 @@ object Pq {
     java.math.BigDecimal.valueOf(x)
       .setScale(n, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  private def microOf(d2: Double): Long =
+  private[operators] def microOf(d2: Double): Long =
     java.math.BigDecimal.valueOf(d2 * 1e6)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
   /** Distance of subvector `sub` to literal centroid `cv` in integer
     * micro-units — the single quantity every comparison uses.
     */
-  private def microExpr(sub: Column, cv: Seq[Double]): Column =
+  private[operators] def microExpr(sub: Column, cv: Seq[Double]): Column =
     round(l2sq(sub, typedlit(cv)) * 1e6, 0).cast("long")
 
   /** Driver-side deterministic Lloyd per subspace on the hash sample.
@@ -69,6 +69,18 @@ object Pq {
       .sortBy(_._1)
     require(sample.nonEmpty,
       s"PQ fit: hash sample (mod $sampleMod) kept no vectors")
+    fitCodebooksFromSample(sample, nSub, k, iters)
+  }
+
+  /** The subspace-Lloyd core, on an already-collected driver sample
+    * sorted by id. Shared by the flat-PQ fit above (raw vectors) and
+    * the IVFPQ fit (coarse-cell residuals) — the arithmetic contract
+    * (micro-unit argmin, round-6 means, sample-order accumulation) is
+    * identical either way.
+    */
+  private[operators] def fitCodebooksFromSample(
+      sample: Array[(Long, Array[Double])], nSub: Int, k: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
     val total = sample.head._2.length
     require(total % nSub == 0, s"$total dims must split into $nSub")
     val subDim = total / nSub

@@ -123,7 +123,7 @@ object Similarity {
   /** Sequential sum-of-squares norm of a driver-side centroid — the
     * same left-fold order as `normD`, so bits match the SQL path.
     */
-  private def centNorm(cv: Array[Double]): Double = {
+  private[operators] def centNorm(cv: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
     math.sqrt(s)
@@ -151,7 +151,7 @@ object Similarity {
     * per-cell `array(struct(...))` form pays seconds of codegen compile
     * on every new centroid fit).
     */
-  private def cellExpr(vec: Column, nrmD: Column,
+  private[operators] def cellExpr(vec: Column, nrmD: Column,
       cents: Array[(Long, Array[Double])]): Column = {
     val centsLit = typedlit(cents.toSeq.map { case (cell, cv) =>
       (cell, cv.toSeq, centNorm(cv))
@@ -167,7 +167,7 @@ object Similarity {
     * driver-side fit must round through the identical path or centroid
     * bits drift from the SQL/oracle replica.
     */
-  private def round6(x: Double): Double =
+  private[operators] def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
@@ -179,11 +179,11 @@ object Similarity {
     * md5 family is bit-identical in DuckDB, so the oracle applies the
     * same rule (round-3 verdict "What's wrong" #2).
     */
-  private def fitKeep(id: Column, m: Int): Column =
+  private[operators] def fitKeep(id: Column, m: Int): Column =
     pmod(conv(substring(md5(concat(lit("ivfs:"), id.cast("string"))),
       1, 2), 16, 10).cast("long"), lit(m.toLong)) === 0L
 
-  private def fitCentArr(corpus: DataFrame, idCol: String,
+  private[operators] def fitCentArr(corpus: DataFrame, idCol: String,
       vecCol: String, nCells: Int, iters: Int, fitSampleMod: Int)
       : Array[(Long, Array[Double])] = {
     // fit on a bounded deterministic HASH sample (md5 bucket % mod == 0):
