@@ -28,6 +28,8 @@ object SparkEntry {
       operators.Ext7Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
+      operators.IvfPq.queries ++
+      operators.DataQuality.queries ++
       operators.MiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +47,7 @@ object SparkEntry {
       operators.Ext7Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
+      operators.IvfPq.oracle ++
+      operators.DataQuality.oracle ++
       operators.MiscQueries.oracle
 }
