@@ -1,0 +1,117 @@
+package graft
+
+import graft.streaming.{HHEntry, StreamingHeavyHitters}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Sharded SpaceSaving heavy hitters: differential vs an exact
+  * driver-side replay of the same rule, plus the classic guarantees
+  * against true counts.
+  */
+class StreamingHeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val capacity = 8
+  private val nShards = 4
+
+  private def shardOf(item: String): Long =
+    math.floorMod(item.hashCode, nShards).toLong
+
+  /** Zipf-ish skew: item k appears ~ 600/k times. */
+  private def mkRows: Seq[(Long, Long, String)] = {
+    val items = (1 to 40).flatMap { k =>
+      Seq.fill(600 / k)(s"item_$k")
+    }
+    val rnd = new scala.util.Random(7)
+    val shuffled = rnd.shuffle(items)
+    shuffled.zipWithIndex.map { case (it, i) =>
+      (shardOf(it), i.toLong, it)
+    }
+  }
+
+  /** Driver-side replay of SpaceSavingProcessor's exact rule. */
+  private def replay(rows: Seq[(Long, Long, String)])
+      : Map[(Long, String), (Long, Long)] = {
+    val byShard = rows.groupBy(_._1)
+    byShard.flatMap { case (shard, rs) =>
+      val cur = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      rs.sortBy(_._2).foreach { case (_, _, item) =>
+        cur.get(item) match {
+          case Some((c, e)) => cur(item) = (c + 1, e)
+          case None if cur.size < capacity => cur(item) = (1L, 0L)
+          case None =>
+            val (vi, (vc, _)) = cur.minBy { case (it, (c, _)) =>
+              (c, it)
+            }
+            cur -= vi
+            cur(item) = (vc + 1, vc)
+        }
+      }
+      cur.map { case (it, s) => (shard, it) -> s }
+    }
+  }
+
+  test("stream summary == driver replay; guarantees vs true counts") {
+    val rows = mkRows
+    val dir = Files.createTempDirectory("hh-src").toString
+    // three micro-batches, seq order preserved within each file
+    val chunk = (rows.length + 2) / 3
+    rows.grouped(chunk).foreach { c =>
+      c.toDF("shard", "seq", "item").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .as[(Long, Long, String)]
+      val q = StreamingHeavyHitters.heavyHitters(src, capacity)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("hh_out")
+        .option("checkpointLocation",
+          Files.createTempDirectory("hh-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // current summary = max-batch rows per shard
+      val all = spark.table("hh_out").as[HHEntry].collect()
+      val lastBatch = all.groupBy(_.shard)
+        .map { case (s, es) => s -> es.map(_.batch).max }
+      val got = all
+        .filter(e => e.batch == lastBatch(e.shard))
+        .map(e => (e.shard, e.item) -> (e.est, e.err)).toMap
+      val want = replay(rows)
+      assert(got === want)
+
+      // SpaceSaving guarantees against exact counts
+      val exact = rows.groupBy(r => (r._1, r._3))
+        .map { case (k, rs) => k -> rs.length.toLong }
+      val shardN = rows.groupBy(_._1)
+        .map { case (s, rs) => s -> rs.length.toLong }
+      exact.foreach { case ((shard, item), n) =>
+        if (n > shardN(shard) / capacity)
+          assert(got.contains((shard, item)),
+            s"heavy item $item (n=$n) missing from shard $shard")
+      }
+      got.foreach { case ((shard, item), (est, err)) =>
+        val n = exact((shard, item))
+        assert(est >= n, s"$item est $est < true $n")
+        assert(est - err <= n, s"$item lower bound ${est - err} > $n")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
