@@ -160,7 +160,8 @@ object Bench {
       "q22_interval_join", "q26_topk_per_key", "ev_window_session",
       "text_token_stats", "text_tfidf", "text_bigram_nll",
       "sketch_cms", "layout_rangeparts", "sim_cosine_topk",
-      "embed_near_dups", "text_pack_sequences", "mm_features")
+      "embed_near_dups", "text_pack_sequences", "mm_features",
+      "sim_ann_ivfpq", "dq_profile_columns", "dq_checks")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

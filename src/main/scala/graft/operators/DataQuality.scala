@@ -86,27 +86,38 @@ object DataQuality {
     val fkLiOrd = li.join(ord,
         li("l_orderkey") === ord("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
-    val qtyPos = li.agg(sum(when(col("l_quantity") <= 0, 1L)
-      .otherwise(0L)).as("n_violations"))
-    val discRange = li.agg(sum(when(col("l_discount") < 0
-        || col("l_discount") > 1, 1L).otherwise(0L))
-      .as("n_violations"))
-    val priceNonneg = li.agg(sum(when(col("l_extendedprice") < 0, 1L)
-      .otherwise(0L)).as("n_violations"))
-    val rfDomain = li.agg(sum(when(
-        !col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
-      .as("n_violations"))
-    val shipNotNull = li.agg(sum(when(col("l_shipdate").isNull, 1L)
-      .otherwise(0L)).as("n_violations"))
+    // the five row-predicate checks fuse into ONE lineitem scan (a
+    // single aggregate of five conditional sums, unpivoted to rows) —
+    // at 100 TB every separate check-scan of the fact table is real
+    // cost; only the PK groupBy and the two FK anti-joins need their
+    // own pass
+    val rowChecks: Seq[(String, Column)] = Seq(
+      "lineitem_quantity_positive" ->
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)),
+      "lineitem_discount_range" ->
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)),
+      "lineitem_price_nonnegative" ->
+        sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)),
+      "lineitem_returnflag_domain" ->
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+          .otherwise(0L)),
+      "lineitem_shipdate_not_null" ->
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)))
+    val fusedAggs = rowChecks.zipWithIndex.map { case ((_, c), i) =>
+      c.as(s"v_$i") }
+    val fused = li.agg(fusedAggs.head, fusedAggs.tail: _*)
+      .select(explode(array(rowChecks.zipWithIndex.map {
+        case ((name, _), i) =>
+          struct(lit(name).as("check_name"),
+            col(s"v_$i").cast("long").as("n_violations"))
+      }: _*)).as("c"))
+      .select(col("c.*"))
     Seq(
       onerow("lineitem_pk_unique", pkDup),
       onerow("orders_custkey_fk", fkOrdCust),
       onerow("lineitem_orderkey_fk", fkLiOrd),
-      onerow("lineitem_quantity_positive", qtyPos),
-      onerow("lineitem_discount_range", discRange),
-      onerow("lineitem_price_nonnegative", priceNonneg),
-      onerow("lineitem_returnflag_domain", rfDomain),
-      onerow("lineitem_shipdate_not_null", shipNotNull))
+      fused)
       .reduce(_.unionAll(_))
       .withColumn("passed", col("n_violations") === 0L)
       .orderBy("check_name")

@@ -36,6 +36,16 @@ class DataQualitySpec extends AnyFunSuite {
     assert(aggs.getLong(3) === 2L) // a, b — null ignored
   }
 
+  test("checks: the five row-predicate checks share ONE lineitem " +
+      "scan (3 total: fused + PK groupBy + FK anti-join)") {
+    val df = DataQuality.checks(spark, TestSpark.sfDir)
+    // identify the lineitem relation by its schema (the plan leaf
+    // toString does not expose the file path)
+    val liScans = df.queryExecution.optimizedPlan.collectLeaves()
+      .count(_.output.exists(_.name == "l_quantity"))
+    assert(liScans === 3, s"$liScans lineitem relations")
+  }
+
   test("checks flag injected violations") {
     import spark.implicits._
     val dir = java.nio.file.Files
