@@ -161,7 +161,7 @@ object Bench {
       "text_token_stats", "text_tfidf", "text_bigram_nll",
       "sketch_cms", "layout_rangeparts", "sim_cosine_topk",
       "embed_near_dups", "text_pack_sequences", "mm_features",
-      "sim_ann_ivfpq", "dq_profile_columns", "dq_checks")
+      "sim_ann_ivfpq", "dq_profile_columns", "dq_checks", "dq_drift")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

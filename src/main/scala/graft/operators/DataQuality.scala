@@ -123,9 +123,84 @@ object DataQuality {
       .orderBy("check_name")
   }
 
+  /** Distribution-drift monitor (PSI — population stability index,
+    * the standard production feature-drift metric): the events table
+    * is split at the midpoint day into a reference and a current
+    * window, and each monitored feature's bucketed distribution is
+    * compared across the split. `value` buckets into 10 equal-width
+    * bins FIXED ON THE REFERENCE window (standard PSI practice;
+    * out-of-range current values clamp to the edge bins);
+    * `event_type` buckets are its categories. Add-one smoothing keeps
+    * empty buckets finite; psi = Σ (p−q)·ln(p/q), drifted at the
+    * conventional 0.1 threshold.
+    *
+    * Scale shape: two tiny 1-row bound aggregates (plan-embedded via
+    * broadcast cross-join — never a driver-side collect) + one
+    * counting pass per feature; every shuffle carries bucket-level
+    * partial counts (≤ max(10, |categories|) rows). The split day and
+    * bucket edges are single IEEE expressions evaluated identically
+    * by any engine, so the bucketing is cross-engine exact.
+    */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(expr("ts div 1000").as("us"), col("event_type"),
+        col("value"))
+      .withColumn("day", expr("us div 86400000000"))
+    // integer `div` on both engines: Spark `/`+cast truncates while
+    // DuckDB CAST rounds — div/`//` sidesteps the disagreement
+    val dayB = broadcast(ev
+      .agg(min(col("day")).as("mnd"), max(col("day")).as("mxd"))
+      .select(expr("(mnd + mxd + 1) div 2").as("split_day")))
+    val withW = ev.crossJoin(dayB)
+      .withColumn("is_ref", col("day") < col("split_day"))
+    // numeric feature: bins fixed on the reference window
+    val vb = broadcast(withW.filter(col("is_ref"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax")))
+    val bucketed = withW.crossJoin(vb)
+      .filter(col("value").isNotNull)
+      .withColumn("bucket", least(greatest(
+        floor((col("value") - col("vmin")) * 10
+          / (col("vmax") - col("vmin"))).cast("int"), lit(0)), lit(9)))
+    val vCounts = bucketed.groupBy(col("bucket"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
+    // 0..9 spine off the 1-row bounds frame so empty bins still
+    // contribute their smoothed term
+    val spine = vb.select(explode(sequence(lit(0), lit(9)))
+      .as("bucket"))
+    val vFull = spine.join(vCounts, Seq("bucket"), "left")
+      .withColumn("ref_cnt", coalesce(col("ref_cnt"), lit(0L)))
+      .withColumn("cur_cnt", coalesce(col("cur_cnt"), lit(0L)))
+    def psiOf(df: DataFrame, feature: String): DataFrame = {
+      val tot = df.agg(sum(col("ref_cnt")).as("ref_n"),
+        sum(col("cur_cnt")).as("cur_n"),
+        count(lit(1)).as("nb"))
+      df.crossJoin(broadcast(tot))
+        .withColumn("p", (col("ref_cnt") + 1).cast("double")
+          / (col("ref_n") + col("nb")).cast("double"))
+        .withColumn("q", (col("cur_cnt") + 1).cast("double")
+          / (col("cur_n") + col("nb")).cast("double"))
+        .agg(max(col("ref_n")).as("n_ref"),
+          max(col("cur_n")).as("n_cur"),
+          max(col("nb")).as("n_buckets"),
+          round(sum((col("p") - col("q")) * log(col("p") / col("q"))),
+            6).as("psi"))
+        .select(lit(feature).as("feature"), col("n_ref"), col("n_cur"),
+          col("n_buckets"), col("psi"),
+          (col("psi") > 0.1).as("drifted"))
+    }
+    // categorical feature: category spine is every observed category
+    val cCounts = withW.groupBy(col("event_type"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
+    psiOf(vFull, "value").unionAll(psiOf(cCounts, "event_type"))
+      .orderBy("feature")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile_columns" -> profileColumns _,
-    "dq_checks" -> checks _)
+    "dq_checks" -> checks _,
+    "dq_drift" -> drift _)
 
   private val profileOracle: String = {
     val blocks = lineitemCols.map { case (c, k) =>
@@ -186,7 +261,70 @@ FROM lineitem"""
       |SELECT check_name, n_violations, n_violations = 0 AS passed
       |FROM v ORDER BY check_name""".stripMargin
 
+  private val driftOracle: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, event_type, value
+      |  FROM events
+      |), sp AS (
+      |  SELECT (MIN(day) + MAX(day) + 1) // 2 AS split_day FROM ev
+      |), w AS (
+      |  SELECT e.*, e.day < s.split_day AS is_ref FROM ev e, sp s
+      |), vb AS (
+      |  SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM w
+      |  WHERE is_ref
+      |), bk AS (
+      |  SELECT LEAST(GREATEST(CAST(FLOOR((w.value - b.vmin) * 10
+      |      / (b.vmax - b.vmin)) AS INT), 0), 9) AS bucket, w.is_ref
+      |  FROM w, vb b WHERE w.value IS NOT NULL
+      |), vc AS (
+      |  SELECT s.bucket,
+      |    COALESCE(SUM(CASE WHEN bk.is_ref THEN 1 ELSE 0 END), 0)
+      |      AS ref_cnt,
+      |    COALESCE(SUM(CASE WHEN NOT bk.is_ref THEN 1 ELSE 0 END), 0)
+      |      AS cur_cnt
+      |  FROM (SELECT UNNEST(range(0, 10)) AS bucket) s
+      |  LEFT JOIN bk ON bk.bucket = s.bucket
+      |  GROUP BY s.bucket
+      |), vterms AS (
+      |  SELECT ref_cnt, cur_cnt,
+      |    CAST(ref_cnt + 1 AS DOUBLE)
+      |      / (SUM(ref_cnt) OVER () + COUNT(*) OVER ()) AS p,
+      |    CAST(cur_cnt + 1 AS DOUBLE)
+      |      / (SUM(cur_cnt) OVER () + COUNT(*) OVER ()) AS q
+      |  FROM vc
+      |), vpsi AS (
+      |  SELECT 'value' AS feature,
+      |    CAST(SUM(ref_cnt) AS BIGINT) AS n_ref,
+      |    CAST(SUM(cur_cnt) AS BIGINT) AS n_cur,
+      |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |    ROUND(SUM((p - q) * LN(p / q)), 6) AS psi
+      |  FROM vterms
+      |), cc AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_cnt,
+      |    SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cur_cnt
+      |  FROM w GROUP BY event_type
+      |), cterms AS (
+      |  SELECT ref_cnt, cur_cnt,
+      |    CAST(ref_cnt + 1 AS DOUBLE)
+      |      / (SUM(ref_cnt) OVER () + COUNT(*) OVER ()) AS p,
+      |    CAST(cur_cnt + 1 AS DOUBLE)
+      |      / (SUM(cur_cnt) OVER () + COUNT(*) OVER ()) AS q
+      |  FROM cc
+      |), cpsi AS (
+      |  SELECT 'event_type' AS feature,
+      |    CAST(SUM(ref_cnt) AS BIGINT) AS n_ref,
+      |    CAST(SUM(cur_cnt) AS BIGINT) AS n_cur,
+      |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |    ROUND(SUM((p - q) * LN(p / q)), 6) AS psi
+      |  FROM cterms)
+      |SELECT feature, n_ref, n_cur, n_buckets, psi,
+      |  psi > 0.1 AS drifted
+      |FROM (SELECT * FROM vpsi UNION ALL SELECT * FROM cpsi)
+      |ORDER BY feature""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dq_profile_columns" -> profileOracle,
-    "dq_checks" -> checksOracle)
+    "dq_checks" -> checksOracle,
+    "dq_drift" -> driftOracle)
 }

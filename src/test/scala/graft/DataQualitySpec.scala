@@ -70,6 +70,38 @@ class DataQualitySpec extends AnyFunSuite {
     assert(out("lineitem_quantity_positive") === 0L)
   }
 
+  test("drift: stationary sf events show no drift; an injected " +
+      "shift in the current window is flagged on both features") {
+    import spark.implicits._
+    val calm = DataQuality.drift(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(calm.values.forall(_ == false), calm.toString)
+
+    // 10 days of synthetic events; days 5-9 (the current window)
+    // shift value by +5 and flip the event_type mix
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val rows = (0 until 4000).map { i =>
+      val day = i % 10
+      val cur = day >= 5
+      val ts = day * dayNs + (i / 10) * 1000000L
+      val v = math.sin(i * 13.0) + (if (cur) 5.0 else 0.0)
+      val et = if (cur) (if (i % 10 < 8) "click" else "view")
+        else (if (i % 10 < 2) "click" else "view")
+      (ts, et, v)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("driftspec").toString
+    rows.toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val shifted = DataQuality.drift(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(4),
+        r.getBoolean(5)))
+    shifted.foreach { case (f, psi, drifted) =>
+      assert(drifted, s"$f psi=$psi not flagged")
+      assert(psi > 0.1, s"$f psi=$psi")
+    }
+  }
+
   test("on the sf tables only the 2-col PK check fails — a real " +
       "property of the synthetic data (the 4-col key IS unique)") {
     val out = DataQuality.checks(spark, TestSpark.sfDir)
