@@ -60,17 +60,25 @@ object IvfPq {
     bestCv
   }
 
-  /** ADC top-k over an IVF-routed, residual-PQ-coded corpus.
-    * `queries` must be small (the probe table is broadcast).
+  /** The fitted quantizers: coarse IVF centroids + per-subspace
+    * residual PQ codebooks. Bounded by nCells + nSub·kPq·dims — tiny
+    * by construction (the broadcast-variable analog), and persistable
+    * as two small parquet tables via save/load below.
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, topK: Int, nCells: Int, coarseIters: Int,
-      nProbe: Int, nSub: Int = 4, kPq: Int = 8, pqIters: Int = 1,
-      sampleMod: Int = 2): DataFrame = {
-    // 1. coarse quantizer — identical fit contract to sim_ann_ivf
+  case class Index(cents: Array[(Long, Array[Double])],
+      books: Array[Array[Array[Double]]]) {
+    def subDim: Int = books(0)(0).length
+    def nSub: Int = books.length
+  }
+
+  /** Fit the coarse quantizer and the residual PQ codebooks on the
+    * md5 hash sample — identical contracts to sim_ann_ivf / sim_ann_pq.
+    */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, coarseIters: Int, nSub: Int = 4, kPq: Int = 8,
+      pqIters: Int = 1, sampleMod: Int = 2): Index = {
     val cents = Similarity.fitCentArr(corpus, idCol, vecCol, nCells,
       coarseIters, sampleMod)
-    // 2. PQ codebooks on the residuals of the same md5 hash sample
     val sample = corpus
       .filter(if (sampleMod > 1)
         Similarity.fitKeep(col(idCol).cast("long"), sampleMod)
@@ -89,39 +97,53 @@ object IvfPq {
       while (j < v.length) { r(j) = v(j) - cv(j); j += 1 }
       (id, r)
     }
-    val books = Pq.fitCodebooksFromSample(residSample, nSub, kPq,
-      pqIters)
-    val subDim = books(0)(0).length
+    Index(cents,
+      Pq.fitCodebooksFromSample(residSample, nSub, kPq, pqIters))
+  }
 
-    val centMap = typedlit(
-      cents.map { case (c, cv) => (c, cv.toSeq) }.toMap)
-    val centsLit = typedlit(cents.toSeq.map { case (cell, cv) =>
-      (cell, cv.toSeq, Similarity.centNorm(cv))
-    })
-    def vD(c: Column): Column = transform(c, x => x.cast("double"))
-    def subSlice(res: Column, m: Int): Column =
-      slice(res, m * subDim + 1, subDim)
+  private def vD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def subSlice(idx: Index, res: Column, m: Int): Column =
+    slice(res, m * idx.subDim + 1, idx.subDim)
+
+  private def centMapLit(idx: Index): Column =
+    typedlit(idx.cents.map { case (c, cv) => (c, cv.toSeq) }.toMap)
+
+  /** Corpus side: cell -> residual -> one-byte codes, a single narrow
+    * projection over the literal quantizers. The output (n_id, cell,
+    * code_0..code_{nSub-1}) IS the persistent ANN index table — write
+    * it partitioned/sorted by cell and probes prune to nProbe cells.
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      idx: Index): DataFrame = {
     def codeExpr(res: Column, m: Int): Column =
-      array_min(array(books(m).zipWithIndex.map { case (cv, cidx) =>
-        struct(Pq.microExpr(subSlice(res, m), cv.toSeq).as("dm"),
-          lit(cidx).as("c"))
+      array_min(array(idx.books(m).zipWithIndex.map {
+        case (cv, cidx) =>
+          struct(Pq.microExpr(subSlice(idx, res, m), cv.toSeq)
+            .as("dm"), lit(cidx).as("c"))
       }: _*)).getField("c")
-
-    // 3. corpus side: cell -> residual -> codes, one narrow projection
-    val coded = corpus
+    corpus
       .select(col(idCol).cast("long").as("n_id"),
         vD(col(vecCol)).as("v"))
       .withColumn("__nrm_d", Similarity.normD(col("v")))
       .withColumn("cell",
-        Similarity.cellExpr(col("v"), col("__nrm_d"), cents))
+        Similarity.cellExpr(col("v"), col("__nrm_d"), idx.cents))
       .withColumn("res", zip_with(col("v"),
-        element_at(centMap, col("cell")), (x, c) => x - c))
+        element_at(centMapLit(idx), col("cell")), (x, c) => x - c))
       .select(col("n_id") +: col("cell") +:
-        (0 until nSub).map(m =>
+        (0 until idx.nSub).map(m =>
           codeExpr(col("res"), m).as(s"code_$m")): _*)
+  }
 
-    // 4. query side: nProbe nearest cells, residual + ADC table per
-    //    probed cell (rows = |queries|·nProbe — broadcast-sized)
+  /** Probe an encoded corpus: nProbe nearest cells per query, ADC
+    * lookup tables on the query residuals, equi-join on cell id.
+    * `queries` must be small (the probe table is broadcast).
+    */
+  def probe(coded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, idx: Index, topK: Int, nProbe: Int): DataFrame = {
+    val centsLit = typedlit(idx.cents.toSeq.map { case (cell, cv) =>
+      (cell, cv.toSeq, Similarity.centNorm(cv))
+    })
     val probes = queries
       .select(col(idCol).cast("long").as("q_id"),
         vD(col(vecCol)).as("qv"))
@@ -138,15 +160,13 @@ object IvfPq {
         .orderBy(col("sim").desc, col("cell"))))
       .filter(col("rn") <= nProbe)
       .withColumn("qres", zip_with(col("qv"),
-        element_at(centMap, col("cell")), (x, c) => x - c))
+        element_at(centMapLit(idx), col("cell")), (x, c) => x - c))
       .select(col("q_id") +: col("cell") +:
-        (0 until nSub).map(m =>
-          array(books(m).map(cv =>
-            Pq.microExpr(subSlice(col("qres"), m), cv.toSeq)): _*)
+        (0 until idx.nSub).map(m =>
+          array(idx.books(m).map(cv =>
+            Pq.microExpr(subSlice(idx, col("qres"), m), cv.toSeq)): _*)
             .as(s"qd_$m")): _*)
-
-    // 5. probe join on cell id + per-query top-k
-    val adist = (0 until nSub).map(m =>
+    val adist = (0 until idx.nSub).map(m =>
       element_at(col(s"qd_$m"), col(s"code_$m") + 1)).reduce(_ + _)
     val w = Window.partitionBy("q_id")
       .orderBy(col("adist"), col("n_id"))
@@ -158,6 +178,50 @@ object IvfPq {
       .select(col("q_id"), col("n_id"), col("cell"), col("adist"),
         col("rank"))
       .orderBy("q_id", "rank")
+  }
+
+  /** Persist the fitted quantizers as two small parquet tables
+    * (centroids: cell -> cv; codebooks: (m, cell) -> cv). The encoded
+    * corpus saves separately via plain `coded.write` — together they
+    * are the build-once/probe-many index layout.
+    */
+  def saveIndex(idx: Index, path: String): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    idx.cents.toSeq.map { case (c, cv) => (c, cv.toSeq) }
+      .toDF("cell", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    idx.books.zipWithIndex.flatMap { case (cells, m) =>
+      cells.zipWithIndex.map { case (cv, c) => (m, c, cv.toSeq) }
+    }.toSeq.toDF("m", "cell", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def loadIndex(spark: SparkSession, path: String): Index = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    val nSub = rows.map(_._1).max + 1
+    val books = Array.tabulate(nSub) { m =>
+      rows.filter(_._1 == m).sortBy(_._2).map(_._3)
+    }
+    Index(cents, books)
+  }
+
+  /** ADC top-k over an IVF-routed, residual-PQ-coded corpus —
+    * fit + encode + probe in one call (the catalog query path).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, topK: Int, nCells: Int, coarseIters: Int,
+      nProbe: Int, nSub: Int = 4, kPq: Int = 8, pqIters: Int = 1,
+      sampleMod: Int = 2): DataFrame = {
+    val idx = fit(corpus, idCol, vecCol, nCells, coarseIters, nSub,
+      kPq, pqIters, sampleMod)
+    probe(encode(corpus, idCol, vecCol, idx), queries, idCol, vecCol,
+      idx, topK, nProbe)
   }
 
   def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {

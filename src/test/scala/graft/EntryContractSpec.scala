@@ -29,7 +29,10 @@ class EntryContractSpec extends AnyFunSuite {
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
         operators.MiscQueries.oracle),
-      ("Pq", operators.Pq.queries, operators.Pq.oracle))
+      ("Pq", operators.Pq.queries, operators.Pq.oracle),
+      ("IvfPq", operators.IvfPq.queries, operators.IvfPq.oracle),
+      ("DataQuality", operators.DataQuality.queries,
+        operators.DataQuality.oracle))
 
   test("no query name is declared by two modules (silent map shadowing)") {
     val all = modules.flatMap { case (m, qs, _) =>

@@ -63,6 +63,27 @@ class IvfPqSpec extends AnyFunSuite {
     assert(r2 >= 0.5, f"recall $r2%.3f unexpectedly low")
   }
 
+  test("build once, probe many: a saved+reloaded index and code " +
+      "table answers identically to the direct path") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq-idx").toString
+    val qs = emb.filter(col("vec_id") < 4)
+    val idx = IvfPq.fit(emb, "vec_id", "embedding", nCells = 16,
+      coarseIters = 2)
+    IvfPq.saveIndex(idx, dir)
+    IvfPq.encode(emb, "vec_id", "embedding", idx)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    val idx2 = IvfPq.loadIndex(spark, dir)
+    val fromSaved = IvfPq.probe(
+        spark.read.parquet(s"$dir/codes"), qs, "vec_id", "embedding",
+        idx2, topK = 5, nProbe = 2)
+      .collect().toSeq
+    val direct = IvfPq.ivfPqTopK(emb, qs, "vec_id", "embedding",
+        topK = 5, nCells = 16, coarseIters = 2, nProbe = 2)
+      .collect().toSeq
+    assert(fromSaved === direct)
+  }
+
   test("corpus side is narrow: no corpus shuffle, probe join " +
       "broadcasts, SortMergeJoin absent") {
     val df = IvfPq.ivfPqTopK(emb, emb.filter(col("vec_id") < 4),

@@ -23,12 +23,15 @@ class PlanSweepSpec extends AnyFunSuite {
   //  - sim_ann_pq: broadcast 8-row query lookup-table vs coded corpus
   //    (same shape as sim_cosine_topk — the non-equi self-exclusion
   //    n_id <> q_id makes it a BNLJ over a bounded broadcast side)
+  //  - dq_drift: two 1-row bound aggregates (split day, reference
+  //    min/max) cross-joined back to events — plan-embedded scalars
   private val allowCross = Set(
     "sim_cosine_topk", "sim_ann_pq", "sim_pq_rerank",
     "text_corpus_stats",
     "text_ppl_buckets",
     "text_sketch_overlap", "text_sketch_shingles", "text_tfidf",
-    "text_unigram_nll", "text_bm25_topk", "layout_rangeparts")
+    "text_unigram_nll", "text_bm25_topk", "layout_rangeparts",
+    "dq_drift")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -114,4 +114,71 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("summary state survives a kill-and-restart on the same " +
+      "checkpoint") {
+    val rows = mkRows
+    val dir = Files.createTempDirectory("hh-rs-src").toString
+    val ckpt = Files.createTempDirectory("hh-rs-ckpt").toString
+    // first run consumes the head 80%; the tail file (written after
+    // the restart) touches every shard so each re-emits its summary
+    val cut = (rows.length * 8) / 10
+    val head = rows.take(cut)
+    val tail = rows.drop(cut)
+    assert((0 until nShards).forall(s => tail.exists(_._1 == s)),
+      "tail chunk must touch every shard")
+    head.grouped((cut + 1) / 2).foreach { c =>
+      c.toDF("shard", "seq", "item").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    // the memory sink refuses checkpoint recovery — collect run-2
+    // emissions through foreachBatch instead (the LshDedup restart
+    // spec's pattern)
+    val collected =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[HHEntry]())
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .as[(Long, Long, String)]
+      val q = StreamingHeavyHitters.heavyHitters(src, capacity)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[HHEntry],
+            _: Long) =>
+          df.collect().foreach(collected.add)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    try {
+      runOnce()
+      collected.clear() // keep only post-restart emissions
+      tail.toDF("shard", "seq", "item").coalesce(1)
+        .write.mode("append").parquet(dir)
+      runOnce()
+      val all = collected.toArray(Array.empty[HHEntry])
+      assert(all.nonEmpty)
+      val lastBatch = all.groupBy(_.shard)
+        .map { case (s, es) => s -> es.map(_.batch).max }
+      val got = all
+        .filter(e => e.batch == lastBatch(e.shard))
+        .map(e => (e.shard, e.item) -> (e.est, e.err)).toMap
+      assert(got === replay(rows))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
