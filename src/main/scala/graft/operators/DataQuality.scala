@@ -145,22 +145,32 @@ object DataQuality {
     val ev = t(spark, dir, "events")
       .select(expr("ts div 1000").as("us"), col("event_type"),
         col("value"))
-      .withColumn("day", expr("us div 86400000000"))
-    // integer `div` on both engines: Spark `/`+cast truncates while
-    // DuckDB CAST rounds — div/`//` sidesteps the disagreement
+      // FLOOR division, not `div`: Spark `div` truncates toward zero
+      // while DuckDB `//` floors, which disagrees on negative
+      // (pre-1970) timestamps. (a - pmod(a, d)) div d floors exactly
+      // in integer arithmetic on both engines.
+      .withColumn("day",
+        expr("(us - pmod(us, 86400000000)) div 86400000000"))
     val dayB = broadcast(ev
       .agg(min(col("day")).as("mnd"), max(col("day")).as("mxd"))
-      .select(expr("(mnd + mxd + 1) div 2").as("split_day")))
+      .select(expr(
+        "(mnd + mxd + 1 - pmod(mnd + mxd + 1, 2)) div 2")
+        .as("split_day")))
     val withW = ev.crossJoin(dayB)
       .withColumn("is_ref", col("day") < col("split_day"))
     // numeric feature: bins fixed on the reference window
     val vb = broadcast(withW.filter(col("is_ref"))
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax")))
+    // vmax == vmin (constant reference window) would divide by zero:
+    // NaN/Infinity crashes the ANSI int cast and diverges from the
+    // oracle — collapse that case to bucket 0
     val bucketed = withW.crossJoin(vb)
       .filter(col("value").isNotNull)
-      .withColumn("bucket", least(greatest(
-        floor((col("value") - col("vmin")) * 10
-          / (col("vmax") - col("vmin"))).cast("int"), lit(0)), lit(9)))
+      .withColumn("bucket", when(col("vmax") === col("vmin"), lit(0))
+        .otherwise(least(greatest(
+          floor((col("value") - col("vmin")) * 10
+            / (col("vmax") - col("vmin"))).cast("int"), lit(0)),
+          lit(9))))
     val vCounts = bucketed.groupBy(col("bucket"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
@@ -273,8 +283,10 @@ FROM lineitem"""
       |  SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM w
       |  WHERE is_ref
       |), bk AS (
-      |  SELECT LEAST(GREATEST(CAST(FLOOR((w.value - b.vmin) * 10
-      |      / (b.vmax - b.vmin)) AS INT), 0), 9) AS bucket, w.is_ref
+      |  SELECT CASE WHEN b.vmax = b.vmin THEN 0
+      |    ELSE LEAST(GREATEST(CAST(FLOOR((w.value - b.vmin) * 10
+      |      / (b.vmax - b.vmin)) AS INT), 0), 9) END AS bucket,
+      |    w.is_ref
       |  FROM w, vb b WHERE w.value IS NOT NULL
       |), vc AS (
       |  SELECT s.bucket,

@@ -38,21 +38,28 @@ object IvfPq {
   /** Driver-side replica of `Similarity.cellExpr`: argmax of
     * (round-6 cosine, -cell) over the fitted centroids. Used to
     * residualize the PQ fit sample with exactly the assignment the
-    * corpus-side projection will compute.
+    * corpus-side projection will compute. Comparison goes through
+    * java.lang.Double.compare — the same total order Spark's struct
+    * max uses (NaN above every double, NaN equal to NaN) — so a
+    * zero-norm vector (all-NaN cosines) assigns to the lowest cell
+    * exactly like cellExpr instead of NPE-ing out of the loop.
+    * Per-centroid norms are hoisted (they are loop-invariant).
     */
   private def coarseAssign(v: Array[Double],
-      cents: Array[(Long, Array[Double])]): Array[Double] = {
+      cents: Array[(Long, Array[Double])],
+      cnorms: Array[Double]): Array[Double] = {
     val nrm = Similarity.centNorm(v)
     var bestS = Double.NegativeInfinity
     var bestCell = Long.MaxValue
-    var bestCv: Array[Double] = null
+    var bestCv: Array[Double] = cents(0)._2
     var ci = 0
     while (ci < cents.length) {
       val (cell, cv) = cents(ci)
       var d = 0.0; var j = 0
       while (j < v.length) { d += v(j) * cv(j); j += 1 }
-      val s = Similarity.round6(d / (nrm * Similarity.centNorm(cv)))
-      if (s > bestS || (s == bestS && cell < bestCell)) {
+      val s = Similarity.round6(d / (nrm * cnorms(ci)))
+      val cmp = java.lang.Double.compare(s, bestS)
+      if (cmp > 0 || (cmp == 0 && cell < bestCell)) {
         bestS = s; bestCell = cell; bestCv = cv
       }
       ci += 1
@@ -77,21 +84,15 @@ object IvfPq {
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, coarseIters: Int, nSub: Int = 4, kPq: Int = 8,
       pqIters: Int = 1, sampleMod: Int = 2): Index = {
-    val cents = Similarity.fitCentArr(corpus, idCol, vecCol, nCells,
-      coarseIters, sampleMod)
-    val sample = corpus
-      .filter(if (sampleMod > 1)
-        Similarity.fitKeep(col(idCol).cast("long"), sampleMod)
-      else lit(true))
-      .select(col(idCol).cast("long").as("vec_id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    // ONE corpus scan + collect feeds both quantizer fits
+    val sample = Similarity.fitSample(corpus, idCol, vecCol, sampleMod)
     require(sample.nonEmpty,
       s"IVFPQ fit: hash sample (mod $sampleMod) kept no vectors")
+    val cents = Similarity.fitCentArrOnSample(sample, nCells,
+      coarseIters)
+    val cnorms = cents.map { case (_, cv) => Similarity.centNorm(cv) }
     val residSample = sample.map { case (id, v) =>
-      val cv = coarseAssign(v, cents)
+      val cv = coarseAssign(v, cents, cnorms)
       val r = new Array[Double](v.length)
       var j = 0
       while (j < v.length) { r(j) = v(j) - cv(j); j += 1 }
@@ -106,8 +107,29 @@ object IvfPq {
   private def subSlice(idx: Index, res: Column, m: Int): Column =
     slice(res, m * idx.subDim + 1, idx.subDim)
 
-  private def centMapLit(idx: Index): Column =
-    typedlit(idx.cents.map { case (c, cv) => (c, cv.toSeq) }.toMap)
+  /** The one centroid literal both sides share: (cell, cv, norm)
+    * structs. Carrying cv through the argmax/explode means the plan
+    * holds a SINGLE copy of the centroid table (a second map literal
+    * for the residual lookup would double codegen/literal size —
+    * the exact trap the cellExpr comment documents).
+    */
+  private def centsLit(idx: Index): Column =
+    typedlit(idx.cents.toSeq.map { case (cell, cv) =>
+      (cell, cv.toSeq, Similarity.centNorm(cv))
+    })
+
+  /** Argmax by (round-6 cosine, -cell) returning the winning struct —
+    * same ordering key as `Similarity.cellExpr` (cell is unique, so
+    * the trailing cv field never participates in comparisons).
+    */
+  private def bestCellStruct(vec: Column, nrmD: Column,
+      idx: Index): Column =
+    array_max(transform(centsLit(idx), c => struct(
+      round(Similarity.dotD(vec, c.getField("_2"))
+        / (nrmD * c.getField("_3")), 6).as("s"),
+      (-c.getField("_1")).as("nc"),
+      c.getField("_1").as("c"),
+      c.getField("_2").as("cv"))))
 
   /** Corpus side: cell -> residual -> one-byte codes, a single narrow
     * projection over the literal quantizers. The output (n_id, cell,
@@ -126,10 +148,10 @@ object IvfPq {
       .select(col(idCol).cast("long").as("n_id"),
         vD(col(vecCol)).as("v"))
       .withColumn("__nrm_d", Similarity.normD(col("v")))
-      .withColumn("cell",
-        Similarity.cellExpr(col("v"), col("__nrm_d"), idx.cents))
-      .withColumn("res", zip_with(col("v"),
-        element_at(centMapLit(idx), col("cell")), (x, c) => x - c))
+      .withColumn("best", bestCellStruct(col("v"), col("__nrm_d"), idx))
+      .withColumn("cell", col("best.c"))
+      .withColumn("res",
+        zip_with(col("v"), col("best.cv"), (x, c) => x - c))
       .select(col("n_id") +: col("cell") +:
         (0 until idx.nSub).map(m =>
           codeExpr(col("res"), m).as(s"code_$m")): _*)
@@ -141,26 +163,24 @@ object IvfPq {
     */
   def probe(coded: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, idx: Index, topK: Int, nProbe: Int): DataFrame = {
-    val centsLit = typedlit(idx.cents.toSeq.map { case (cell, cv) =>
-      (cell, cv.toSeq, Similarity.centNorm(cv))
-    })
     val probes = queries
       .select(col(idCol).cast("long").as("q_id"),
         vD(col(vecCol)).as("qv"))
       .withColumn("__qnrm", Similarity.normD(col("qv")))
       .select(col("q_id"), col("qv"),
-        explode(transform(centsLit, c => struct(
+        explode(transform(centsLit(idx), c => struct(
           c.getField("_1").as("cell"),
           round(Similarity.dotD(col("qv"), c.getField("_2"))
-            / (col("__qnrm") * c.getField("_3")), 6).as("sim"))))
+            / (col("__qnrm") * c.getField("_3")), 6).as("sim"),
+          c.getField("_2").as("cv"))))
           .as("pc"))
       .select(col("q_id"), col("qv"), col("pc.cell").as("cell"),
-        col("pc.sim").as("sim"))
+        col("pc.sim").as("sim"), col("pc.cv").as("cv"))
       .withColumn("rn", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("sim").desc, col("cell"))))
       .filter(col("rn") <= nProbe)
-      .withColumn("qres", zip_with(col("qv"),
-        element_at(centMapLit(idx), col("cell")), (x, c) => x - c))
+      .withColumn("qres",
+        zip_with(col("qv"), col("cv"), (x, c) => x - c))
       .select(col("q_id") +: col("cell") +:
         (0 until idx.nSub).map(m =>
           array(idx.books(m).map(cv =>

@@ -183,28 +183,44 @@ object Similarity {
     pmod(conv(substring(md5(concat(lit("ivfs:"), id.cast("string"))),
       1, 2), 16, 10).cast("long"), lit(m.toLong)) === 0L
 
-  private[operators] def fitCentArr(corpus: DataFrame, idCol: String,
-      vecCol: String, nCells: Int, iters: Int, fitSampleMod: Int)
+  /** Collect the deterministic md5 hash sample (bucket % mod == 0)
+    * as driver-side (id, double-vector) pairs sorted by id — the ONE
+    * corpus scan every driver-side quantizer fit shares (IVF coarse,
+    * PQ codebooks, IVFPQ residuals).
+    */
+  private[operators] def fitSample(corpus: DataFrame, idCol: String,
+      vecCol: String, fitSampleMod: Int)
       : Array[(Long, Array[Double])] = {
-    // fit on a bounded deterministic HASH sample (md5 bucket % mod == 0):
-    // at 100 TB the quantizer is always fit on a sample, never the full
-    // corpus — assignment of the full corpus happens once, after.
-    //
-    // The sample is collected ONCE and Lloyd's iterations run on the
-    // driver (the classic IVF shape: sample -> single-node fit ->
-    // broadcast centroids). A Spark job per iteration over a
-    // driver-sized sample is pure scheduler overhead — measured 1.8-4.6s
-    // for 2000×64 floats vs microseconds driver-side. Arithmetic is
-    // bit-identical to the previous in-engine fit: same left-fold dot
-    // order, same HALF_UP round-6 on cosine and per-dimension means.
     val all = corpus.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val e = if (fitSampleMod > 1)
       all.filter(fitKeep(col("vec_id"), fitSampleMod))
       else all
-    val sample: Array[(Long, Array[Double])] = e.collect()
+    e.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+  }
+
+  private[operators] def fitCentArr(corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, iters: Int, fitSampleMod: Int)
+      : Array[(Long, Array[Double])] =
+    // fit on a bounded deterministic HASH sample (md5 bucket % mod == 0):
+    // at 100 TB the quantizer is always fit on a sample, never the full
+    // corpus — assignment of the full corpus happens once, after.
+    fitCentArrOnSample(
+      fitSample(corpus, idCol, vecCol, fitSampleMod), nCells, iters)
+
+  private[operators] def fitCentArrOnSample(
+      sample: Array[(Long, Array[Double])], nCells: Int, iters: Int)
+      : Array[(Long, Array[Double])] = {
+    // Lloyd's iterations run on the driver over the collected sample
+    // (the classic IVF shape: sample -> single-node fit -> broadcast
+    // centroids). A Spark job per iteration over a driver-sized
+    // sample is pure scheduler overhead — measured 1.8-4.6s for
+    // 2000×64 floats vs microseconds driver-side. Arithmetic is
+    // bit-identical to the previous in-engine fit: same left-fold dot
+    // order, same HALF_UP round-6 on cosine and per-dimension means.
+    //
     // init = the nCells smallest-id vectors OF THE SAMPLE (cell id =
     // vec id) — defined relative to the sample so it exists whatever
     // the hash keeps

@@ -61,8 +61,9 @@ class SpaceSavingProcessor(capacity: Int)
       cur.get(item) match {
         case Some(s) => cur(item) = HHState(s.count + 1, s.err)
         case None if cur.size < capacity =>
+          // no eviction can have happened yet in this batch (evictions
+          // keep the map at capacity), so `evicted` is empty here
           cur(item) = HHState(1L, 0L)
-          evicted -= item
         case None =>
           // evict the min-count entry (ties: smallest item string)
           val (vItem, vState) = cur.minBy { case (it, s) =>

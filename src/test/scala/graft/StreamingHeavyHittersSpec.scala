@@ -32,6 +32,26 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  /** Write `c` as one appended parquet file and pin a strictly
+    * increasing mtime on the new part files: FileStreamSource orders
+    * by (mtime, path) and part-file names are randomized, so
+    * same-mtime chunks could be consumed out of write order — and
+    * SpaceSaving is arrival-order-dependent.
+    */
+  private def appendChunk(dir: String, c: Seq[(Long, Long, String)],
+      i: Int): Unit = {
+    val before = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).toSet
+    c.toDF("shard", "seq", "item").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val t = java.nio.file.attribute.FileTime
+      .fromMillis(1600000000000L + i * 60000L)
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filterNot(before)
+      .foreach(p => java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(p), t))
+  }
+
   /** Driver-side replay of SpaceSavingProcessor's exact rule. */
   private def replay(rows: Seq[(Long, Long, String)])
       : Map[(Long, String), (Long, Long)] = {
@@ -57,11 +77,11 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
   test("stream summary == driver replay; guarantees vs true counts") {
     val rows = mkRows
     val dir = Files.createTempDirectory("hh-src").toString
-    // three micro-batches, seq order preserved within each file
+    // three micro-batches, seq order preserved within each file and
+    // across files (pinned mtimes)
     val chunk = (rows.length + 2) / 3
-    rows.grouped(chunk).foreach { c =>
-      c.toDF("shard", "seq", "item").coalesce(1)
-        .write.mode("append").parquet(dir)
+    rows.grouped(chunk).zipWithIndex.foreach { case (c, i) =>
+      appendChunk(dir, c, i)
     }
     val prev = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
@@ -127,9 +147,8 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     val tail = rows.drop(cut)
     assert((0 until nShards).forall(s => tail.exists(_._1 == s)),
       "tail chunk must touch every shard")
-    head.grouped((cut + 1) / 2).foreach { c =>
-      c.toDF("shard", "seq", "item").coalesce(1)
-        .write.mode("append").parquet(dir)
+    head.grouped((cut + 1) / 2).zipWithIndex.foreach { case (c, i) =>
+      appendChunk(dir, c, i)
     }
     val prev = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
@@ -161,8 +180,7 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     try {
       runOnce()
       collected.clear() // keep only post-restart emissions
-      tail.toDF("shard", "seq", "item").coalesce(1)
-        .write.mode("append").parquet(dir)
+      appendChunk(dir, tail, 2)
       runOnce()
       val all = collected.toArray(Array.empty[HHEntry])
       assert(all.nonEmpty)
