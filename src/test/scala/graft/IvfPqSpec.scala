@@ -84,6 +84,32 @@ class IvfPqSpec extends AnyFunSuite {
     assert(fromSaved === direct)
   }
 
+  test("cell-partitioned code table: probing answers identically " +
+      "and the scan carries a dynamic partition-pruning filter") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq-part").toString
+    val qs = emb.filter(col("vec_id") < 4)
+    val idx = IvfPq.fit(emb, "vec_id", "embedding", nCells = 16,
+      coarseIters = 2)
+    IvfPq.encode(emb, "vec_id", "embedding", idx)
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/codes")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val out = IvfPq.probe(codes, qs, "vec_id", "embedding", idx,
+      topK = 5, nProbe = 2)
+    val direct = IvfPq.ivfPqTopK(emb, qs, "vec_id", "embedding",
+      topK = 5, nCells = 16, coarseIters = 2, nProbe = 2)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id").cast("long"), col("n_id").cast("long"),
+        col("adist").cast("long"), col("rank").cast("int"))
+      .collect().toSeq
+    assert(key(out) === key(direct))
+    // the probed-cell set reaches the partitioned scan as a runtime
+    // filter: only nProbe cells' files are read, not the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(2000))
+  }
+
   test("corpus side is narrow: no corpus shuffle, probe join " +
       "broadcasts, SortMergeJoin absent") {
     val df = IvfPq.ivfPqTopK(emb, emb.filter(col("vec_id") < 4),
