@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Ext5Queries.queries ++
       operators.Ext6Queries.queries ++
       operators.Ext7Queries.queries ++
+      operators.Ext8Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       operators.Ext5Queries.oracle ++
       operators.Ext6Queries.oracle ++
       operators.Ext7Queries.oracle ++
+      operators.Ext8Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

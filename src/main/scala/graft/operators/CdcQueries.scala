@@ -199,7 +199,63 @@ object CdcQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** v2 payload schema after an upstream ALTER TABLE ADD COLUMN: the
+    * reader schema is the WIDENED one; envelopes written before the
+    * evolution simply lack the field and parse to null — the standard
+    * forward-compatible CDC evolution contract (the reference's typed
+    * assembly keys fields by name, YqlWriter.java:210-236, so added
+    * columns are the evolution case its users hit).
+    */
+  private val payloadSchemaV2 = CdcParse.CdcSchema(
+    StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value_milli", LongType),
+      StructField("score_milli", LongType))),
+    pk = Seq("user_id"))
+
+  /** Envelope stream straddling a schema evolution: erases at
+    * event_id % 10 = 0; updates carry the v2 payload (extra
+    * `score_milli`) iff event_id % 3 = 0, else the original v1
+    * payload — so post-merge state mixes users whose latest write
+    * predates and postdates the evolution.
+    */
+  private def envelopeEvolve: Column = {
+    val v1 = concat(lit("{\"user_id\":"), s(col("user_id")),
+      lit(",\"event_type\":\""), col("event_type"),
+      lit("\",\"value_milli\":"), s(vm), lit("}"))
+    val v2 = concat(lit("{\"user_id\":"), s(col("user_id")),
+      lit(",\"event_type\":\""), col("event_type"),
+      lit("\",\"value_milli\":"), s(vm),
+      lit(",\"score_milli\":"), s(col("event_id") % 997), lit("}"))
+    val keyPart = concat(lit("{\"key\":["), s(col("user_id")), lit("]"))
+    when(col("event_id") % 10 === 0,
+        concat(keyPart, lit(",\"erase\":{}}")))
+      .otherwise(concat(keyPart, lit(",\"update\":"),
+        when(col("event_id") % 3 === 0, v2).otherwise(v1), lit("}")))
+  }
+
+  /** Schema-drift-tolerant assembly + LWW: parse BOTH envelope
+    * generations with the v2 reader schema (missing field -> null,
+    * from_json's forward-compatible contract — no reprocessing of the
+    * v1 backlog), then merge per key. A user's final score_milli is
+    * null exactly when their last write predates the evolution.
+    */
+  def schemaEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), envelopeEvolve.as("env"))
+    val typed = CdcParse.parseEnvelope(ev, "env", payloadSchemaV2)
+      .select("event_id", "op", "user_id", "event_type",
+        "value_milli", "score_milli")
+      .filter(col("op") =!= CdcParse.OpDrop)
+    KeyedMerge.lww(typed, Seq("user_id"), "event_id")
+      .select("user_id", "op", "event_type", "value_milli",
+        "score_milli", "event_id")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_schema_evolve" -> schemaEvolve _,
     "cdc_agg_view" -> aggView _,
     "cdc_scd2" -> scd2 _,
     "cdc_debezium" -> debezium _,
@@ -268,6 +324,31 @@ object CdcQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "cdc_schema_evolve" ->
+      """WITH env AS (
+        |  SELECT event_id,
+        |    CASE
+        |      WHEN event_id % 10 = 0 THEN '{"key":[' || user_id || '],"erase":{}}'
+        |      WHEN event_id % 3 = 0 THEN '{"key":[' || user_id || '],"update":{"user_id":' || user_id || ',"event_type":"' || event_type || '","value_milli":' || CAST(ROUND(value*1000) AS BIGINT) || ',"score_milli":' || (event_id % 997) || '}}'
+        |      ELSE '{"key":[' || user_id || '],"update":{"user_id":' || user_id || ',"event_type":"' || event_type || '","value_milli":' || CAST(ROUND(value*1000) AS BIGINT) || '}}'
+        |    END AS env
+        |  FROM events
+        |), typed AS (
+        |  SELECT event_id,
+        |    CASE WHEN json_extract(env, '$.erase') IS NOT NULL
+        |         THEN 'erase' ELSE 'update' END AS op,
+        |    CAST(json_extract_string(env, '$.key[0]') AS BIGINT) AS user_id,
+        |    json_extract_string(env, '$.update.event_type') AS event_type,
+        |    CAST(json_extract_string(env, '$.update.value_milli') AS BIGINT) AS value_milli,
+        |    CAST(json_extract_string(env, '$.update.score_milli') AS BIGINT) AS score_milli
+        |  FROM env)
+        |SELECT user_id, op, event_type, value_milli, score_milli,
+        |  event_id
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM typed) x
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "cdc_debezium" ->
       """WITH env AS (
         |  SELECT event_id,

@@ -25,6 +25,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext6Queries.oracle),
       ("Ext7Queries", operators.Ext7Queries.queries,
         operators.Ext7Queries.oracle),
+      ("Ext8Queries", operators.Ext8Queries.queries,
+        operators.Ext8Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
