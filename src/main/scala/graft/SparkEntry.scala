@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Ext6Queries.queries ++
       operators.Ext7Queries.queries ++
       operators.Ext8Queries.queries ++
+      operators.Ext9Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       operators.Ext6Queries.oracle ++
       operators.Ext7Queries.oracle ++
       operators.Ext8Queries.oracle ++
+      operators.Ext9Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

@@ -27,6 +27,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext7Queries.oracle),
       ("Ext8Queries", operators.Ext8Queries.queries,
         operators.Ext8Queries.oracle),
+      ("Ext9Queries", operators.Ext9Queries.queries,
+        operators.Ext9Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
