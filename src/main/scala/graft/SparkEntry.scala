@@ -28,6 +28,7 @@ object SparkEntry {
       operators.Ext7Queries.queries ++
       operators.Ext8Queries.queries ++
       operators.Ext9Queries.queries ++
+      operators.Ext10Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       operators.Ext7Queries.oracle ++
       operators.Ext8Queries.oracle ++
       operators.Ext9Queries.oracle ++
+      operators.Ext10Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

@@ -29,6 +29,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext8Queries.oracle),
       ("Ext9Queries", operators.Ext9Queries.queries,
         operators.Ext9Queries.oracle),
+      ("Ext10Queries", operators.Ext10Queries.queries,
+        operators.Ext10Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
