@@ -173,10 +173,45 @@ object Ext10Queries {
       .limit(KnTopK)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (every 50th vector), the top-5 most-similar vectors with a
+    * DIFFERENT label — the near-misses a contrastive loss learns the
+    * most from. Same plan contract as `sim_cosine_topk`: the small
+    * anchor set broadcasts against the corpus (norms computed once per
+    * row BEFORE the pair join, codegen'd in-order FloatVecDot — no
+    * corpus shuffle), per-anchor top-k via one bounded window. The
+    * 100 TB variant swaps the corpus scan for the LSH/IVF-pruned
+    * candidate set exactly as `sim_ann_*` do; the mining logic —
+    * cross-label filter + per-anchor rank — is unchanged.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_vec"))
+      .withColumn("q_nrm", Similarity.norm(col("q_vec")))
+    val c = emb
+      .select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("embedding").as("n_vec"))
+      .withColumn("n_nrm", Similarity.norm(col("n_vec")))
+    val sim = c.join(broadcast(q), col("n_label") =!= col("q_label"))
+      .withColumn("sim", round(
+        Similarity.dot(col("q_vec"), col("n_vec"))
+          / (col("q_nrm") * col("n_nrm")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "q_label", "n_id", "n_label", "sim", "rank")
+      .orderBy("q_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_model" -> qualityModel _,
     "text_dsir_select" -> dsirSelect _,
     "text_kn_bigram" -> knBigram _,
+    "sim_hard_negatives" -> hardNegatives _,
   )
 
   def oracle: Map[String, String] = Map(
@@ -258,5 +293,37 @@ object Ext10Queries {
         |FROM lm12 JOIN lm1 ON lm12.w1 = lm1.w1
         |JOIN cont ON lm12.w2 = cont.w2 CROSS JOIN nbt
         |ORDER BY p_micro DESC, lm12.w1, lm12.w2 LIMIT $KnTopK""".stripMargin,
+    "sim_hard_negatives" ->
+      """WITH qe AS (
+        |  SELECT vec_id AS q_id, label AS q_label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND vec_id % 50 = 0
+        |), ee AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
+        |), dots AS (
+        |  SELECT qe.q_id, qe.q_label, ee.vec_id AS n_id,
+        |    ee.label AS n_label, SUM(qe.x * ee.x) AS dot
+        |  FROM qe JOIN ee ON qe.i = ee.i AND qe.q_label <> ee.label
+        |  GROUP BY qe.q_id, qe.q_label, ee.vec_id, ee.label
+        |), sims AS (
+        |  SELECT d.q_id, d.q_label, d.n_id, d.n_label,
+        |    ROUND(d.dot / (nq.nrm * ne.nrm), 6) AS sim
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.q_id
+        |  JOIN norms ne ON ne.vec_id = d.n_id
+        |), ranked AS (
+        |  SELECT q_id, q_label, n_id, n_label, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, n_id) AS rank
+        |  FROM sims)
+        |SELECT q_id, q_label, n_id, n_label, sim,
+        |  CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
   )
 }

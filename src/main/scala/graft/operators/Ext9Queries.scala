@@ -52,6 +52,18 @@ object Ext9Queries {
     * convergence statement).
     */
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val v = pcaFit(spark, dir)
+    import spark.implicits._
+    (0 until Dim).map(j => (j, v(j).toLong))
+      .toDF("dim", "v_micro").orderBy("dim")
+  }
+
+  /** The power-iteration fit behind [[pcaPower]] and [[pcaProject]]:
+    * returns the lattice iterate v (1e-6 units, L-infinity-normalized)
+    * after PcaIters steps. Driver-side bounded bookkeeping — the
+    * corpus contributes only Dim^2 + Dim aggregate cells.
+    */
+  private def pcaFit(spark: SparkSession, dir: String): Array[BigInt] = {
     val m = t(spark, dir, "embeddings")
       .filter(col("embedding").isNotNull)
       .select(transform(col("embedding"),
@@ -87,9 +99,31 @@ object Ext9Queries {
       val mx = w.map(_.abs).max
       if (mx != 0) v = w.map(x => BigInt(x.signum) * (x.abs * VScale / mx))
     }
-    import spark.implicits._
-    (0 until Dim).map(j => (j, v(j).toLong))
-      .toDF("dim", "v_micro").orderBy("dim")
+    v
+  }
+
+  /** Corpus projection onto the fitted top component — the score a
+    * curation pipeline buckets/filters on (e.g. diversity-aware
+    * sampling along the dominant axis). The fit is the same bounded
+    * driver-side bookkeeping as [[pcaPower]]; the projection is a
+    * NARROW codegen'd map over literal coefficients (the IVF
+    * literal-centroid pattern: no join, no shuffle, corpus touched
+    * once) — exactly the plan this takes on a 1000-executor cluster.
+    * proj is on the 1e-12 lattice (m · v, both 1e-6 scaled).
+    */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val v = pcaFit(spark, dir)
+    val vLit = array(v.map(x => lit(x.toLong)): _*)
+    t(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        aggregate(
+          zip_with(
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1e6).cast("long")),
+            vLit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("proj"))
+      .orderBy("vec_id")
   }
 
   /** BPE-style first merge candidates: top adjacent character pairs
@@ -167,6 +201,7 @@ object Ext9Queries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca_power" -> pcaPower _,
+    "embed_pca_project" -> pcaProject _,
     "tok_bpe_first_merge" -> bpeFirstMerge _,
     "cdc_ivm_join" -> ivmJoin _,
   )
@@ -189,9 +224,11 @@ object Ext9Queries {
        |  FROM w$k CROSS JOIN m$k JOIN v${k - 1} vp ON vp.j = w$k.j
        |)""".stripMargin
 
-  def oracle: Map[String, String] = Map(
-    "embed_pca_power" ->
-      (s"""WITH mm AS (
+  /** Shared fit prefix: the mm/cov/power-step CTE chain both PCA
+    * oracles build on.
+    */
+  private def pcaFitSql: String =
+    s"""WITH mm AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
         |      AS BIGINT) AS m
@@ -215,10 +252,22 @@ object Ext9Queries {
         |  FROM c
         |), v0 AS (
         |  SELECT i AS j, CAST(1000000 AS HUGEINT) AS v FROM s
-        |), """ +
-        (1 to PcaIters).map(pcaIterCte).mkString(",\n") + s"""
+        |), """.stripMargin +
+      (1 to PcaIters).map(pcaIterCte).mkString(",\n")
+
+  def oracle: Map[String, String] = Map(
+    "embed_pca_power" -> (pcaFitSql +
+      s"""
         |SELECT CAST(j AS INT) AS dim, CAST(v AS BIGINT) AS v_micro
-        |FROM v$PcaIters ORDER BY dim""").stripMargin,
+        |FROM v$PcaIters ORDER BY dim""".stripMargin),
+    "embed_pca_project" -> (pcaFitSql +
+      s"""
+        |SELECT mm.vec_id, e.label,
+        |  CAST(SUM(mm.m * vf.v) AS BIGINT) AS proj
+        |FROM mm JOIN v$PcaIters vf ON vf.j = mm.i
+        |JOIN embeddings e ON e.vec_id = mm.vec_id
+        |GROUP BY mm.vec_id, e.label
+        |ORDER BY mm.vec_id""".stripMargin),
     "tok_bpe_first_merge" ->
       """WITH w AS (
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))

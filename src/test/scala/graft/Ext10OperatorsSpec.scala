@@ -103,4 +103,57 @@ class Ext10OperatorsSpec extends AnyFunSuite {
     assert(sumNum + reserve === BigInt(4) * c1(w1Top) * nb,
       s"KN mass identity failed for history '$w1Top'")
   }
+
+  test("pca projection equals lattice dot of embedding with the " +
+      "published component") {
+    val v = graft.operators.Ext9Queries
+      .pcaPower(spark, TestSpark.sfDir)
+      .orderBy("dim").collect().map(_.getLong(1))
+    val proj = graft.operators.Ext9Queries
+      .pcaProject(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sample = spark.read
+      .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").limit(25).collect()
+    assert(proj.nonEmpty)
+    sample.foreach { r =>
+      val m = r.getSeq[Float](1)
+        .map(x => math.round(x.toDouble * 1e6)).toArray
+      val expect = m.zip(v).map { case (a, b) => a * b }.sum
+      assert(proj(r.getLong(0)) === expect, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("hard negatives: cross-label only, dense ranks, and the top " +
+      "negative beats every other cross-label candidate") {
+    val rows = Ext10Queries.hardNegatives(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(1) != r.getInt(3)),
+      "a negative shares the anchor's label")
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(5)).sorted.toSeq === (1 to rs.length),
+        s"ranks not dense for anchor $q")
+    }
+    // exhaustive driver check for one anchor
+    val all = spark.read
+      .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val (qId, qLabel, qVec) = all.find(_._1 % 50 == 0).get
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      math.rint(r * 1e6) / 1e6
+    }
+    val bestSim = all.filter(_._2 != qLabel).map(c => cos(qVec, c._3)).max
+    val got = rows.filter(r => r.getLong(0) == qId && r.getInt(5) == 1)
+      .head.getDouble(4)
+    assert(math.abs(got - bestSim) < 2e-6,
+      s"top negative $got vs exhaustive best $bestSim for anchor $qId")
+  }
 }
