@@ -199,11 +199,58 @@ object Ext9Queries {
       .orderBy("user_id")
   }
 
+  /** Incremental maintenance of an AGGREGATE view under a changelog
+    * with retractions — the Flink-retract-stream contract on a batch
+    * micro-update. Rows are keyed by user_id (LWW on event_id);
+    * `event_id % 7 == 0` is an erase marker (coprime with the
+    * seq % 5 delta selector, so delta batches contain erases); the maintained view is
+    * GROUP BY event_type over LIVE last-writer rows. The delta batch
+    * (seq % 5 = 4) updates the view by group-wise retraction:
+    *
+    *   V_new = V_old - contrib(oldLive | touched) + contrib(newLive | touched)
+    *
+    * so only the TOUCHED keys' state is re-read (semi-join prune on
+    * the key — at 100 TB the per-key state is a bucketed table and
+    * both reads partition-prune to the touched buckets); the group
+    * adjustment is a union + re-aggregate over |groups| + 2·|touched|
+    * rows, never the full corpus. Groups whose live count hits zero
+    * drop out (the retract-to-empty case). The oracle computes the
+    * same view by full recompute — IVM == full is the invariant.
+    */
+  def ivmAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") * 1000).cast("long").as("vm"),
+      (col("event_id") % 7 === 0).as("del"))
+    def live(df: DataFrame): DataFrame =
+      KeyedMerge.lww(df, Seq("user_id"), "event_id")
+        .filter(!col("del"))
+    val base = ev.filter(col("event_id") % 5 =!= 4)
+    val touched = ev.filter(col("event_id") % 5 === 4)
+      .select("user_id").distinct()
+    def contrib(df: DataFrame, sign: Int): DataFrame =
+      df.groupBy("event_type")
+        .agg((count(lit(1)) * sign).as("n_users"),
+          (sum(col("vm")) * sign).as("sum_milli"))
+    val vOld = contrib(live(base), 1)
+    val retract = contrib(
+      live(base).join(touched, Seq("user_id"), "left_semi"), -1)
+    val add = contrib(
+      live(ev.join(touched, Seq("user_id"), "left_semi")), 1)
+    vOld.unionByName(retract).unionByName(add)
+      .groupBy("event_type")
+      .agg(sum(col("n_users")).as("n_users"),
+        sum(col("sum_milli")).as("sum_milli"))
+      .filter(col("n_users") > 0)
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca_power" -> pcaPower _,
     "embed_pca_project" -> pcaProject _,
     "tok_bpe_first_merge" -> bpeFirstMerge _,
     "cdc_ivm_join" -> ivmJoin _,
+    "cdc_ivm_agg" -> ivmAgg _,
   )
 
   /** The PCA oracle replays the identical integer lattice: HUGEINT
@@ -288,6 +335,20 @@ object Ext9Queries {
         |  FROM pc)
         |SELECT pair, n, merge_rank FROM rk
         |WHERE merge_rank <= 20 ORDER BY merge_rank""".stripMargin,
+    "cdc_ivm_agg" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(ROUND(value * 1000) AS BIGINT) AS vm,
+        |    event_id % 7 = 0 AS del
+        |  FROM events
+        |), last AS (
+        |  SELECT ev.*, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(vm) AS BIGINT) AS sum_milli
+        |FROM last WHERE rn = 1 AND NOT del
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "cdc_ivm_join" ->
       """WITH a AS (
         |  SELECT user_id, event_id AS a_seq,

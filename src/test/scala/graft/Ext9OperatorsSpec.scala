@@ -100,4 +100,47 @@ class Ext9OperatorsSpec extends AnyFunSuite {
     assert(ivm.orderBy("user_id").collect().toSeq ===
       full.orderBy("user_id").collect().toSeq)
   }
+
+  test("ivm agg equals full recompute and the delta actually " +
+      "exercises retraction (erase of a live key + a state change)") {
+    val dir = TestSpark.sfDir
+    val ivm = Ext9Queries.ivmAgg(spark, dir).collect()
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 1000).cast("long").as("vm"),
+        (col("event_id") % 7 === 0).as("del"))
+    val full = KeyedMerge.lww(ev, Seq("user_id"), "event_id")
+      .filter(!col("del"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("vm")).as("sum_milli"))
+      .orderBy("event_type").collect()
+    assert(ivm.toSeq === full.toSeq)
+    // the delta must change per-key state vs base-only LWW for at
+    // least one key (otherwise the retract/add legs are vacuous); the
+    // live->erased flip is asserted at sf0.01 — the correctness-gate
+    // SF — because the 15-user sf0.001 slice happens to contain no
+    // user whose final event is a delta-batch erase (expected count
+    // ~15/35 < 1; at sf0.01 there are 4)
+    def lastOf(dir0: String, baseOnly: Boolean) = {
+      val e = spark.read.parquet(s"$dir0/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          (col("event_id") % 7 === 0).as("del"))
+        .filter(if (baseOnly) col("event_id") % 5 =!= 4 else lit(true))
+      KeyedMerge.lww(e, Seq("user_id"), "event_id")
+        .select(col("user_id"), col("event_id"), col("del")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    }
+    val baseLast = lastOf(dir, baseOnly = true)
+    val allLast = lastOf(dir, baseOnly = false)
+    val changed = allLast.count { case (k, v) => baseLast.get(k) != Some(v) }
+    assert(changed > 0, "delta batch never changes any key's state")
+    val gateDir = "/root/testdata/sf0.01"
+    val baseG = lastOf(gateDir, baseOnly = true)
+    val allG = lastOf(gateDir, baseOnly = false)
+    val flipped = allG.count { case (k, (_, d)) =>
+      d && baseG.get(k).exists(!_._2)
+    }
+    assert(flipped > 0,
+      "no live key is erased by the delta at the gate SF")
+  }
 }
