@@ -25,8 +25,13 @@ class PlanSweepSpec extends AnyFunSuite {
   //    n_id <> q_id makes it a BNLJ over a bounded broadcast side)
   //  - dq_drift: two 1-row bound aggregates (split day, reference
   //    min/max) cross-joined back to events — plan-embedded scalars
+  //  - sim_hard_negatives: same broadcast-anchor BNLJ shape as
+  //    sim_cosine_topk (cross-label filter is the non-equi condition)
+  //  - text_dsir_select / text_kn_bigram: 1-row broadcast totals
+  //    (tot / nb) cross-joined back — plan-embedded scalars
   private val allowCross = Set(
     "sim_cosine_topk", "sim_ann_pq", "sim_pq_rerank",
+    "sim_hard_negatives", "text_dsir_select", "text_kn_bigram",
     "text_corpus_stats",
     "text_ppl_buckets",
     "text_sketch_overlap", "text_sketch_shingles", "text_tfidf",
