@@ -207,10 +207,48 @@ object DataQuality {
       .orderBy("feature")
   }
 
+  /** K-anonymity audit over a generalization lattice: for each
+    * generalization level of the quasi-identifier set (level 0 = the
+    * full set incl. a banded numeric, each next level drops/coarsens
+    * one attribute), report group count, the anonymity level
+    * (min group size), violating groups under k=5, and the rows at
+    * re-identification risk. The release decision is "first level
+    * with k_ok" — the standard Datafly-style walk, here evaluated in
+    * one pass per level.
+    *
+    * 100 TB shape: each level is one hash aggregate over the quasi-id
+    * key (partial agg collapses map-side) followed by a bounded
+    * summary aggregate; levels are independent scans that a real
+    * deployment would fuse via grouping sets if the quasi-id columns
+    * nest (they do here only partially: the acctbal band is dropped,
+    * not coarsened, so the three levels are distinct key sets).
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val k = 5L
+    def level(lvl: Int, cols: Seq[Column]): DataFrame =
+      cust.groupBy(cols: _*).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("n")).as("min_k"),
+          sum(when(col("n") < k, 1L).otherwise(0L))
+            .as("n_violating"),
+          sum(when(col("n") < k, col("n")).otherwise(0L))
+            .as("rows_at_risk"))
+        .select(lit(lvl).as("level"), col("n_groups"), col("min_k"),
+          col("n_violating"), col("rows_at_risk"),
+          (col("min_k") >= k).as("k_ok"))
+    val band = floor(col("c_acctbal") / 2000).cast("long").as("bal_band")
+    level(0, Seq(col("c_nationkey"), col("c_mktsegment"), band))
+      .unionByName(level(1, Seq(col("c_nationkey"), col("c_mktsegment"))))
+      .unionByName(level(2, Seq(col("c_mktsegment"))))
+      .orderBy("level")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile_columns" -> profileColumns _,
     "dq_checks" -> checks _,
-    "dq_drift" -> drift _)
+    "dq_drift" -> drift _,
+    "dq_k_anonymity" -> kAnonymity _)
 
   private val profileOracle: String = {
     val blocks = lineitemCols.map { case (c, k) =>
@@ -338,5 +376,22 @@ FROM lineitem"""
   val oracle: Map[String, String] = Map(
     "dq_profile_columns" -> profileOracle,
     "dq_checks" -> checksOracle,
-    "dq_drift" -> driftOracle)
+    "dq_drift" -> driftOracle,
+    "dq_k_anonymity" -> {
+      def lvl(n: Int, cols: String): String =
+        s"""SELECT $n AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |  CAST(MIN(n) AS BIGINT) AS min_k,
+           |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+           |    AS rows_at_risk,
+           |  MIN(n) >= 5 AS k_ok
+           |FROM (SELECT COUNT(*) AS n FROM customer
+           |      GROUP BY $cols)""".stripMargin
+      lvl(0, "c_nationkey, c_mktsegment, " +
+          "CAST(FLOOR(c_acctbal / 2000) AS BIGINT)") +
+        "\nUNION ALL\n" + lvl(1, "c_nationkey, c_mktsegment") +
+        "\nUNION ALL\n" + lvl(2, "c_mktsegment") +
+        "\nORDER BY level"
+    })
 }

@@ -454,7 +454,32 @@ object Ext3Queries {
       .orderBy("doc_id")
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence — the user-journey model (next-event prediction /
+    * anomaly scoring baseline). One window per user (`lead` over the
+    * natural event order; the partition key is the high-cardinality
+    * user, so the window shuffles once and never single-partitions),
+    * then a hash aggregate that collapses to the |types|^2 transition
+    * table. Probabilities are row-normalized on the exact 1e-6
+    * lattice (integer floor division, both engines).
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val pairs = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("from_type").agg(sum("n").as("ftot"))
+    pairs.join(tot, "from_type")
+      .withColumn("p_micro", expr("(n * 1000000) div ftot"))
+      .select("from_type", "to_type", "n", "p_micro")
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_markov_transitions" -> markovTransitions _,
     "text_ppl_buckets" -> pplBuckets _,
     "ev_cooccurrence" -> cooccurrence _,
     "q46_listagg" -> listaggRoster _,
@@ -480,6 +505,23 @@ object Ext3Queries {
     * arg-max-tokens (min doc id on ties) per cluster.
     */
   val oracle: Map[String, String] = Map(
+    "ev_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS ft,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS tt
+        |  FROM events
+        |), pairs AS (
+        |  SELECT ft, tt, COUNT(*) AS n FROM seq
+        |  WHERE tt IS NOT NULL GROUP BY ft, tt
+        |), tot AS (
+        |  SELECT ft, CAST(SUM(n) AS BIGINT) AS ftot FROM pairs
+        |  GROUP BY ft)
+        |SELECT p.ft AS from_type, p.tt AS to_type,
+        |  CAST(p.n AS BIGINT) AS n,
+        |  CAST((p.n * 1000000) // t.ftot AS BIGINT) AS p_micro
+        |FROM pairs p JOIN tot t ON p.ft = t.ft
+        |ORDER BY from_type, to_type""".stripMargin,
     "text_ppl_buckets" ->
       """WITH toks AS (
         |  SELECT doc_id, lower(tt.tok) AS tok FROM (

@@ -111,4 +111,32 @@ class DataQualitySpec extends AnyFunSuite {
     // declared constraint holds — the suite must report exactly that
     assert(failing === Set("lineitem_pk_unique"), out.toString)
   }
+
+  test("k-anonymity lattice: min_k non-decreasing and rows_at_risk " +
+      "non-increasing as generalization coarsens; level-0 recount") {
+    val rows = DataQuality.kAnonymity(spark, TestSpark.sfDir)
+      .orderBy("level").collect()
+    assert(rows.length === 3)
+    // coarser levels merge groups: anonymity can only improve
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) >= a.getLong(2),
+        s"min_k fell ${a.getLong(2)} -> ${b.getLong(2)}")
+      assert(b.getLong(4) <= a.getLong(4),
+        s"rows_at_risk rose ${a.getLong(4)} -> ${b.getLong(4)}")
+    }
+    // level-0 driver recount
+    val groups = spark.read
+      .parquet(s"${TestSpark.sfDir}/customer.parquet")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("b"))
+      .collect()
+      .groupBy(r => (r.get(0), r.getString(1), r.getLong(2)))
+      .map(_._2.length)
+    val l0 = rows(0)
+    assert(l0.getLong(1) === groups.size.toLong)
+    assert(l0.getLong(2) === groups.min.toLong)
+    assert(l0.getLong(3) === groups.count(_ < 5).toLong)
+    assert(l0.getLong(4) === groups.filter(_ < 5).map(_.toLong).sum)
+    assert(l0.getBoolean(5) === (groups.min >= 5))
+  }
 }

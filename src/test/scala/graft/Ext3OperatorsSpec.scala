@@ -159,4 +159,25 @@ class Ext3OperatorsSpec extends AnyFunSuite {
           r.getAs[Long]("cluster") === keep)
     }
   }
+
+  test("markov transitions: rows normalize per from-state and pair " +
+      "count equals events minus users") {
+    val rows = Ext3Queries.markovTransitions(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (f, rs) =>
+      val pSum = rs.map(_.getLong(3)).sum
+      val nFrom = rs.map(_.getLong(2)).sum
+      // each floor loses < 1 micro; sum in (1e6 - |row set|, 1e6]
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length,
+        s"from=$f p sum $pSum")
+      assert(rs.forall(r => r.getLong(3) ===
+        r.getLong(2) * 1000000L / nFrom))
+    }
+    val ev = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === nEvents - nUsers)
+  }
 }
