@@ -161,7 +161,13 @@ object Bench {
       "text_token_stats", "text_tfidf", "text_bigram_nll",
       "sketch_cms", "layout_rangeparts", "sim_cosine_topk",
       "embed_near_dups", "text_pack_sequences", "mm_features",
-      "sim_ann_ivfpq", "dq_profile_columns", "dq_checks", "dq_drift")
+      "sim_ann_ivfpq", "dq_profile_columns", "dq_checks", "dq_drift",
+      // round-4 batch-3 additions: Dim^2 moment fan-out (pca), the
+      // bigram-bucket LLR pipeline (dsir), broadcast-anchor BNLJ
+      // (hard negatives), retraction IVM, vocab pair explode (bpe)
+      "embed_pca_power", "text_dsir_select", "text_kn_bigram",
+      "text_quality_model", "sim_hard_negatives", "cdc_ivm_agg",
+      "cdc_ivm_join", "tok_bpe_first_merge", "ev_markov_transitions")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()
