@@ -244,11 +244,32 @@ object DataQuality {
       .orderBy("level")
   }
 
+  /** L-diversity companion to [[kAnonymity]]: within each level-1
+    * quasi-identifier group, how many DISTINCT sensitive values
+    * (banded account balance) appear — a k-anonymous group whose
+    * members all share one sensitive value still leaks it
+    * (homogeneity attack). One hash aggregate on the quasi-id key
+    * with a distinct-count (two-level agg under the hood, both
+    * partial-combinable); output is the bounded group table with the
+    * l >= 3 release flag.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("bal_band")).as("l_div"))
+      .withColumn("l_ok", col("l_div") >= 3)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile_columns" -> profileColumns _,
     "dq_checks" -> checks _,
     "dq_drift" -> drift _,
-    "dq_k_anonymity" -> kAnonymity _)
+    "dq_k_anonymity" -> kAnonymity _,
+    "dq_l_diversity" -> lDiversity _)
 
   private val profileOracle: String = {
     val blocks = lineitemCols.map { case (c, k) =>
@@ -393,5 +414,15 @@ FROM lineitem"""
         "\nUNION ALL\n" + lvl(1, "c_nationkey, c_mktsegment") +
         "\nUNION ALL\n" + lvl(2, "c_mktsegment") +
         "\nORDER BY level"
-    })
+    },
+    "dq_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT))
+        |    AS BIGINT) AS l_div,
+        |  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) >= 3
+        |    AS l_ok
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin)
 }

@@ -338,7 +338,35 @@ object MiscQueries {
       .orderBy("p_size")
   }
 
+  /** TPC-H Q15 shape: revenue-per-supplier view over a ship-date
+    * quarter, then the supplier(s) achieving the maximum. The max is
+    * a 1-row aggregate joined back by EQUALITY on the exact decimal
+    * revenue (not a correlated subquery re-scan): one lineitem pass
+    * for the view, one broadcast equi-join to pick the winner —
+    * revenue stays decimal(28,2)-exact until the final display cast,
+    * so the max-equality join can never be bitten by FP ties.
+    */
+  def topSupplierView(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val rev = li
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice").cast("decimal(18,2)")
+        * (lit(1).cast("decimal(18,4)")
+          - col("l_discount").cast("decimal(18,4)")), 2))
+        .as("rev_d"))
+    val mx = rev.agg(max(col("rev_d")).as("mx"))
+    rev.join(broadcast(mx), col("rev_d") === col("mx"))
+      .join(t(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_d").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_top_supplier_view" -> topSupplierView _,
     "q29_null_semantics" -> nullSemantics _,
     "q28_window_analytics" -> windowAnalytics _,
     "q27_array_fns" -> arrayFns _,
@@ -361,6 +389,20 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q55_top_supplier_view" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,4))
+        |        - CAST(l_discount AS DECIMAL(18,4))), 2)) AS rev_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE rev_d = (SELECT MAX(rev_d) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     "q14_asof_attrib" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, ts, event_type,

@@ -139,4 +139,24 @@ class DataQualitySpec extends AnyFunSuite {
     assert(l0.getLong(4) === groups.filter(_ < 5).map(_.toLong).sum)
     assert(l0.getBoolean(5) === (groups.min >= 5))
   }
+
+  test("l-diversity: distinct-sensitive recount per group") {
+    val rows = DataQuality.lDiversity(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    val want = spark.read
+      .parquet(s"${TestSpark.sfDir}/customer.parquet")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("b"))
+      .collect()
+      .groupBy(r => (r.get(0), r.getString(1)))
+      .map { case (k, rs) =>
+        k -> (rs.length.toLong, rs.map(_.getLong(2)).distinct.length.toLong)
+      }
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (n, l) = want((r.get(0), r.getString(1)))
+      assert(r.getLong(2) === n && r.getLong(3) === l)
+      assert(r.getBoolean(4) === (l >= 3))
+    }
+  }
 }

@@ -180,4 +180,29 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), p)
   }
+
+  test("q55 top-supplier: date filter pushes to scan; winner equals " +
+      "an exhaustive driver recount on exact decimals") {
+    val df = graft.operators.MiscQueries
+      .topSupplierView(spark, dir)
+    val f = formatted(df)
+    assert(f.contains("PushedFilters") &&
+      f.contains("l_shipdate"), "ship-date filter not pushed")
+    val got = df.collect()
+    assert(got.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val rev = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice").cast("decimal(18,2)")
+        * (lit(1).cast("decimal(18,4)")
+          - col("l_discount").cast("decimal(18,4)")), 2)).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val mx = rev.values.max
+    assert(got.map(_.getLong(0)).toSet ===
+      rev.filter(_._2 == mx).keySet)
+    got.foreach(r =>
+      assert(math.abs(r.getDouble(2) - mx.doubleValue) < 1e-9))
+  }
 }
