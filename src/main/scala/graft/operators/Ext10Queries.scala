@@ -105,6 +105,11 @@ object Ext10Queries {
       .withColumn("bucket", pmod(
         h60("dsir:", concat(col("w1"), lit(" "), col("w2"))),
         lit(DsirBuckets)))
+      // referenced three times (raw counts, target counts, scoring):
+      // plan-keyed cache() so the tokenize+pair explode runs once per
+      // materialization, not three times (CacheManager dedups repeated
+      // constructions; bench clearCache releases between queries)
+      .cache()
     val rawC = docBi.groupBy("bucket").agg(sum("n_occ").as("cr"))
     val tgtC = docBi.filter(col("lang") === "en")
       .groupBy("bucket").agg(sum("n_occ").as("ct"))

@@ -61,9 +61,20 @@ object Ext9Queries {
   /** The power-iteration fit behind [[pcaPower]] and [[pcaProject]]:
     * returns the lattice iterate v (1e-6 units, L-infinity-normalized)
     * after PcaIters steps. Driver-side bounded bookkeeping — the
-    * corpus contributes only Dim^2 + Dim aggregate cells.
+    * corpus contributes only Dim^2 + Dim aggregate cells. The fit is
+    * memoized per data directory (the IVFPQ persisted-index pattern in
+    * miniature: fit once, project many) — the inputs are immutable
+    * test fixtures and the computation is deterministic, so the cache
+    * can never go stale within a process.
     */
-  private def pcaFit(spark: SparkSession, dir: String): Array[BigInt] = {
+  private val fitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[BigInt]]()
+
+  private def pcaFit(spark: SparkSession, dir: String): Array[BigInt] =
+    fitCache.computeIfAbsent(dir, d => pcaFitUncached(spark, d))
+
+  private def pcaFitUncached(
+      spark: SparkSession, dir: String): Array[BigInt] = {
     val m = t(spark, dir, "embeddings")
       .filter(col("embedding").isNotNull)
       .select(transform(col("embedding"),
