@@ -37,6 +37,7 @@ object Bench {
       try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
     }
     spark.catalog.clearCache()
+    graft.operators.Ext9Queries.clearFitCache()
     // localCheckpoint blocks from the warmup pass are only reclaimed
     // via ContextCleaner on GC — nudge it so the first timed queries
     // don't absorb the collection pause
@@ -62,6 +63,7 @@ object Bench {
         val r1 = once()
         val r2 = if (r1 < 0) -1.0 else once()
         spark.catalog.clearCache()
+    graft.operators.Ext9Queries.clearFitCache()
         val valid = Seq(r1, r2).filter(_ >= 0)
         val best = if (valid.isEmpty) -1.0 else valid.min
         val noise = if (valid.size == 2) math.abs(r1 - r2) else 0.0
@@ -137,6 +139,7 @@ object Bench {
       }.mkString("{", ",", "}")
     }
     spark.catalog.clearCache()
+    graft.operators.Ext9Queries.clearFitCache()
     // sf1 probe (round-3 verdict item 1): if a 10x dataset exists
     // (generated by graft.ScaleGen into ./sf1data, or pointed at via
     // SPARK_GRAFT_SF1_DIR), run the historically slowest queries once
@@ -187,6 +190,7 @@ object Bench {
                   (System.nanoTime() - t0) / 1e9 }
                 catch { case NonFatal(_) => -1.0 }
               spark.catalog.clearCache()
+    graft.operators.Ext9Queries.clearFitCache()
               if (s > 0) sf1Total += s
               s
             }

@@ -19,6 +19,10 @@ object QBench {
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { name =>
       val fn = SparkEntry.queries(name)
+      // cold means cold: no plan cache or memoized fit from a
+      // previous query in the same process
+      spark.catalog.clearCache()
+      graft.operators.Ext9Queries.clearFitCache()
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

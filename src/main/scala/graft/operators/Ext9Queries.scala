@@ -70,6 +70,13 @@ object Ext9Queries {
   private val fitCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[BigInt]]()
 
+  /** Drop memoized fits. Harnesses that time queries (Bench/QBench)
+    * MUST call this wherever they clearCache(), or the timed pass
+    * measures a memo hit; likewise after overwriting a data dir
+    * in-process (the key is the dir string only).
+    */
+  def clearFitCache(): Unit = fitCache.clear()
+
   private def pcaFit(spark: SparkSession, dir: String): Array[BigInt] =
     fitCache.computeIfAbsent(dir, d => pcaFitUncached(spark, d))
 
@@ -79,7 +86,12 @@ object Ext9Queries {
       .filter(col("embedding").isNotNull)
       .select(transform(col("embedding"),
         x => round(x.cast("double") * 1e6).cast("long")).as("m"))
+    // persisted for the two fit aggregates (second moments + first
+    // moments) so the corpus scan+explode runs once, as documented;
+    // the fit is eager, so the unpersist below is deterministic
     val ex = m.select(posexplode(col("m")).as(Seq("i", "mi")), col("m"))
+      .persist()
+    try {
     // long*long before the decimal cast: |m| <= ~2e6 so the product is
     // overflow-safe; the decimal(38,0) sum keeps partials exact.
     val pRows = ex
@@ -92,6 +104,13 @@ object Ext9Queries {
       .agg(sum(col("mi").cast("decimal(38,0)")).as("s"),
         count(lit(1)).as("cnt"))
       .collect()
+    // fail loudly on degenerate input instead of NPE/collect-order
+    // dependence: the oracle's COUNT(*) contract needs every row to
+    // carry all Dim dimensions
+    require(sRows.nonEmpty, "pcaFit: embeddings table is empty")
+    require(sRows.length == Dim && sRows.map(_.getLong(2)).distinct
+      .lengthCompare(1) == 0,
+      s"pcaFit: ragged embedding arrays (expect uniform width $Dim)")
     val n = BigInt(sRows.head.getLong(2))
     val s = Array.ofDim[BigInt](Dim)
     sRows.foreach(r => s(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
@@ -111,6 +130,7 @@ object Ext9Queries {
       if (mx != 0) v = w.map(x => BigInt(x.signum) * (x.abs * VScale / mx))
     }
     v
+    } finally ex.unpersist()
   }
 
   /** Corpus projection onto the fitted top component — the score a

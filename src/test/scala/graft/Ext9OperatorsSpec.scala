@@ -55,6 +55,10 @@ class Ext9OperatorsSpec extends AnyFunSuite {
   test("pca power: deterministic under repartitioning") {
     val a = Ext9Queries.pcaPower(spark, TestSpark.sfDir)
       .orderBy("dim").collect().toSeq
+    // drop the memoized fit so the second call re-runs the whole
+    // distributed aggregation — without this the test only asserts
+    // the memo returns the same array twice
+    Ext9Queries.clearFitCache()
     val b = Ext9Queries.pcaPower(spark, TestSpark.sfDir)
       .orderBy("dim").collect().toSeq
     assert(a === b)
