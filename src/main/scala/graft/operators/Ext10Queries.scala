@@ -165,6 +165,9 @@ object Ext10Queries {
           element_at(col("tk"), i + 2).as("w2")))).as("b"))
       .groupBy(col("b.w1"), col("b.w2"))
       .agg(count(lit(1)).as("c12"))
+      // referenced four times (lm1, cont, nb, the final join): plan-
+      // keyed cache() so the corpus tokenize+pair aggregate runs once
+      .cache()
     val lm1 = lm12.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1_fwd"))
     val cont = lm12.groupBy("w2").agg(count(lit(1)).as("n1_bwd"))

@@ -471,8 +471,12 @@ object Ext3Queries {
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-    val tot = pairs.groupBy("from_type").agg(sum("n").as("ftot"))
-    pairs.join(tot, "from_type")
+    // row totals via a window over the ALREADY-AGGREGATED |types|^2
+    // table (bounded at any SF) — a join against a tot aggregate
+    // would recompute the whole per-user window + pair-count subtree
+    // for the build side (plan audit showed the double scan)
+    val wTot = Window.partitionBy("from_type")
+    pairs.withColumn("ftot", sum(col("n")).over(wTot))
       .withColumn("p_micro", expr("(n * 1000000) div ftot"))
       .select("from_type", "to_type", "n", "p_micro")
       .orderBy("from_type", "to_type")

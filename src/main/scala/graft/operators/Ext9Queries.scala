@@ -256,16 +256,20 @@ object Ext9Queries {
     def live(df: DataFrame): DataFrame =
       KeyedMerge.lww(df, Seq("user_id"), "event_id")
         .filter(!col("del"))
-    val base = ev.filter(col("event_id") % 5 =!= 4)
+    // the base-state LWW feeds both the view leg and the retract leg:
+    // plan-keyed cache() on the LWW RESULT so the window runs once
+    // per materialization (caching the filtered input would still
+    // compute the window twice)
+    val liveBase = live(ev.filter(col("event_id") % 5 =!= 4)).cache()
     val touched = ev.filter(col("event_id") % 5 === 4)
       .select("user_id").distinct()
     def contrib(df: DataFrame, sign: Int): DataFrame =
       df.groupBy("event_type")
         .agg((count(lit(1)) * sign).as("n_users"),
           (sum(col("vm")) * sign).as("sum_milli"))
-    val vOld = contrib(live(base), 1)
+    val vOld = contrib(liveBase, 1)
     val retract = contrib(
-      live(base).join(touched, Seq("user_id"), "left_semi"), -1)
+      liveBase.join(touched, Seq("user_id"), "left_semi"), -1)
     val add = contrib(
       live(ev.join(touched, Seq("user_id"), "left_semi")), 1)
     vOld.unionByName(retract).unionByName(add)
