@@ -215,11 +215,70 @@ object Ext10Queries {
       .orderBy("q_id", "rank")
   }
 
+  /** Composed curation pipeline over the round's model-driven stages:
+    * classifier gate (score >= 0) -> DSIR importance rank on the
+    * SURVIVORS -> per-language diversity cap (top 10 per lang by
+    * weight) — the shape of a production data-mix build where each
+    * stage's pruning feeds the next. One corpus pass per stage, all
+    * intermediate keys bounded; the final per-lang rank is a window
+    * over <= |langs| * corpus-survivors rows, partitioned on lang.
+    */
+  def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val kept = docTokens(t(spark, dir, "documents"))
+      .withColumn("w_micro",
+        pmod(h60("qw:", col("tok")), lit(2001L)) - 1000L)
+      .groupBy("doc_id")
+      .agg(sum(col("w_micro") * col("n_occ")).as("score_micro"))
+      .filter(col("score_micro") >= 0)
+      .select("doc_id")
+    val docs = t(spark, dir, "documents")
+      .join(kept, Seq("doc_id"), "left_semi")
+    val tk = transform(tokens(col("text")), x => lower(x))
+    val docBi = docs
+      .select(col("doc_id"), col("lang"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2")))).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("bucket", pmod(
+        h60("dsir:", concat(col("w1"), lit(" "), col("w2"))),
+        lit(DsirBuckets)))
+      .cache()
+    val rawC = docBi.groupBy("bucket").agg(sum("n_occ").as("cr"))
+    val tgtC = docBi.filter(col("lang") === "en")
+      .groupBy("bucket").agg(sum("n_occ").as("ct"))
+    val tot = rawC.agg(sum("cr").as("tr")).crossJoin(
+      tgtC.agg(sum("ct").as("tt")))
+    val lam = rawC
+      .join(tgtC, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lam_micro", round(log(
+        ((col("ct") + 1L) * (col("tr") + DsirBuckets)).cast("double") /
+          ((col("cr") + 1L) * (col("tt") + DsirBuckets)).cast("double"))
+        * 1e6).cast("long"))
+      .select("bucket", "lam_micro")
+    val weighted = docBi.join(broadcast(lam), "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("lam_micro") * col("n_occ")).as("w_micro"))
+    val wLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("w_micro").desc, col("doc_id"))
+    weighted.withColumn("lang_rank", row_number().over(wLang))
+      .filter(col("lang_rank") <= 10)
+      .select("doc_id", "lang", "w_micro", "lang_rank")
+      .orderBy("lang", "lang_rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_model" -> qualityModel _,
     "text_dsir_select" -> dsirSelect _,
     "text_kn_bigram" -> knBigram _,
     "sim_hard_negatives" -> hardNegatives _,
+    "pipeline_curate2" -> curatePipeline _,
   )
 
   def oracle: Map[String, String] = Map(
@@ -301,6 +360,67 @@ object Ext10Queries {
         |FROM lm12 JOIN lm1 ON lm12.w1 = lm1.w1
         |JOIN cont ON lm12.w2 = cont.w2 CROSS JOIN nbt
         |ORDER BY p_micro DESC, lm12.w1, lm12.w2 LIMIT $KnTopK""".stripMargin,
+    "pipeline_curate2" ->
+      s"""WITH tk0 AS (
+        |  SELECT doc_id,
+        |    lower(unnest(string_split_regex(trim(text), '\\s+'))) AS tok
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, tok, COUNT(*) AS n_occ FROM tk0
+        |  GROUP BY doc_id, tok
+        |), keep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      SUM((CAST(('0x' || substr(md5('qw:' || tok), 1, 15))
+        |        AS BIGINT) % 2001 - 1000) * n_occ) AS score
+        |    FROM dt GROUP BY doc_id)
+        |  WHERE score >= 0
+        |), d AS (
+        |  SELECT documents.doc_id, lang, text FROM documents
+        |  JOIN keep ON documents.doc_id = keep.doc_id
+        |), tk AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS tk
+        |  FROM d
+        |), bi AS (
+        |  SELECT doc_id, lang, tk[CAST(i AS INT)] AS w1,
+        |    tk[CAST(i AS INT) + 1] AS w2
+        |  FROM tk, UNNEST(range(1, len(tk))) AS r(i)
+        |  WHERE len(tk) >= 2
+        |), db AS (
+        |  SELECT doc_id, lang, w1, w2, COUNT(*) AS n_occ,
+        |    CAST(('0x' || substr(md5('dsir:' || w1 || ' ' || w2), 1, 15))
+        |      AS BIGINT) % $DsirBuckets AS bucket
+        |  FROM bi GROUP BY doc_id, lang, w1, w2
+        |), rawc AS (
+        |  SELECT bucket, CAST(SUM(n_occ) AS BIGINT) AS cr FROM db
+        |  GROUP BY bucket
+        |), tgtc AS (
+        |  SELECT bucket, CAST(SUM(n_occ) AS BIGINT) AS ct FROM db
+        |  WHERE lang = 'en' GROUP BY bucket
+        |), tot AS (
+        |  SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM rawc) AS tr,
+        |    (SELECT CAST(SUM(ct) AS BIGINT) FROM tgtc) AS tt
+        |), lam AS (
+        |  SELECT rawc.bucket,
+        |    CAST(ROUND(LN(CAST((COALESCE(ct, 0) + 1) * (tr + $DsirBuckets)
+        |        AS DOUBLE) /
+        |      CAST((cr + 1) * (tt + $DsirBuckets) AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS lam_micro
+        |  FROM rawc LEFT JOIN tgtc ON rawc.bucket = tgtc.bucket
+        |  CROSS JOIN tot
+        |), wts AS (
+        |  SELECT doc_id, lang,
+        |    CAST(SUM(lam_micro * n_occ) AS BIGINT) AS w_micro
+        |  FROM db JOIN lam ON db.bucket = lam.bucket
+        |  GROUP BY doc_id, lang
+        |), rk AS (
+        |  SELECT doc_id, lang, w_micro,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY w_micro DESC, doc_id) AS INT) AS lang_rank
+        |  FROM wts)
+        |SELECT doc_id, lang, w_micro, lang_rank FROM rk
+        |WHERE lang_rank <= 10 ORDER BY lang, lang_rank""".stripMargin,
     "sim_hard_negatives" ->
       """WITH qe AS (
         |  SELECT vec_id AS q_id, label AS q_label,

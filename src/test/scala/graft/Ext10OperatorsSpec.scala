@@ -156,4 +156,25 @@ class Ext10OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got - bestSim) < 2e-6,
       s"top negative $got vs exhaustive best $bestSim for anchor $qId")
   }
+
+  test("curate pipeline: every pick passed the quality gate, per-lang " +
+      "cap respected, weights descend within language") {
+    val picks = Ext10Queries.curatePipeline(spark, TestSpark.sfDir)
+      .collect()
+    assert(picks.nonEmpty)
+    val kept = Ext10Queries.qualityModel(spark, TestSpark.sfDir)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(picks.forall(r => kept(r.getLong(0))),
+      "a selected doc failed the quality gate")
+    picks.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      assert(rs.length <= 10, s"$lang over cap")
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to rs.length),
+        s"$lang ranks not dense")
+      val ws = sorted.map(_.getLong(2))
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b },
+        s"$lang weights not descending")
+    }
+  }
 }
