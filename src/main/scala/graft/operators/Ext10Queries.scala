@@ -273,7 +273,27 @@ object Ext10Queries {
       .orderBy("lang", "lang_rank")
   }
 
+  /** Classifier-evaluation confusion matrix: the n-gram language-ID
+    * heuristic scored against the declared `lang` label, with
+    * row-normalized shares on the 1e-6 lattice. The eval shape every
+    * model-driven curation stage needs before its filter goes live —
+    * per-(truth, prediction) counts collapse to a |langs|^2 table
+    * map-side; the share window runs on that bounded table.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cm = TextAnalysis
+      .langId(t(spark, dir, "documents"), "text")
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    cm.withColumn("lang_total", sum(col("n")).over(w))
+      .withColumn("share_micro", expr("(n * 1000000) div lang_total"))
+      .select("lang", "lang_guess", "n", "share_micro")
+      .orderBy("lang", "lang_guess")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_confusion" -> langConfusion _,
     "text_quality_model" -> qualityModel _,
     "text_dsir_select" -> dsirSelect _,
     "text_kn_bigram" -> knBigram _,
@@ -360,6 +380,32 @@ object Ext10Queries {
         |FROM lm12 JOIN lm1 ON lm12.w1 = lm1.w1
         |JOIN cont ON lm12.w2 = cont.w2 CROSS JOIN nbt
         |ORDER BY p_micro DESC, lm12.w1, lm12.w2 LIMIT $KnTopK""".stripMargin,
+    "text_lang_confusion" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the', 'a', 'of', 'and', 'in', 'to', 'is'], lower(x))))
+        |      AS en_hits,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['el', 'la', 'de', 'que', 'y', 'en', 'es'], lower(x))))
+        |      AS es_hits
+        |  FROM base
+        |), g AS (
+        |  SELECT lang,
+        |    CASE WHEN en_hits > es_hits AND en_hits > 0 THEN 'en'
+        |         WHEN es_hits > en_hits AND es_hits > 0 THEN 'es'
+        |         ELSE 'unk' END AS lang_guess
+        |  FROM m
+        |), cm AS (
+        |  SELECT lang, lang_guess, COUNT(*) AS n FROM g
+        |  GROUP BY lang, lang_guess)
+        |SELECT lang, lang_guess, CAST(n AS BIGINT) AS n,
+        |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY lang)
+        |    AS BIGINT) AS share_micro
+        |FROM cm ORDER BY lang, lang_guess""".stripMargin,
     "pipeline_curate2" ->
       s"""WITH tk0 AS (
         |  SELECT doc_id,

@@ -157,6 +157,22 @@ class Ext10OperatorsSpec extends AnyFunSuite {
       s"top negative $got vs exhaustive best $bestSim for anchor $qId")
   }
 
+  test("lang confusion: cells sum to the corpus, shares normalize " +
+      "per declared language") {
+    val cm = Ext10Queries.langConfusion(spark, TestSpark.sfDir)
+      .collect()
+    val nDocs = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet").count()
+    assert(cm.map(_.getLong(2)).sum === nDocs)
+    cm.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val sSum = rs.map(_.getLong(3)).sum
+      assert(sSum <= 1000000L && sSum > 1000000L - rs.length,
+        s"$lang share sum $sSum")
+    }
+    // predictions are only ever en/es/unk (the heuristic's codomain)
+    assert(cm.map(_.getString(1)).toSet.subsetOf(Set("en", "es", "unk")))
+  }
+
   test("curate pipeline: every pick passed the quality gate, per-lang " +
       "cap respected, weights descend within language") {
     val picks = Ext10Queries.curatePipeline(spark, TestSpark.sfDir)
