@@ -32,6 +32,7 @@ class PlanSweepSpec extends AnyFunSuite {
   private val allowCross = Set(
     "sim_cosine_topk", "sim_ann_pq", "sim_pq_rerank",
     "sim_hard_negatives", "text_dsir_select", "text_kn_bigram",
+    "pipeline_curate2",
     "text_corpus_stats",
     "text_ppl_buckets",
     "text_sketch_overlap", "text_sketch_shingles", "text_tfidf",
