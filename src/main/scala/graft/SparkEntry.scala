@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Ext8Queries.queries ++
       operators.Ext9Queries.queries ++
       operators.Ext10Queries.queries ++
+      operators.Ext11Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       operators.Ext8Queries.oracle ++
       operators.Ext9Queries.oracle ++
       operators.Ext10Queries.oracle ++
+      operators.Ext11Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

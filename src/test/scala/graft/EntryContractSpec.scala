@@ -31,6 +31,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext9Queries.oracle),
       ("Ext10Queries", operators.Ext10Queries.queries,
         operators.Ext10Queries.oracle),
+      ("Ext11Queries", operators.Ext11Queries.queries,
+        operators.Ext11Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,

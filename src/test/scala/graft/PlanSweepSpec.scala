@@ -29,7 +29,10 @@ class PlanSweepSpec extends AnyFunSuite {
   //    sim_cosine_topk (cross-label filter is the non-equi condition)
   //  - text_dsir_select / text_kn_bigram: 1-row broadcast totals
   //    (tot / nb) cross-joined back — plan-embedded scalars
+  //  - eval_ann_recall: contains the sim_cosine_topk ground-truth
+  //    pass (broadcast-anchor BNLJ over the 8-query eval sample)
   private val allowCross = Set(
+    "eval_ann_recall",
     "sim_cosine_topk", "sim_ann_pq", "sim_pq_rerank",
     "sim_hard_negatives", "text_dsir_select", "text_kn_bigram",
     "pipeline_curate2",
