@@ -162,12 +162,194 @@ object Ext11Queries {
       .orderBy("source")
   }
 
+  /** Perceptual-hash dedup over the binary media path — the image-
+    * dedup operator of a multimodal corpus. The 60-bit aHash comes
+    * from the partition-batched decode stub (byte histogram): bit b
+    * set iff histogram bucket b exceeds the mean, compared on
+    * recovered EXACT integer counts (60*cnt > n) so the fingerprint is
+    * engine-portable. Output is perceptual-exact GROUPS (fingerprint,
+    * member count, kept representative) rather than pairs: grouping is
+    * one hash-partitioned groupBy on the fingerprint — the LAION-style
+    * production shape — and output stays bounded by group count where
+    * a pair listing would grow quadratically inside hot fingerprints
+    * (this corpus: 28% of all pairs within hamming 3, which is the
+    * measured reason pairs are the wrong contract).
+    */
+  def mmPhashDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val media = Multimodal.attachMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media, featureDim = 60)
+    val lens = docs.select(col("doc_id").as("media_id"),
+      octet_length(col("text")).cast("long").as("n"))
+    feats.join(lens, "media_id")
+      .select(col("media_id").as("id"),
+        expr("aggregate(sequence(0, 59), 0L, (acc, b) -> acc + " +
+          "IF(60 * cast(round(element_at(feature, b + 1) * n) as bigint)" +
+          " > n, shiftleft(1L, b), 0L))").as("phash"))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_media"), min(col("id")).as("keep_id"))
+      .filter(col("n_media") > 1)
+      .orderBy("phash")
+  }
+
+  /** MinHash calibration: per band-collision candidate pair, the
+    * 16-seed signature estimate of Jaccard next to the exact value and
+    * the absolute error — the measurement that justifies (or vetoes)
+    * replacing exact verification with signature agreement at scale.
+    * No min-J filter and no size prune: calibration wants the low-J
+    * collisions too. Candidates stay bucket-collision-bounded.
+    */
+  def minhashErr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3).cache()
+    val szOf = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sig = Dedup.minhashSignatures(sh, 16)
+    val bandSig = sig.select(col("id"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (0 until 4).map(r =>
+              col(s"mh${b * 4 + r}")): _*).as("bsig"))
+        }: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"),
+        col("bs.bsig").as("bsig"))
+    val cands = bandSig.as("a").join(bandSig.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bsig") === col("b.bsig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val sigA = sig.select(col("id").as("id_a") +:
+      (0 until 16).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+    val sigB = sig.select(col("id").as("id_b") +:
+      (0 until 16).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    val est = cands.join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("n_agree", (0 until 16).map(i =>
+        when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+        .reduce(_ + _))
+      .select("id_a", "id_b", "n_agree")
+    val common = cands
+      .join(sh.select(col("id").as("id_a"), col("shingle").as("s")),
+        Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle").as("s")),
+        Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    est.join(common, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(szOf.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(szOf.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("n_agree"),
+        expr("(n_agree * 1000000) div 16").as("est_micro"),
+        expr("(common * 1000000) div (sz_a + sz_b - common)")
+          .as("j_micro"))
+      .withColumn("err_micro",
+        abs(col("est_micro") - col("j_micro")))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Event-time freshness audit per event type: last event timestamp,
+    * lag behind the corpus watermark, and a staleness verdict — the
+    * data-quality gate that catches a silently-dead upstream feed.
+    * One map-side-collapsing aggregate + a whole-set window over the
+    * |event_types|-row table.
+    */
+  def freshness(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy()
+    t(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 1000").as("us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max("us").as("last_us"))
+      .withColumn("corpus_last_us", max("last_us").over(all))
+      .withColumn("lag_us", col("corpus_last_us") - col("last_us"))
+      .withColumn("freshness",
+        when(col("lag_us") < 3600L * 1000000L, "fresh")
+          .when(col("lag_us") < 24L * 3600L * 1000000L, "lagging")
+          .otherwise("stale"))
+      .select("event_type", "n_events", "last_us", "lag_us", "freshness")
+      .orderBy("event_type")
+  }
+
+  /** Linear-interpolation resampling onto an hourly grid — the other
+    * half of q36's forward-fill: gaps get the straight line between
+    * the surrounding observations. Anchors and the grid live on
+    * integer hour indices and the 1e-3 value lattice, so the lerp is
+    * one integral division (truncation identical across engines, even
+    * for downward slopes). Two complementary running windows (last
+    * preceding / first following anchor) — no self-join against the
+    * observation table.
+    */
+  def resampleLinear(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .filter(col("user_id") % 10 === 1)
+      .select(col("user_id"),
+        date_trunc("hour", graft.Tables.eventsTsMicros).as("hr"),
+        round(col("value") * 1000).cast("long").as("vm"))
+    val hourly = ev.groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("n"), max(col("vm")).as("vm_hr"))
+    val grid = ev.groupBy("user_id")
+      .agg(min(col("hr")).as("hr0"), max(col("hr")).as("hr1"))
+      .select(col("user_id"), explode(sequence(col("hr0"), col("hr1"),
+        expr("interval 1 hour"))).as("hr"))
+    val wPrev = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("hi", expr("unix_micros(hr) div 3600000000"))
+      .withColumn("v_p", last(col("vm_hr"), ignoreNulls = true).over(wPrev))
+      .withColumn("h_p", last(when(col("vm_hr").isNotNull, col("hi")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("v_n", first(col("vm_hr"), ignoreNulls = true).over(wNext))
+      .withColumn("h_n", first(when(col("vm_hr").isNotNull, col("hi")),
+        ignoreNulls = true).over(wNext))
+      .withColumn("vm_lerp", when(col("h_n") === col("h_p"), col("v_p"))
+        .otherwise(expr(
+          "v_p + ((v_n - v_p) * (hi - h_p)) div (h_n - h_p)")))
+      .select("user_id", "hr", "n", "vm_lerp")
+      .orderBy("user_id", "hr")
+  }
+
+  /** Reciprocal-rank fusion of the sparse (BM25 top-20) and dense
+    * (cosine top-20 for query vector 0) rankings — the standard hybrid
+    * retrieval combiner: rrf(d) = sum over lists of 1/(60 + rank_d),
+    * here on the 1e-6 integer lattice. Both inputs are already bounded
+    * top-k lists, so the fusion itself is a 40-row full-outer join; at
+    * 100 TB the cost lives in the two retrieval legs, which keep their
+    * own scale shapes (inverted stats / bucket-pruned ANN).
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val sparse = Ext6Queries.bm25TopK(spark, dir)
+      .select(col("doc_id"), col("rank").cast("long").as("rank_bm25"))
+    val emb = t(spark, dir, "embeddings")
+    val dense = Similarity
+      .cosineTopK(emb, emb.filter(col("vec_id") === 0), "vec_id",
+        "embedding", k = 20)
+      .select(col("n_id").as("doc_id"), col("rank").cast("long")
+        .as("rank_cos"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + rank_bm25)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_cos)"), lit(0L)))
+      .withColumn("rrf_rank", row_number().over(
+        Window.orderBy(col("rrf_micro").desc, col("doc_id")))
+        .cast("long"))
+      .select("rrf_rank", "doc_id", "rank_bm25", "rank_cos",
+        "rrf_micro")
+      .orderBy("rrf_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_langid_prf" -> langidPrf _,
     "eval_cohen_kappa" -> cohenKappa _,
     "eval_ann_recall" -> annRecall _,
     "ts_ewma" -> ewma _,
     "text_mix_temperature" -> mixTemperature _,
+    "mm_phash_dups" -> mmPhashDups _,
+    "eval_minhash_err" -> minhashErr _,
+    "dq_freshness" -> freshness _,
+    "ts_resample_linear" -> resampleLinear _,
+    "text_rrf_fusion" -> rrfFusion _,
   )
 
   /** Shared confusion-matrix marginal CTE prefix (mirrors
@@ -298,6 +480,194 @@ object Ext11Queries {
         |    // (n_total * n_total - pe_num) AS kappa_micro
         |FROM s""".stripMargin),
     "eval_ann_recall" -> annRecallSql,
+    "mm_phash_dups" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, text, CAST(strlen(text) AS BIGINT) AS n
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT id, n, b.b AS b,
+        |    CAST(len(list_filter(
+        |      list_transform(string_split(text, ''), ch -> ord(ch) % 60),
+        |      x -> x = b.b)) AS BIGINT) AS c
+        |  FROM m, UNNEST(range(0, 60)) AS b(b)
+        |), fp AS (
+        |  SELECT id,
+        |    CAST(SUM(CASE WHEN 60 * c > n THEN CAST(1 AS BIGINT) << b
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cnt GROUP BY id)
+        |SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_media,
+        |  MIN(id) AS keep_id
+        |FROM fp GROUP BY phash
+        |HAVING COUNT(*) > 1
+        |ORDER BY phash""".stripMargin,
+    "eval_minhash_err" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i)
+        |), sig AS (
+        |  SELECT id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+        |  FROM sh, UNNEST(range(0, 16)) AS sd(seed)
+        |  GROUP BY id, seed
+        |), bandsig AS (
+        |  SELECT id, seed // 4 AS band,
+        |    string_agg(mh, ',' ORDER BY seed) AS bsig
+        |  FROM sig GROUP BY id, seed // 4
+        |), cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bandsig a JOIN bandsig b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+        |), agree AS (
+        |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_agree
+        |  FROM cands c
+        |  JOIN sig sa ON sa.id = c.id_a
+        |  JOIN sig sb ON sb.id = c.id_b AND sb.seed = sa.seed
+        |    AND sb.mh = sa.mh
+        |  GROUP BY c.id_a, c.id_b
+        |), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh
+        |  GROUP BY id),
+        |common AS (
+        |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM cands c
+        |  JOIN sh a ON a.id = c.id_a
+        |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT g.id_a, g.id_b, g.n_agree,
+        |  (g.n_agree * 1000000) // 16 AS est_micro,
+        |  (COALESCE(cm.common, 0) * 1000000)
+        |    // (sa.sz + sb.sz - COALESCE(cm.common, 0)) AS j_micro,
+        |  abs((g.n_agree * 1000000) // 16
+        |    - (COALESCE(cm.common, 0) * 1000000)
+        |      // (sa.sz + sb.sz - COALESCE(cm.common, 0))) AS err_micro
+        |FROM agree g
+        |LEFT JOIN common cm ON cm.id_a = g.id_a AND cm.id_b = g.id_b
+        |JOIN sizes sa ON sa.id = g.id_a
+        |JOIN sizes sb ON sb.id = g.id_b
+        |ORDER BY g.id_a, g.id_b""".stripMargin,
+    "dq_freshness" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MAX(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n_events, last_us,
+        |  CAST(MAX(last_us) OVER () - last_us AS BIGINT) AS lag_us,
+        |  CASE
+        |    WHEN MAX(last_us) OVER () - last_us < 3600000000
+        |      THEN 'fresh'
+        |    WHEN MAX(last_us) OVER () - last_us < 86400000000
+        |      THEN 'lagging'
+        |    ELSE 'stale' END AS freshness
+        |FROM s ORDER BY event_type""".stripMargin,
+    "ts_resample_linear" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr,
+        |    CAST(ROUND(value * 1000) AS BIGINT) AS vm
+        |  FROM events WHERE user_id % 10 = 1
+        |), hourly AS (
+        |  SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n,
+        |    MAX(vm) AS vm_hr
+        |  FROM ev GROUP BY user_id, hr
+        |), bounds AS (
+        |  SELECT user_id, MIN(hr) AS hr0, MAX(hr) AS hr1
+        |  FROM ev GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id, CAST(g.hr AS TIMESTAMP) AS hr
+        |  FROM bounds,
+        |    UNNEST(generate_series(hr0, hr1, INTERVAL 1 HOUR)) AS g(hr)
+        |), j AS (
+        |  SELECT g.user_id, g.hr, COALESCE(h.n, 0) AS n, h.vm_hr,
+        |    epoch_us(g.hr) // 3600000000 AS hi
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.user_id = g.user_id AND h.hr = g.hr
+        |), w AS (
+        |  SELECT user_id, hr, n, hi,
+        |    LAST_VALUE(vm_hr IGNORE NULLS) OVER wp AS v_p,
+        |    LAST_VALUE(CASE WHEN vm_hr IS NOT NULL THEN hi END
+        |      IGNORE NULLS) OVER wp AS h_p,
+        |    FIRST_VALUE(vm_hr IGNORE NULLS) OVER wn AS v_n,
+        |    FIRST_VALUE(CASE WHEN vm_hr IS NOT NULL THEN hi END
+        |      IGNORE NULLS) OVER wn AS h_n
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY hr
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, hr, n,
+        |  CASE WHEN h_n = h_p THEN v_p
+        |    ELSE v_p + ((v_n - v_p) * (hi - h_p)) // (h_n - h_p) END
+        |    AS vm_lerp
+        |FROM w ORDER BY user_id, hr""".stripMargin,
+    "text_rrf_fusion" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS dl,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS avgdl_milli
+        |  FROM docs
+        |), tf AS (
+        |  SELECT d.doc_id, d.dl, t.term, COUNT(*) AS tf
+        |  FROM docs d, UNNEST(d.tk) AS t(term)
+        |  WHERE t.term IN ('spark', 'merge', 'window')
+        |  GROUP BY d.doc_id, d.dl, t.term
+        |), idf AS (
+        |  SELECT term, COUNT(*) AS df,
+        |    ln(CAST((SELECT n_docs FROM stats) AS DOUBLE) - COUNT(*)
+        |        + 0.5)
+        |      - ln(COUNT(*) + 0.5) AS idf
+        |  FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id, COUNT(*) AS n_terms_hit,
+        |    CAST(SUM(CAST(round(idf.idf * (tf.tf * 2.2)
+        |      / (tf.tf + (tf.dl * 1000.0
+        |        / (SELECT avgdl_milli FROM stats) * 0.75 + 0.25) * 1.2)
+        |      * 10000, 0) AS BIGINT)) AS BIGINT) AS score_e4
+        |  FROM tf JOIN idf ON idf.term = tf.term
+        |  GROUP BY tf.doc_id
+        |), sparse AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |      (ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rank_bm25
+        |  FROM scored
+        |  QUALIFY rank_bm25 <= 20
+        |), ee AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
+        |), dots AS (
+        |  SELECT e.vec_id AS n_id, SUM(q.x * e.x) AS dot
+        |  FROM ee q JOIN ee e ON q.i = e.i AND e.vec_id <> 0
+        |  WHERE q.vec_id = 0
+        |  GROUP BY e.vec_id
+        |), sims AS (
+        |  SELECT d.n_id,
+        |    ROUND(d.dot / (nq.nrm * ne.nrm), 6) AS sim
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = 0
+        |  JOIN norms ne ON ne.vec_id = d.n_id
+        |), dense AS (
+        |  SELECT n_id AS doc_id, CAST(ROW_NUMBER() OVER
+        |      (ORDER BY sim DESC, n_id) AS BIGINT) AS rank_cos
+        |  FROM sims
+        |  QUALIFY rank_cos <= 20
+        |), fused AS (
+        |  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+        |    s.rank_bm25, d.rank_cos,
+        |    CAST(COALESCE(1000000 // (60 + s.rank_bm25), 0)
+        |      + COALESCE(1000000 // (60 + d.rank_cos), 0) AS BIGINT)
+        |      AS rrf_micro
+        |  FROM sparse s FULL OUTER JOIN dense d ON d.doc_id = s.doc_id)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id)
+        |    AS BIGINT) AS rrf_rank,
+        |  doc_id, rank_bm25, rank_cos, rrf_micro
+        |FROM fused ORDER BY rrf_rank""".stripMargin,
     "ts_ewma" ->
       """WITH v AS (
         |  SELECT user_id, event_id,

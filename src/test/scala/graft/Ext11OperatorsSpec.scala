@@ -110,6 +110,146 @@ class Ext11OperatorsSpec extends AnyFunSuite {
     assert(reported === ann.intersect(truth).size.toLong)
   }
 
+  test("phash groups: replay the fingerprint for every keeper") {
+    val groups = Ext11Queries.mmPhashDups(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(groups.nonEmpty)
+    assert(groups.forall(_._2 > 1L), "every group has >1 member")
+    val textOf = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def phashOf(text: String): Long = {
+      val bytes = text.getBytes("UTF-8")
+      val hist = new Array[Long](60)
+      bytes.foreach(b => hist(java.lang.Byte.toUnsignedInt(b) % 60) += 1)
+      (0 until 60).map(b =>
+        if (60L * hist(b) > bytes.length) 1L << b else 0L).sum
+    }
+    groups.foreach { case (ph, _, keepId) =>
+      assert(phashOf(textOf(keepId)) === ph, s"keeper $keepId")
+    }
+    // groups are disjoint by construction; member mass fits the corpus
+    assert(groups.map(_._2).sum <= textOf.size.toLong)
+  }
+
+  test("minhash calibration: exact dups estimate exactly, error is " +
+      "consistent") {
+    val rows = Ext11Queries.minhashErr(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (agree, est, j, err) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(agree >= 4L && agree <= 16L) // band collision => >=4 seeds
+      assert(est === agree * 1000000L / 16L)
+      assert(err === math.abs(est - j))
+      assert(j >= 0L && j <= 1000000L)
+    }
+  }
+
+  test("minhash calibration: an exact dup agrees 16/16 with zero " +
+      "error (controlled fixture)") {
+    // no driver fixture contains byte-identical documents, so the
+    // deterministic direction (J=1 => identical signatures) needs a
+    // controlled corpus: two identical docs + one overlapping decoy
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mh").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta other words here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Ext11Queries.minhashErr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    val (agree, j, err) = rows((0L, 1L))
+    assert(agree === 16L)
+    assert(j === 1000000L)
+    assert(err === 0L)
+  }
+
+  test("freshness: watermark row is fresh, verdicts match thresholds") {
+    val rows = Ext11Queries.freshness(spark, TestSpark.sfDir).collect()
+    assert(rows.map(_.getLong(3)).count(_ == 0L) >= 1,
+      "some type carries the corpus watermark")
+    rows.foreach { r =>
+      val (lag, verdict) = (r.getLong(3), r.getString(4))
+      val expected =
+        if (lag < 3600L * 1000000L) "fresh"
+        else if (lag < 24L * 3600L * 1000000L) "lagging"
+        else "stale"
+      assert(verdict === expected, r.getString(0))
+    }
+  }
+
+  test("linear resample: anchors exact, gap rows between neighbours") {
+    val rows = Ext11Queries.resampleLinear(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // recompute hourly anchors from raw events
+    val anchors = spark.read
+      .parquet(s"${TestSpark.sfDir}/events.parquet")
+      .filter(col("user_id") % 10 === 1)
+      .select(col("user_id"),
+        date_trunc("hour", graft.Tables.eventsTsMicros).as("hr"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"))
+      .groupBy("user_id", "hr").agg(max("vm").as("vm_hr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getLong(2))
+      .toMap
+    var gapChecked = 0
+    rows.groupBy(_.getLong(0)).foreach { case (uid, urows) =>
+      val ordered = urows.sortBy(_.getTimestamp(1).getTime)
+      ordered.foreach { r =>
+        val key = (uid, r.getTimestamp(1))
+        if (r.getLong(2) > 0L)
+          assert(r.getLong(3) === anchors(key), s"anchor $key")
+      }
+      // every gap value lies within [min, max] of surrounding anchors
+      val vs = ordered.map(r =>
+        (r.getLong(2) > 0L, r.getLong(3)))
+      vs.indices.filter(i => !vs(i)._1).foreach { i =>
+        val prev = (i - 1 to 0 by -1).find(j => vs(j)._1).map(vs(_)._2)
+        val next = (i + 1 until vs.length).find(j => vs(j)._1)
+          .map(vs(_)._2)
+        (prev, next) match {
+          case (Some(p), Some(n2)) =>
+            val lo = math.min(p, n2); val hi = math.max(p, n2)
+            assert(vs(i)._2 >= lo && vs(i)._2 <= hi, s"user $uid gap $i")
+            gapChecked += 1
+          case _ => fail(s"gap row outside anchor span: user $uid")
+        }
+      }
+    }
+    assert(gapChecked > 0, "fixture must actually contain gaps")
+  }
+
+  test("rrf fusion equals recombining the two retrieval legs") {
+    import graft.operators.{Ext6Queries, Similarity}
+    val sparse = Ext6Queries.bm25TopK(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(1) -> r.getInt(0).toLong).toMap
+    val emb = spark.read
+      .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val dense = Similarity.cosineTopK(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+      .collect().map(r => r.getLong(1) -> r.getInt(3).toLong).toMap
+    val fused = Ext11Queries.rrfFusion(spark, TestSpark.sfDir).collect()
+    assert(fused.map(_.getLong(1)).toSet ===
+      sparse.keySet ++ dense.keySet)
+    fused.foreach { r =>
+      val doc = r.getLong(1)
+      val expected =
+        sparse.get(doc).map(rk => 1000000L / (60L + rk)).getOrElse(0L) +
+          dense.get(doc).map(rk => 1000000L / (60L + rk)).getOrElse(0L)
+      assert(r.getLong(4) === expected, s"doc $doc")
+    }
+    // ranks are a permutation of 1..n
+    assert(fused.map(_.getLong(0)).sorted.toSeq ===
+      (1L to fused.length.toLong))
+  }
+
   test("temperature scaling flattens the mixture but keeps order") {
     val rows = Ext11Queries.mixTemperature(spark, TestSpark.sfDir)
       .collect()

@@ -31,8 +31,10 @@ class PlanSweepSpec extends AnyFunSuite {
   //    (tot / nb) cross-joined back — plan-embedded scalars
   //  - eval_ann_recall: contains the sim_cosine_topk ground-truth
   //    pass (broadcast-anchor BNLJ over the 8-query eval sample)
+  //  - text_rrf_fusion: composes text_bm25_topk (1-row corpus-stats
+  //    broadcast) and the single-query cosine leg (broadcast-anchor)
   private val allowCross = Set(
-    "eval_ann_recall",
+    "eval_ann_recall", "text_rrf_fusion",
     "sim_cosine_topk", "sim_ann_pq", "sim_pq_rerank",
     "sim_hard_negatives", "text_dsir_select", "text_kn_bigram",
     "pipeline_curate2",
