@@ -170,7 +170,12 @@ object Bench {
       // (hard negatives), retraction IVM, vocab pair explode (bpe)
       "embed_pca_power", "text_dsir_select", "text_kn_bigram",
       "text_quality_model", "sim_hard_negatives", "cdc_ivm_agg",
-      "cdc_ivm_join", "tok_bpe_first_merge", "ev_markov_transitions")
+      "cdc_ivm_join", "tok_bpe_first_merge", "ev_markov_transitions",
+      // round-4 batch-4/5 additions: decode-stub fingerprint groupBy,
+      // banded calibration join, 8-lag window, grid interpolation,
+      // fused retrieval legs
+      "mm_phash_dups", "eval_minhash_err", "ts_ewma",
+      "ts_resample_linear", "text_rrf_fusion")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

@@ -116,6 +116,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "morton", (exprs: Seq[Expression]) =>
         mortonExpr(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hilbert", (exprs: Seq[Expression]) =>
+        hilbertExpr(exprs.head, exprs(1)), "built-in")
   }
 
   /** Karp-Rabin rolling hash of a string (base 257, 64-bit wraparound)
@@ -207,6 +210,80 @@ object GraftFunctions {
         r: Expression) = copy(left = l, right = r)
   }
 
+  /** Hilbert-curve index (order 16) of two coordinates — the other
+    * multi-dimensional clustering key next to `morton`: the Hilbert
+    * walk never jumps (consecutive indices are grid neighbours), so
+    * per-file bounding boxes come out tighter than z-order's bit
+    * interleave on range-heavy workloads, at the cost of this
+    * iterative transform. The classic xy2d loop (Warren, Hacker's
+    * Delight §16; public domain formulation) runs 16 rounds of
+    * quadrant-fold + rotate; codegen emits the same loop so the write
+    * path stays inside whole-stage codegen. Inputs are masked to 16
+    * bits in BOTH eval paths.
+    */
+  case class HilbertIndex(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.LongType
+    override def prettyName: String = "hilbert"
+    private def xy2d(xi: Long, yi: Long): Long = {
+      var x = xi & 0xffffL
+      var y = yi & 0xffffL
+      var d = 0L
+      var s = 1L << 15
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.valueOf(xy2d(a.asInstanceOf[Number].longValue,
+        b.asInstanceOf[Number].longValue))
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val d = ctx.freshName("d")
+        val s = ctx.freshName("s")
+        val rx = ctx.freshName("rx")
+        val ry = ctx.freshName("ry")
+        val t = ctx.freshName("t")
+        s"""
+          |long $x = $a & 0xffffL;
+          |long $y = $b & 0xffffL;
+          |long $d = 0L;
+          |for (long $s = 1L << 15; $s > 0; $s >>= 1) {
+          |  long $rx = (($x & $s) > 0) ? 1L : 0L;
+          |  long $ry = (($y & $s) > 0) ? 1L : 0L;
+          |  $d += $s * $s * ((3L * $rx) ^ $ry);
+          |  if ($ry == 0) {
+          |    if ($rx == 1) { $x = $s - 1 - $x; $y = $s - 1 - $y; }
+          |    long $t = $x; $x = $y; $y = $t;
+          |  }
+          |}
+          |${ev.value} = $d;
+          |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression) = copy(left = l, right = r)
+  }
+
+  /** Build a HilbertIndex with integral inputs cast to long. */
+  def hilbertExpr(a: Expression, b: Expression): Expression = {
+    def toLong(e: Expression) =
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.LongType)
+    HilbertIndex(toLong(a), toLong(b))
+  }
+
   /** Build a MortonInterleave with integral inputs cast to long
     * (AbstractDataType is sql-private, so casts replace
     * ExpectsInputTypes here).
@@ -223,6 +300,11 @@ object GraftFunctions {
   /** Column-API form of `morton` (no registration needed). */
   def morton(a: Column, b: Column): Column =
     ColumnBridge.column(mortonExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-API form of `hilbert`. */
+  def hilbert(a: Column, b: Column): Column =
+    ColumnBridge.column(hilbertExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column-API form of `rolling_hash`. */

@@ -339,7 +339,34 @@ object Ext11Queries {
       .orderBy("rrf_rank")
   }
 
+  /** Hilbert-curve layout audit — the locality-preserving alternative
+    * to layout_zorder (same audit contract: bucket by the high bits of
+    * the space-filling index, report per-bucket bounding boxes in both
+    * dimensions = the parquet min/max stats a writer would record).
+    * The Hilbert walk never jumps between consecutive indices, so
+    * buckets tile the (custkey, day) plane in connected regions where
+    * z-order buckets straddle bit-boundary seams; lakehouse writers
+    * offer both orders for exactly this trade. Index = the codegen'd
+    * `hilbert` expression; the oracle replays the 16-round quadrant
+    * fold as a recursive CTE.
+    */
+  def hilbertLayout(spark: SparkSession, dir: String): DataFrame = {
+    val day = "datediff(o_orderdate, date'1992-01-01')"
+    t(spark, dir, "orders")
+      .withColumn("h", graft.functions.GraftFunctions.hilbert(
+        expr("o_custkey & 65535"), expr(s"($day) & 65535")))
+      .withColumn("hbucket", expr("shiftright(h, 16)"))
+      .groupBy(col("hbucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_custkey")).as("cust_min"),
+        max(col("o_custkey")).as("cust_max"),
+        min(expr(day)).cast("long").as("day_min"),
+        max(expr(day)).cast("long").as("day_max"))
+      .orderBy("hbucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_hilbert" -> hilbertLayout _,
     "eval_langid_prf" -> langidPrf _,
     "eval_cohen_kappa" -> cohenKappa _,
     "eval_ann_recall" -> annRecall _,
@@ -460,6 +487,49 @@ object Ext11Queries {
       |ORDER BY tn.q_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the 16-round xy2d quadrant fold replayed as a recursive CTE over
+    // the DISTINCT (x, y) points; d accumulates s^2 * (3*rx XOR ry),
+    // then reflect-and-swap rotates the frame for the next round
+    "layout_hilbert" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', DATE '1992-01-01', o_orderdate) AS day
+        |  FROM orders
+        |), dpts AS (
+        |  SELECT DISTINCT CAST(o_custkey & 65535 AS BIGINT) AS x0,
+        |    CAST(day & 65535 AS BIGINT) AS y0
+        |  FROM pts
+        |), hil AS (
+        |  SELECT x0, y0, x0 AS x, y0 AS y,
+        |    CAST(32768 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+        |  FROM dpts
+        |  UNION ALL
+        |  SELECT x0, y0,
+        |    CASE WHEN ry = 0 THEN
+        |      (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END)
+        |    ELSE x END AS x,
+        |    CASE WHEN ry = 0 THEN
+        |      (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END)
+        |    ELSE y END AS y,
+        |    s // 2 AS s,
+        |    d + s * s * xor(3 * rx, ry) AS d
+        |  FROM (
+        |    SELECT x0, y0, x, y, s, d,
+        |      CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+        |      CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+        |    FROM hil WHERE s > 0)
+        |), hd AS (
+        |  SELECT x0, y0, d FROM hil WHERE s = 0)
+        |SELECT hd.d >> 16 AS hbucket, CAST(COUNT(*) AS BIGINT)
+        |    AS n_orders,
+        |  MIN(p.o_custkey) AS cust_min, MAX(p.o_custkey) AS cust_max,
+        |  CAST(MIN(p.day) AS BIGINT) AS day_min,
+        |  CAST(MAX(p.day) AS BIGINT) AS day_max
+        |FROM pts p
+        |JOIN hd ON hd.x0 = (p.o_custkey & 65535)
+        |  AND hd.y0 = (p.day & 65535)
+        |GROUP BY hbucket
+        |ORDER BY hbucket""".stripMargin,
     "eval_langid_prf" -> (marginalsCte +
       """SELECT cls, rn AS n_true, cn AS n_pred, dn AS tp,
         |  CASE WHEN cn > 0 THEN (dn * 1000000) // cn END AS prec_micro,

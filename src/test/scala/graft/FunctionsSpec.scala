@@ -67,6 +67,46 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql === naive(3, 5))
   }
 
+  test("hilbert: d2xy roundtrip, curve continuity, codegen == SQL path") {
+    // independent inverse (d2xy) — walking it back must recover d
+    def d2xy(di: Long): (Long, Long) = {
+      var (x, y, d) = (0L, 0L, di)
+      var s = 1L
+      while (s < (1L << 16)) {
+        val rx = 1L & (d / 2)
+        val ry = 1L & (d ^ rx)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        x += s * rx
+        y += s * ry
+        d /= 4
+        s *= 2
+      }
+      (x, y)
+    }
+    val rnd = new scala.util.Random(7)
+    val ds = Seq(0L, 1L, 2L, 3L, (1L << 32) - 1) ++
+      Seq.fill(40)(math.abs(rnd.nextLong()) % (1L << 32))
+    val pts = ds.map(d2xy)
+    val got = pts.toDF("x", "y")
+      .select(GraftFunctions.hilbert($"x", $"y").as("h"))
+      .as[Long].collect()
+    ds.zip(got).foreach { case (d, h) => assert(h === d, s"d=$d") }
+    // continuity: consecutive indices are grid neighbours
+    (0L until 1000L).sliding(2).foreach { case Seq(a, b) =>
+      val (xa, ya) = d2xy(a); val (xb, yb) = d2xy(b)
+      assert(math.abs(xa - xb) + math.abs(ya - yb) === 1L, s"step $a")
+    }
+    // registry path + high-bit masking agree with the Column path
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT hilbert(70003, 5)").head.getLong(0)
+    val viaCol = Seq((70003L, 5L)).toDF("a", "b")
+      .select(GraftFunctions.hilbert($"a", $"b")).head.getLong(0)
+    assert(viaSql === viaCol)
+  }
+
   test("strptime translation covers the README format") {
     // DateTime::Parse('%Y-%m-%d %H:%M:%S %Z') — README.md:91
     assert(GraftFunctions.strptimeToSpark("%Y-%m-%d %H:%M:%S %Z") ===

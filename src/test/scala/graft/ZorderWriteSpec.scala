@@ -78,4 +78,40 @@ class ZorderWriteSpec extends AnyFunSuite {
     // and the layout must beat the single-column sort on its weak dim
     assert(zDay < sDay / 2.0, s"z day $zDay vs cust-sorted day $sDay")
   }
+
+  test("hilbert-ordered write keeps per-file boxes tight in both " +
+      "dimensions too") {
+    val day = "datediff(o_orderdate, date'1992-01-01')"
+    val orders = Tables.t(spark, TestSpark.sfDir, "orders")
+      .withColumn("day", expr(day).cast("long"))
+      .select("o_orderkey", "o_custkey", "day")
+    val g = orders.agg(
+      (max("o_custkey") - min("o_custkey")).cast("long"),
+      (max("day") - min("day")).cast("long")).head()
+    val (custSpan, daySpan) = (g.getLong(0), g.getLong(1))
+    val hDir = Files.createTempDirectory("hilbert").toString + "/t"
+    orders
+      .withColumn("cust_r",
+        (percent_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy("o_custkey")) * 255).cast("long"))
+      .withColumn("day_r",
+        (percent_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy("day")) * 255).cast("long"))
+      // ranks are 8-bit; shift into the high bits of the 16-bit
+      // hilbert domain so the curve order matches the rank scale
+      .withColumn("h", GraftFunctions.hilbert(
+        shiftleft(col("cust_r"), 8), shiftleft(col("day_r"), 8)))
+      .repartitionByRange(16, col("h"))
+      .sortWithinPartitions("h")
+      .write.parquet(hDir)
+    def avg(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    val hCust = avg(perFileSpans(hDir, "o_custkey"))
+    val hDay = avg(perFileSpans(hDir, "day"))
+    // same contract as the z-layout: both dimensions stay bounded, so
+    // min/max stats prune on either filter column
+    assert(hCust < custSpan * 0.6,
+      s"hilbert cust span $hCust vs global $custSpan")
+    assert(hDay < daySpan * 0.6,
+      s"hilbert day span $hDay vs global $daySpan")
+  }
 }
