@@ -253,6 +253,51 @@ object DataQuality {
     * partial-combinable); output is the bounded group table with the
     * l >= 3 release flag.
     */
+  /** t-closeness — completing the k-anonymity / l-diversity /
+    * t-closeness privacy trio: per quasi-identifier group, the earth-
+    * mover's distance (ordered categorical domain) between the group's
+    * sensitive-attribute distribution and the global one. Everything
+    * stays exact-rational on the shared denominator lattice:
+    * EMD = sum_i |cumQ_i/n_g - cumP_i/N| / (m-1) is computed as
+    * (sum_i |cumQ_i*N - cumP_i*n_g| * 1e6) div (n_g*N*(m-1)).
+    * Shape: two bounded aggregates (groups, global band histogram),
+    * dense grid = groups x broadcast band domain (|bands| <= 7), one
+    * cumulative window per group — never a scan-sized shuffle.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("band"))
+    val groups = cust.groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_g"))
+    val gband = cust.groupBy("c_nationkey", "c_mktsegment", "band")
+      .agg(count(lit(1)).as("c_gb"))
+    val global = cust.groupBy("band").agg(count(lit(1)).as("c_b"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey", "c_mktsegment").orderBy("band")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey", "c_mktsegment")
+    groups.crossJoin(broadcast(global))
+      .join(gband, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .na.fill(0L, Seq("c_gb"))
+      .withColumn("cum_g", sum("c_gb").over(wCum))
+      .withColumn("cum_p", sum("c_b").over(wCum))
+      .withColumn("nn", sum("c_b").over(wGrp))
+      .withColumn("m", count(lit(1)).over(wGrp))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(max("n_g").as("n_g"),
+        sum(abs(col("cum_g") * col("nn") - col("cum_p") * col("n_g")))
+          .as("diff_sum"),
+        max("nn").as("nn"), max("m").as("m"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+        expr("(diff_sum * 1000000) div (n_g * nn * (m - 1))")
+          .as("emd_micro"))
+      .withColumn("t_ok", col("emd_micro") <= 200000L)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   def lDiversity(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "customer")
       .select(col("c_nationkey"), col("c_mktsegment"),
@@ -269,7 +314,8 @@ object DataQuality {
     "dq_checks" -> checks _,
     "dq_drift" -> drift _,
     "dq_k_anonymity" -> kAnonymity _,
-    "dq_l_diversity" -> lDiversity _)
+    "dq_l_diversity" -> lDiversity _,
+    "dq_t_closeness" -> tCloseness _)
 
   private val profileOracle: String = {
     val blocks = lineitemCols.map { case (c, k) =>
@@ -424,5 +470,51 @@ FROM lineitem"""
         |    AS l_ok
         |FROM customer
         |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "dq_t_closeness" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS band
+        |  FROM customer
+        |), grp AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(COUNT(*) AS BIGINT) AS n_g
+        |  FROM cust GROUP BY c_nationkey, c_mktsegment
+        |), gband AS (
+        |  SELECT c_nationkey, c_mktsegment, band,
+        |    CAST(COUNT(*) AS BIGINT) AS c_gb
+        |  FROM cust GROUP BY c_nationkey, c_mktsegment, band
+        |), gl AS (
+        |  SELECT band, CAST(COUNT(*) AS BIGINT) AS c_b FROM cust
+        |  GROUP BY band
+        |), grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.band, b.c_b,
+        |    COALESCE(gb.c_gb, 0) AS c_gb
+        |  FROM grp g CROSS JOIN gl b
+        |  LEFT JOIN gband gb ON gb.c_nationkey = g.c_nationkey
+        |    AND gb.c_mktsegment = g.c_mktsegment AND gb.band = b.band
+        |), cum AS (
+        |  SELECT c_nationkey, c_mktsegment, n_g,
+        |    SUM(c_gb) OVER w AS cum_g,
+        |    SUM(c_b) OVER w AS cum_p,
+        |    SUM(c_b) OVER wg AS nn,
+        |    COUNT(*) OVER wg AS m
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+        |    ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW),
+        |  wg AS (PARTITION BY c_nationkey, c_mktsegment)
+        |), agg AS (
+        |  SELECT c_nationkey, c_mktsegment, MAX(n_g) AS n_g,
+        |    CAST(SUM(abs(cum_g * nn - cum_p * n_g)) AS BIGINT)
+        |      AS diff_sum,
+        |    MAX(nn) AS nn, MAX(m) AS m
+        |  FROM cum GROUP BY c_nationkey, c_mktsegment)
+        |SELECT c_nationkey, c_mktsegment, n_g,
+        |  CAST((diff_sum * 1000000) // (n_g * nn * (m - 1)) AS BIGINT)
+        |    AS emd_micro,
+        |  (diff_sum * 1000000) // (n_g * nn * (m - 1)) <= 200000
+        |    AS t_ok
+        |FROM agg
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin)
 }

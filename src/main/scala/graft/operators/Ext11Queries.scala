@@ -365,7 +365,39 @@ object Ext11Queries {
       .orderBy("hbucket")
   }
 
+  /** Matryoshka truncation fidelity: overlap@10 between the full
+    * 64-dim cosine ranking and the ranking over the first 16
+    * dimensions only — the measurement behind serving truncated
+    * (matryoshka) embeddings at a fraction of the storage/compute.
+    * Cosine normalizes per-vector, so no renorm step is needed for
+    * rank order; both legs share the brute-force-on-a-sample contract
+    * of eval_ann_recall.
+    */
+  def matryoshkaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 8)
+    val full = Similarity
+      .cosineTopK(emb, qs, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id")
+    val embT = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val trunc = Similarity
+      .cosineTopK(embT, embT.filter(col("vec_id") < 8), "vec_id",
+        "embedding", k = 10)
+      .select("q_id", "n_id")
+    val fn = full.groupBy("q_id").agg(count(lit(1)).as("n_full"))
+    val tn = trunc.groupBy("q_id").agg(count(lit(1)).as("n_trunc"))
+    val ov = full.join(trunc, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+    fn.join(tn, Seq("q_id"), "left").join(ov, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_trunc", "n_overlap"))
+      .withColumn("overlap_micro",
+        expr("(n_overlap * 1000000) div n_full"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_matryoshka_overlap" -> matryoshkaOverlap _,
     "layout_hilbert" -> hilbertLayout _,
     "eval_langid_prf" -> langidPrf _,
     "eval_cohen_kappa" -> cohenKappa _,
@@ -550,6 +582,62 @@ object Ext11Queries {
         |    // (n_total * n_total - pe_num) AS kappa_micro
         |FROM s""".stripMargin),
     "eval_ann_recall" -> annRecallSql,
+    "eval_matryoshka_overlap" ->
+      """WITH ee AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), fnorms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee GROUP BY vec_id
+        |), fdots AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id, SUM(q.x * e.x) AS dot
+        |  FROM ee q JOIN ee e ON q.i = e.i AND q.vec_id <> e.vec_id
+        |  WHERE q.vec_id < 8
+        |  GROUP BY q.vec_id, e.vec_id
+        |), full_top AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT d.q_id, d.n_id, ROW_NUMBER() OVER (
+        |      PARTITION BY d.q_id ORDER BY
+        |        ROUND(d.dot / (nq.nrm * ne.nrm), 6) DESC, d.n_id) AS rank
+        |    FROM fdots d
+        |    JOIN fnorms nq ON nq.vec_id = d.q_id
+        |    JOIN fnorms ne ON ne.vec_id = d.n_id) WHERE rank <= 10
+        |), te AS (
+        |  SELECT vec_id, i, x FROM ee WHERE i <= 16
+        |), tnorms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM te GROUP BY vec_id
+        |), tdots AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id, SUM(q.x * e.x) AS dot
+        |  FROM te q JOIN te e ON q.i = e.i AND q.vec_id <> e.vec_id
+        |  WHERE q.vec_id < 8
+        |  GROUP BY q.vec_id, e.vec_id
+        |), trunc_top AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT d.q_id, d.n_id, ROW_NUMBER() OVER (
+        |      PARTITION BY d.q_id ORDER BY
+        |        ROUND(d.dot / (nq.nrm * ne.nrm), 6) DESC, d.n_id) AS rank
+        |    FROM tdots d
+        |    JOIN tnorms nq ON nq.vec_id = d.q_id
+        |    JOIN tnorms ne ON ne.vec_id = d.n_id) WHERE rank <= 10
+        |), fn AS (
+        |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_full FROM full_top
+        |  GROUP BY q_id
+        |), tn AS (
+        |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_trunc FROM trunc_top
+        |  GROUP BY q_id
+        |), ov AS (
+        |  SELECT f.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |  FROM full_top f JOIN trunc_top t2
+        |    ON t2.q_id = f.q_id AND t2.n_id = f.n_id
+        |  GROUP BY f.q_id)
+        |SELECT fn.q_id, fn.n_full, COALESCE(tn.n_trunc, 0) AS n_trunc,
+        |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |  CAST((COALESCE(ov.n_overlap, 0) * 1000000) // fn.n_full
+        |    AS BIGINT) AS overlap_micro
+        |FROM fn
+        |LEFT JOIN tn ON tn.q_id = fn.q_id
+        |LEFT JOIN ov ON ov.q_id = fn.q_id
+        |ORDER BY fn.q_id""".stripMargin,
     "mm_phash_dups" ->
       """WITH m AS (
         |  SELECT doc_id AS id, text, CAST(strlen(text) AS BIGINT) AS n

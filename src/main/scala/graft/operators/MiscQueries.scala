@@ -346,6 +346,26 @@ object MiscQueries {
     * revenue stays decimal(28,2)-exact until the final display cast,
     * so the max-equality join can never be bitten by FP ties.
     */
+  /** NOT IN with a NULLABLE subquery column — the null-aware anti
+    * join. Plain anti-join semantics ("no matching row") and NOT IN
+    * semantics ("no match AND no NULL in the list") differ exactly
+    * when the subquery can produce NULL; Spark plans this as a
+    * null-aware broadcast hash join (streamed side checks the
+    * one-null flag), which is the engine feature this query pins.
+    * NULLIF keeps the column nullable at plan time without actually
+    * producing a NULL, so the result is non-empty and deterministic;
+    * the spec exercises the real-NULL path (result must go empty).
+    */
+  def nullAwareAnti(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT p_partkey, p_size FROM part
+        |WHERE p_size NOT IN (
+        |  SELECT NULLIF(l_linenumber + 10, 0) FROM lineitem
+        |  WHERE l_quantity > 45)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
   def topSupplierView(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val rev = li
@@ -366,6 +386,7 @@ object MiscQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_null_aware_anti_join" -> nullAwareAnti _,
     "q55_top_supplier_view" -> topSupplierView _,
     "q29_null_semantics" -> nullSemantics _,
     "q28_window_analytics" -> windowAnalytics _,
@@ -389,6 +410,12 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q56_null_aware_anti_join" ->
+      """SELECT p_partkey, p_size FROM part
+        |WHERE p_size NOT IN (
+        |  SELECT NULLIF(l_linenumber + 10, 0) FROM lineitem
+        |  WHERE l_quantity > 45)
+        |ORDER BY p_partkey""".stripMargin,
     "q55_top_supplier_view" ->
       """WITH revenue AS (
         |  SELECT l_suppkey,

@@ -140,6 +140,36 @@ class DataQualitySpec extends AnyFunSuite {
     assert(l0.getBoolean(5) === (groups.min >= 5))
   }
 
+  test("t-closeness: EMD recomputed from scratch per group; verdicts " +
+      "match the threshold") {
+    val rows = DataQuality.tCloseness(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    val cust = spark.read
+      .parquet(s"${TestSpark.sfDir}/customer.parquet")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("b"))
+      .collect()
+      .map(r => (r.get(0), r.getString(1), r.getLong(2)))
+    val bands = cust.map(_._3).distinct.sorted
+    val n = cust.length.toLong
+    val globCum = bands.map(b => b -> cust.count(_._3 <= b).toLong).toMap
+    val m = bands.length.toLong
+    rows.foreach { r =>
+      val key = (r.get(0), r.getString(1))
+      val grp = cust.filter(c => (c._1, c._2) == key)
+      val ng = grp.length.toLong
+      assert(r.getLong(2) === ng)
+      val diffSum = bands.map { b =>
+        val cumG = grp.count(_._3 <= b).toLong
+        math.abs(cumG * n - globCum(b) * ng)
+      }.sum
+      val emd = diffSum * 1000000L / (ng * n * (m - 1))
+      assert(r.getLong(3) === emd, s"group $key")
+      assert(r.getBoolean(4) === (emd <= 200000L))
+      assert(emd >= 0L && emd <= 1000000L)
+    }
+  }
+
   test("l-diversity: distinct-sensitive recount per group") {
     val rows = DataQuality.lDiversity(spark, TestSpark.sfDir).collect()
     assert(rows.nonEmpty)

@@ -250,6 +250,35 @@ class Ext11OperatorsSpec extends AnyFunSuite {
       (1L to fused.length.toLong))
   }
 
+  test("matryoshka overlap equals recombining full and truncated " +
+      "rankings") {
+    import graft.operators.Similarity
+    val emb = spark.read
+      .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    def topSets(e: org.apache.spark.sql.DataFrame) =
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < 8), "vec_id",
+          "embedding", k = 10)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val full = topSets(emb)
+    val trunc = topSets(emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding")))
+    val got = Ext11Queries.matryoshkaOverlap(spark, TestSpark.sfDir)
+      .collect()
+    assert(got.length === 8)
+    got.foreach { r =>
+      val q = r.getLong(0)
+      val expected = full(q).intersect(trunc(q)).size.toLong
+      assert(r.getLong(3) === expected, s"q=$q")
+      assert(r.getLong(4) === expected * 1000000L / r.getLong(1))
+    }
+    // truncation must lose SOMETHING on this fixture (else the test
+    // is vacuous) while keeping most of the ranking
+    val overlaps = got.map(_.getLong(3))
+    assert(overlaps.exists(_ < 10L))
+    assert(overlaps.sum > 0L)
+  }
+
   test("temperature scaling flattens the mixture but keeps order") {
     val rows = Ext11Queries.mixTemperature(spark, TestSpark.sfDir)
       .collect()

@@ -32,6 +32,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(read.split(",").length <= 6, read)
   }
 
+  test("q56 NOT IN plans as a null-aware anti join and respects the " +
+      "poisoned-list semantics") {
+    val df = graft.operators.MiscQueries
+      .queries("q56_null_aware_anti_join")(spark, dir)
+    // the planner must mark the anti join null-aware: a plain anti
+    // join would return rows even when the IN-list contains a NULL.
+    // BroadcastHashJoinExec prints the isNullAwareAntiJoin flag as the
+    // trailing boolean on its plan line.
+    val p = plan(df)
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+    assert(df.count() > 0)
+    // behaviour pin: one NULL in the list empties a NOT IN result
+    import spark.implicits._
+    Seq(Some(1L), None).toDF("v").createOrReplaceTempView("poisoned")
+    Seq(5L, 6L).toDF("x").createOrReplaceTempView("probe_vals")
+    assert(spark.sql(
+      "SELECT x FROM probe_vals WHERE x NOT IN (SELECT v FROM poisoned)")
+      .count() === 0L)
+  }
+
   test("q39 lateral top-n decorrelates to a bounded group limit") {
     val p = plan(graft.operators.Ext3Queries.lateralTopN(spark, dir))
     // Catalyst rewrites the correlated LIMIT to WindowGroupLimit with

@@ -33,8 +33,13 @@ class PlanSweepSpec extends AnyFunSuite {
   //    pass (broadcast-anchor BNLJ over the 8-query eval sample)
   //  - text_rrf_fusion: composes text_bm25_topk (1-row corpus-stats
   //    broadcast) and the single-query cosine leg (broadcast-anchor)
+  //  - eval_matryoshka_overlap: two sim_cosine_topk legs (broadcast-
+  //    anchor BNLJ over the 8-query eval sample)
+  //  - dq_t_closeness: dense grid = groups x broadcast band-domain
+  //    aggregate (<= 7 rows) — plan-embedded bounded domain
   private val allowCross = Set(
-    "eval_ann_recall", "text_rrf_fusion",
+    "eval_ann_recall", "text_rrf_fusion", "eval_matryoshka_overlap",
+    "dq_t_closeness",
     "sim_cosine_topk", "sim_ann_pq", "sim_pq_rerank",
     "sim_hard_negatives", "text_dsir_select", "text_kn_bigram",
     "pipeline_curate2",
