@@ -396,7 +396,66 @@ object Ext11Queries {
       .orderBy("q_id")
   }
 
+  /** Vocabulary coverage@K — the tokenizer-design curve: what share
+    * of all token OCCURRENCES do the top-K token TYPES cover? The
+    * number that decides vocab size (and the OOV rate a fixed vocab
+    * pays). Shape: one (token)-keyed count shuffle collapses the
+    * corpus to the type table; the global rank window runs on types
+    * (the side that fits — building a vocab IS materializing this
+    * table), and coverage sums are exact integers.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val freq = t(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(lower(col("tok")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val ranked = freq.withColumn("rk", row_number().over(
+      Window.orderBy(col("cnt").desc, col("tok"))))
+    val all = Window.partitionBy()
+    val tot = ranked.withColumn("total_occ", sum("cnt").over(all))
+      .withColumn("n_types_all", count(lit(1)).over(all))
+    Seq(100, 1000).map { k =>
+      tot.filter(col("rk") <= k)
+        .groupBy()
+        .agg(lit(k.toLong).as("k"),
+          count(lit(1)).as("n_types"),
+          sum("cnt").as("covered_occ"),
+          max("total_occ").as("total_occ"))
+    }.reduce(_ unionAll _)
+      .withColumn("coverage_micro",
+        expr("(covered_occ * 1000000) div total_occ"))
+      .orderBy("k")
+  }
+
+  /** Gaps-and-islands: per customer, the longest streak of
+    * consecutive orders (by order date) with strictly rising total
+    * price. The classic islands trick — a running count of streak
+    * RESETS labels each island, island sizes fall out of one keyed
+    * aggregate. All windows are per-customer (hash-partitioned);
+    * nothing global.
+    */
+  def risingStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("rise",
+        when(col("o_totalprice") > lag(col("o_totalprice"), 1).over(w),
+          1L).otherwise(0L))
+      .withColumn("island", sum(lit(1L) - col("rise")).over(wRun))
+    flagged.groupBy("o_custkey", "island")
+      .agg(count(lit(1)).as("island_len"))
+      .groupBy("o_custkey")
+      .agg(sum("island_len").as("n_orders"),
+        (max("island_len") - 1L).as("longest_rising_run"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_coverage" -> vocabCoverage _,
+    "q57_streaks" -> risingStreaks _,
     "eval_matryoshka_overlap" -> matryoshkaOverlap _,
     "layout_hilbert" -> hilbertLayout _,
     "eval_langid_prf" -> langidPrf _,
@@ -582,6 +641,51 @@ object Ext11Queries {
         |    // (n_total * n_total - pe_num) AS kappa_micro
         |FROM s""".stripMargin),
     "eval_ann_recall" -> annRecallSql,
+    "text_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT lower(unnest(string_split_regex(trim(text), '\s+')))
+        |    AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk
+        |  GROUP BY tok
+        |), ranked AS (
+        |  SELECT tok, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk,
+        |    CAST(SUM(cnt) OVER () AS BIGINT) AS total_occ
+        |  FROM freq
+        |), ks AS (SELECT UNNEST([100, 1000]) AS k)
+        |SELECT CAST(ks.k AS BIGINT) AS k,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(r.cnt) AS BIGINT) AS covered_occ,
+        |  MAX(r.total_occ) AS total_occ,
+        |  CAST((SUM(r.cnt) * 1000000) // MAX(r.total_occ) AS BIGINT)
+        |    AS coverage_micro
+        |FROM ks JOIN ranked r ON r.rk <= ks.k
+        |GROUP BY ks.k ORDER BY k""".stripMargin,
+    "q57_streaks" ->
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |    CASE WHEN o_totalprice > lag(o_totalprice, 1) OVER w
+        |      THEN 1 ELSE 0 END AS rise
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)
+        |), isl AS (
+        |  SELECT o_custkey,
+        |    SUM(1 - rise) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM flagged
+        |), sizes AS (
+        |  SELECT o_custkey, island, CAST(COUNT(*) AS BIGINT)
+        |    AS island_len
+        |  FROM isl GROUP BY o_custkey, island)
+        |SELECT o_custkey, CAST(SUM(island_len) AS BIGINT) AS n_orders,
+        |  CAST(MAX(island_len) - 1 AS BIGINT) AS longest_rising_run
+        |FROM sizes GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "eval_matryoshka_overlap" ->
       """WITH ee AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -279,6 +279,57 @@ class Ext11OperatorsSpec extends AnyFunSuite {
     assert(overlaps.sum > 0L)
   }
 
+  test("vocab coverage matches a driver recount and grows with k") {
+    val got = Ext11Queries.vocabCoverage(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val freq = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+      .map(_.toLowerCase)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val total = freq.values.sum
+    val ordered = freq.toSeq.sortBy { case (t, c) => (-c, t) }
+    Seq(100, 1000).foreach { k =>
+      val top = ordered.take(k)
+      val (nTypes, covered, tot, micro) = got(k.toLong)
+      assert(nTypes === top.length.toLong)
+      assert(covered === top.map(_._2).sum)
+      assert(tot === total)
+      assert(micro === covered * 1000000L / total)
+    }
+    assert(got(1000L)._4 >= got(100L)._4)
+  }
+
+  test("rising streaks match a per-customer driver replay") {
+    val got = Ext11Queries.risingStreaks(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val orders = spark.read
+      .parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1)
+          .toEpochSecond(java.time.ZoneOffset.UTC),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.size === orders.map(_._1).distinct.length)
+    orders.groupBy(_._1).foreach { case (cust, rows) =>
+      val prices = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      var best = 0; var run = 0
+      prices.sliding(2).foreach {
+        case Array(a, b) =>
+          run = if (b > a) run + 1 else 0
+          best = math.max(best, run)
+        case _ =>
+      }
+      val (n, longest) = got(cust)
+      assert(n === prices.length.toLong, s"cust $cust")
+      assert(longest === best.toLong, s"cust $cust")
+    }
+  }
+
   test("temperature scaling flattens the mixture but keeps order") {
     val rows = Ext11Queries.mixTemperature(spark, TestSpark.sfDir)
       .collect()
