@@ -453,7 +453,102 @@ object Ext11Queries {
       .orderBy("o_custkey")
   }
 
+  /** RFM segmentation — the classic customer-analytics scoring: per
+    * user, Recency (last event time), Frequency (event count) and
+    * Monetary (value sum on the 1e-3 lattice), each bucketed into
+    * quintiles by NTILE over a TOTAL order (metric, then user_id) so
+    * bucket edges are engine-exact. One keyed aggregate collapses the
+    * events; the three ntile windows run on the per-user table.
+    */
+  def rfmScores(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"))
+      .groupBy("user_id")
+      .agg(max("us").as("last_us"), count(lit(1)).as("n_events"),
+        sum("vm").as("sum_vm"))
+    def quintile(order: Column*): Column =
+      ntile(5).over(Window.orderBy(order: _*)).cast("long")
+    perUser
+      .withColumn("r_score",
+        quintile(col("last_us").desc, col("user_id")))
+      .withColumn("f_score",
+        quintile(col("n_events").desc, col("user_id")))
+      .withColumn("m_score",
+        quintile(col("sum_vm").desc, col("user_id")))
+      .withColumn("segment", concat(col("r_score"), col("f_score"),
+        col("m_score")))
+      .select("user_id", "last_us", "n_events", "sum_vm", "r_score",
+        "f_score", "m_score", "segment")
+      .orderBy("user_id")
+  }
+
+  /** Neighbor-set Jaccard between suppliers over the bipartite
+    * customer-supplier order graph — the link-prediction /
+    * collaborative-filtering similarity. Candidates come from wedge
+    * joins (pairs sharing >= 1 customer), never all-pairs, with the
+    * customer-set sizes carried into one exact integer division; the
+    * output contract is the top-50 most-similar pairs under a total
+    * order (a fixed J threshold is data-dependent — measured: every
+    * qualifying pair at sf0.001 vanishes at sf0.01), planned as
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val sz = edges.groupBy(col("supp")).agg(count(lit(1)).as("sz"))
+    val common = edges.select(col("cust"), col("supp").as("id_a"))
+      .join(edges.select(col("cust"), col("supp").as("id_b")),
+        Seq("cust"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sz.select(col("supp").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(sz.select(col("supp").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
+      .withColumn("j_micro",
+        expr("(common * 1000000) div (sz_a + sz_b - common)"))
+      .select("id_a", "id_b", "common", "j_micro")
+      .orderBy(col("j_micro").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  /** Audio-style frame energy over the binary media path: per sampled
+    * frame, the integer energy sum((code - 32)^2) and an activity
+    * flag — the silence-trim primitive (what VAD does to audio before
+    * a training pipeline keeps the voiced spans). Rides the same
+    * partition-batched frame slicing as mm_frames; energy is exact
+    * integers end-to-end.
+    */
+  def energyFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachMedia(
+      t(spark, dir, "documents"), "doc_id", "text")
+    Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+      .select(col("media_id"), col("frame_no").cast("long")
+        .as("frame_no"),
+        col("frame").cast("string").as("fs"))
+      // per-char fold over the bounded 64-byte frame; sequence(1, 0)
+      // would run DOWNWARD in Spark, so the empty frame is guarded
+      .withColumn("energy", expr(
+        "IF(char_length(fs) = 0, 0L, aggregate(" +
+          "transform(sequence(1, char_length(fs)), " +
+          "i -> (ascii(substring(fs, i, 1)) - 32) " +
+          "* (ascii(substring(fs, i, 1)) - 32)), 0L, " +
+          "(acc, x) -> acc + cast(x as bigint)))"))
+      .select(col("media_id"), col("frame_no"), col("energy"))
+      .withColumn("active", col("energy") > 64L * 1500L)
+      .orderBy("media_id", "frame_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rfm_scores" -> rfmScores _,
+    "graph_jaccard_neighbors" -> jaccardNeighbors _,
+    "mm_energy_frames" -> energyFrames _,
     "text_vocab_coverage" -> vocabCoverage _,
     "q57_streaks" -> risingStreaks _,
     "eval_matryoshka_overlap" -> matryoshkaOverlap _,
@@ -641,6 +736,72 @@ object Ext11Queries {
         |    // (n_total * n_total - pe_num) AS kappa_micro
         |FROM s""".stripMargin),
     "eval_ann_recall" -> annRecallSql,
+    "ev_rfm_scores" ->
+      """WITH u AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+        |      AS sum_vm
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, last_us, n_events, sum_vm,
+        |  CAST(NTILE(5) OVER (ORDER BY last_us DESC, user_id)
+        |    AS BIGINT) AS r_score,
+        |  CAST(NTILE(5) OVER (ORDER BY n_events DESC, user_id)
+        |    AS BIGINT) AS f_score,
+        |  CAST(NTILE(5) OVER (ORDER BY sum_vm DESC, user_id)
+        |    AS BIGINT) AS m_score,
+        |  CAST(NTILE(5) OVER (ORDER BY last_us DESC, user_id)
+        |      AS VARCHAR)
+        |    || CAST(NTILE(5) OVER (ORDER BY n_events DESC, user_id)
+        |      AS VARCHAR)
+        |    || CAST(NTILE(5) OVER (ORDER BY sum_vm DESC, user_id)
+        |      AS VARCHAR) AS segment
+        |FROM u ORDER BY user_id""".stripMargin,
+    "graph_jaccard_neighbors" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), sz AS (
+        |  SELECT supp, CAST(COUNT(*) AS BIGINT) AS sz FROM edges
+        |  GROUP BY supp
+        |), common AS (
+        |  SELECT a.supp AS id_a, b.supp AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM edges a JOIN edges b
+        |    ON b.cust = a.cust AND a.supp < b.supp
+        |  GROUP BY a.supp, b.supp)
+        |SELECT c.id_a, c.id_b, c.common,
+        |  CAST((c.common * 1000000) // (sa.sz + sb.sz - c.common)
+        |    AS BIGINT) AS j_micro
+        |FROM common c
+        |JOIN sz sa ON sa.supp = c.id_a
+        |JOIN sz sb ON sb.supp = c.id_b
+        |ORDER BY j_micro DESC, c.id_a, c.id_b
+        |LIMIT 50""".stripMargin,
+    "mm_energy_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, text,
+        |    unnest(range(0, greatest(
+        |      CAST(ceil(n_bytes / 64.0) AS BIGINT), 1), 2)) AS frame_no
+        |  FROM m
+        |), fr AS (
+        |  SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |    substring(text, CAST(frame_no * 64 + 1 AS BIGINT), 64)
+        |      AS fs
+        |  FROM f)
+        |SELECT media_id, frame_no,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    string_split(fs, ''),
+        |    ch -> CAST((ord(ch) - 32) * (ord(ch) - 32) AS BIGINT))), 0)
+        |    AS BIGINT) AS energy,
+        |  COALESCE(list_sum(list_transform(string_split(fs, ''),
+        |    ch -> CAST((ord(ch) - 32) * (ord(ch) - 32) AS BIGINT))), 0)
+        |    > 64 * 1500 AS active
+        |FROM fr ORDER BY media_id, frame_no""".stripMargin,
     "text_vocab_coverage" ->
       """WITH tk AS (
         |  SELECT lower(unnest(string_split_regex(trim(text), '\s+')))

@@ -330,6 +330,95 @@ class Ext11OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm scores: ntile replay and segment concatenation") {
+    val rows = Ext11Queries.rfmScores(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    // NTILE(5): first (n mod 5) buckets get ceil(n/5) members
+    def ntileOf(rank0: Int): Long = {
+      val base = n / 5; val extra = n % 5
+      val cut = extra * (base + 1)
+      if (rank0 < cut) (rank0 / (base + 1) + 1).toLong
+      else (extra + (rank0 - cut) / base + 1).toLong
+    }
+    def replay(key: org.apache.spark.sql.Row => (Long, Long))
+        : Map[Long, Long] = {
+      rows.sortBy { r => val (m, u) = key(r); (-m, u) }
+        .zipWithIndex
+        .map { case (r, i) => r.getLong(0) -> ntileOf(i) }.toMap
+    }
+    val rRep = replay(r => (r.getLong(1), r.getLong(0)))
+    val fRep = replay(r => (r.getLong(2), r.getLong(0)))
+    val mRep = replay(r => (r.getLong(3), r.getLong(0)))
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      assert(r.getLong(4) === rRep(u), s"r_score user $u")
+      assert(r.getLong(5) === fRep(u), s"f_score user $u")
+      assert(r.getLong(6) === mRep(u), s"m_score user $u")
+      assert(r.getString(7) ===
+        s"${r.getLong(4)}${r.getLong(5)}${r.getLong(6)}")
+    }
+    // quintiles are balanced within one member
+    val sizes = rows.groupBy(_.getLong(4)).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("jaccard neighbors: top-50 equals an all-pairs driver replay") {
+    val got = Ext11Queries.jaccardNeighbors(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val edges = spark.read
+      .parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .join(spark.read
+        .parquet(s"${TestSpark.sfDir}/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = edges.groupBy(_._2).map { case (s, es) =>
+      s -> es.map(_._1).toSet }
+    val supps = bySupp.keys.toSeq.sorted
+    val want = (for {
+      i <- supps.indices; j <- (i + 1) until supps.length
+      a = supps(i); b = supps(j)
+      common = bySupp(a).intersect(bySupp(b)).size.toLong
+      if common > 0
+      jm = common * 1000000L /
+        (bySupp(a).size + bySupp(b).size - common)
+    } yield (a, b, common, jm))
+      .sortBy { case (a, b, _, jm) => (-jm, a, b) }
+      .take(50)
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must produce at least one pair")
+  }
+
+  test("frame energy: replay from document bytes") {
+    val got = Ext11Queries.energyFrames(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.nonEmpty)
+    val docs = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").collect()
+    var checked = 0
+    docs.take(30).foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val nFrames = math.max(math.ceil(text.length / 64.0).toInt, 1)
+      (0 until nFrames by 2).foreach { f =>
+        val fs = text.slice(f * 64, math.min(f * 64 + 64, text.length))
+        val energy = fs.map(ch => (ch.toInt - 32L) * (ch.toInt - 32L))
+          .sum
+        val (e, a) = got((id, f.toLong))
+        assert(e === energy, s"doc $id frame $f")
+        assert(a === (energy > 64L * 1500L))
+        checked += 1
+      }
+    }
+    assert(checked > 10)
+  }
+
   test("temperature scaling flattens the mixture but keeps order") {
     val rows = Ext11Queries.mixTemperature(spark, TestSpark.sfDir)
       .collect()
