@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Ext9Queries.queries ++
       operators.Ext10Queries.queries ++
       operators.Ext11Queries.queries ++
+      operators.Ext12Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       operators.Ext9Queries.oracle ++
       operators.Ext10Queries.oracle ++
       operators.Ext11Queries.oracle ++
+      operators.Ext12Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

@@ -188,9 +188,9 @@ class Ext11OperatorsSpec extends AnyFunSuite {
     val rows = Ext11Queries.resampleLinear(spark, TestSpark.sfDir)
       .collect()
     assert(rows.nonEmpty)
-    // recompute hourly anchors from raw events
-    val anchors = spark.read
-      .parquet(s"${TestSpark.sfDir}/events.parquet")
+    // recompute hourly anchors from raw events (via Tables.t so the
+    // ts-as-nanos-long contract holds regardless of parquet encoding)
+    val anchors = graft.Tables.t(spark, TestSpark.sfDir, "events")
       .filter(col("user_id") % 10 === 1)
       .select(col("user_id"),
         date_trunc("hour", graft.Tables.eventsTsMicros).as("hr"),

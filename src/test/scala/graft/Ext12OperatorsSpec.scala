@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.Ext12Queries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 batch 5 invariants the hash-compare cannot see: the
+  * weighted median satisfies its defining cumulative-weight
+  * inequalities on the raw data, MAD/median are true 50th-percentile
+  * values, ACF is a valid correlation (|r| <= 1) matching a driver
+  * replay, Benford's expected shares decompose exactly, and MIPS
+  * top-k equals an exhaustive driver-side scan.
+  */
+class Ext12OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("weighted median satisfies the cumulative-weight definition") {
+    val out = Ext12Queries.weightedMedian(spark, TestSpark.sfDir)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    val raw = Tables.t(spark, TestSpark.sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)"),
+        expr("cast(round(l_quantity) as bigint)"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (grp, rows) =>
+      val (totW, med) = out(grp)
+      assert(totW === rows.map(_._3).sum)
+      // weight at-or-below the median reaches half the total ...
+      val wLe = rows.filter(_._2 <= med).map(_._3).sum
+      assert(wLe * 2 >= totW, s"grp=$grp")
+      // ... and the median is the LOWEST such value
+      val wLt = rows.filter(_._2 < med).map(_._3).sum
+      assert(wLt * 2 < totW, s"grp=$grp")
+      // the median is an actual data value (disc, not interpolated)
+      assert(rows.exists(_._2 == med), s"grp=$grp")
+    }
+  }
+
+  test("mad outliers: median and MAD are true 50th percentiles " +
+      "and the outlier count matches a driver replay") {
+    val out = Ext12Queries.madOutliers(spark, TestSpark.sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val raw = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(col("event_type"),
+        expr("cast(round(value * 1000) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def medianOf(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      // lowest value whose doubled cumulative count reaches the total
+      s((s.length - 1) / 2)
+    }
+    out.foreach { r =>
+      val (et, n, med, mad, nOut) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val vs = raw.filter(_._1 == et).map(_._2).toSeq
+      assert(n === vs.length)
+      assert(med === medianOf(vs))
+      assert(mad === medianOf(vs.map(v => math.abs(v - med))))
+      assert(nOut === vs.count(v => math.abs(v - med) > 3 * mad))
+    }
+  }
+
+  test("acf matches a driver replay and is a valid correlation") {
+    val out = Ext12Queries.acf(spark, TestSpark.sfDir).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val series = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(expr("(ts div 1000) div 3600000000").as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val lg = r.getLong(0)
+      val pairs = series.toSeq.flatMap { case (hr, x) =>
+        series.get(hr + lg).map(y => (x, y))
+      }
+      assert(r.getLong(1) === pairs.length)
+      assert(r.getLong(2) === pairs.map(_._1).sum)
+      assert(r.getLong(3) === pairs.map(_._2).sum)
+      assert(r.getLong(6) === pairs.map(p => p._1 * p._2).sum)
+      assert(math.abs(r.getDouble(7)) <= 1.0)
+    }
+  }
+
+  test("benford: digits partition the orders and expected shares " +
+      "decompose exactly") {
+    val out = Ext12Queries.benford(spark, TestSpark.sfDir).collect()
+    assert(out.map(_.getLong(0)).toSeq.forall(d => d >= 1 && d <= 9))
+    val nOrders =
+      Tables.t(spark, TestSpark.sfDir, "orders").count()
+    assert(out.map(_.getLong(1)).sum === nOrders)
+    // the 9 Benford literals sum to exactly 1e6 (only for digits
+    // present in the data, so sum the present subset of a full map)
+    val full = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+      8 -> 51153L, 9 -> 45757L)
+    assert(full.values.sum === 1000000L)
+    out.foreach { r =>
+      assert(r.getLong(3) === full(r.getLong(0).toInt))
+      assert(r.getLong(4) === r.getLong(2) - r.getLong(3))
+      // floor-division share is within [0, 1e6]
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L)
+    }
+  }
+
+  test("mips top-k equals an exhaustive driver-side scan for q_id=3") {
+    val out = Ext12Queries.mipsTopK(spark, TestSpark.sfDir)
+      .filter(col("q_id") === 3).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.length === 10)
+    val vecs = Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = vecs.toMap.apply(3L)
+    val best = vecs.filter(_._1 != 3L).map { case (id, v) =>
+      // same fold order as the codegen'd vecDot: sequential over j,
+      // float product widened to double accumulation
+      var acc = 0.0
+      var j = 0
+      while (j < q.length) { acc += q(j).toDouble * v(j).toDouble; j += 1 }
+      (id, BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }.sortBy { case (id, ip) => (-ip, id) }.take(10)
+    out.zip(best).zipWithIndex.foreach { case (((oid, oip, ork),
+        (bid, bip)), i) =>
+      assert(ork === i + 1)
+      assert(oid === bid, s"rank ${i + 1}")
+      assert(math.abs(oip - bip) < 1e-9, s"rank ${i + 1}")
+    }
+  }
+}
