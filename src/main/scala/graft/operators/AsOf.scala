@@ -27,7 +27,25 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, payload,
+      forward = false)
+
+  /** Forward (look-ahead) as-of join: for each left row, the EARLIEST
+    * right row with the same key and rightTime >= leftTime — the
+    * "time to next X" shape (next purchase after a touchpoint, next
+    * quote after a trade). Same union + one-shuffle carry pattern as
+    * [[asofJoin]], scanned in reverse time order; identical plan cost.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, payload,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      payload: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val tagged =
       left.withColumn("__t", col(leftTime))
@@ -46,9 +64,13 @@ object AsOf {
               s"struct<${left.schema.fields.map(f =>
                 s"${f.name}:${f.dataType.catalogString}").mkString(",")}>")
             .as("__l")): _*))
-    // right rows sort BEFORE left rows at equal time: asof is `<=`
+    // right rows sort BEFORE left rows at equal time, in both scan
+    // directions: backward asof is `rightTime <= leftTime`, forward
+    // (reverse-time scan) is `rightTime >= leftTime` — equal times
+    // match either way
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__is_right").desc)
+      .orderBy(if (forward) col("__t").desc else col("__t"),
+        col("__is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = tagged.withColumn("__carry",
       last(col("__p"), ignoreNulls = true).over(w))

@@ -196,12 +196,89 @@ object Ext12Queries {
       .orderBy("q_id", "rank")
   }
 
+  /** Rank-family window surface: percent_rank / cume_dist / nth_value
+    * over a per-priority TOTAL order (price cents, then order key) so
+    * every rank is unique and both engines emit identical doubles —
+    * `(rank-1)/(n-1)` and `rank/n` on integer inputs are exact IEEE
+    * divisions, rounded to the 1e-6 lattice anyway for the contract.
+    * `nth_value` needs the full-partition frame spelled out (the
+    * default frame stops at the current row in both engines).
+    */
+  def windowRankFns(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+      .filter(col("o_custkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val w = Window.partitionBy("prio")
+      .orderBy(col("cents"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    base
+      .withColumn("pr_r6", round(percent_rank().over(w), 6))
+      .withColumn("cd_r6", round(cume_dist().over(w), 6))
+      .withColumn("third_cents", nth_value(col("cents"), 3).over(wFull))
+      .orderBy("prio", "cents", "o_orderkey")
+  }
+
+  /** Time-to-next-purchase attribution: each event joined to the
+    * user's EARLIEST purchase at-or-after its time — the forward twin
+    * of `q14_asof_attrib`, exercising [[AsOf.asofJoinForward]] (union
+    * + ONE key shuffle + reverse-time carry; no range-join blowup).
+    * The purchase side is deduped per (user, ts) with min-event-id
+    * tie-breaks so the as-of pick is total.
+    */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        graft.Tables.eventsTsMicros.as("ts"), col("event_type"),
+        round(col("value") * 1000).cast("long").as("vm"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("next_seq"),
+        min_by(col("vm"), col("event_id")).as("next_vm"))
+    AsOf.asofJoinForward(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("next_seq", "next_vm"))
+      .select("event_id", "user_id", "next_seq", "next_vm")
+      .orderBy("event_id")
+  }
+
+  /** Per-document letter-distribution Shannon entropy in exact
+    * integer micro-nats: each distinct count's ln is quantized to the
+    * 1e-6 lattice ONCE (unigramLogprob's portability contract), so
+    * the per-doc sum is order-independent integer math and
+    * `h_micro = ln(n)·1e6 - (Σ c·ln(c)·1e6) div n` is engine-exact.
+    * Low-entropy docs are the repetition/boilerplate smell the
+    * quality gate wants. Documents with no [a-z] letters are absent
+    * (entropy undefined). One (doc, letter)-keyed aggregate — the
+    * letter domain bounds state at 26/doc.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(
+        expr("regexp_extract_all(lower(text), '[a-z]', 0)")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .withColumn("lnc_micro",
+        round(log(col("c").cast("double")) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_letters"),
+        sum(col("c") * col("lnc_micro")).as("sum_clnc_micro"))
+      .withColumn("h_micro",
+        round(log(col("n_letters").cast("double")) * 1e6).cast("long")
+          - expr("sum_clnc_micro div n_letters"))
+      .select("doc_id", "n_letters", "h_micro")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_weighted_median" -> weightedMedian _,
     "dq_mad_outliers" -> madOutliers _,
     "ts_acf" -> acf _,
     "dq_benford" -> benford _,
     "sim_mips_topk" -> mipsTopK _,
+    "q59_window_rank_fns" -> windowRankFns _,
+    "q60_asof_forward" -> asofForward _,
+    "text_char_entropy" -> charEntropy _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -310,6 +387,55 @@ object Ext12Queries {
         |      WHEN 9 THEN 45757 END AS BIGINT) AS delta_micro
         |FROM g, tot
         |ORDER BY digit""".stripMargin,
+    "q59_window_rank_fns" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderpriority AS prio,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey % 20 = 0)
+        |SELECT o_orderkey, prio, cents,
+        |  ROUND(percent_rank() OVER w, 6) AS pr_r6,
+        |  ROUND(cume_dist() OVER w, 6) AS cd_r6,
+        |  nth_value(cents, 3) OVER (PARTITION BY prio
+        |    ORDER BY cents, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS third_cents
+        |FROM b
+        |WINDOW w AS (PARTITION BY prio ORDER BY cents, o_orderkey)
+        |ORDER BY prio, cents, o_orderkey""".stripMargin,
+    "q60_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CAST(ROUND(value*1000) AS BIGINT) AS vm
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, ts, MIN(event_id) AS next_seq,
+        |    arg_min(vm, event_id) AS next_vm
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT e.event_id, e.user_id, p.next_seq, p.next_vm
+        |FROM ev e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |    '[a-z]')) AS ch
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
+        |), q AS (
+        |  SELECT doc_id, c,
+        |    CAST(ROUND(ln(c) * 1e6) AS BIGINT) AS lnc_micro
+        |  FROM g
+        |), d AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_letters,
+        |    CAST(SUM(c * lnc_micro) AS BIGINT) AS sum_clnc_micro
+        |  FROM q GROUP BY doc_id)
+        |SELECT doc_id, n_letters,
+        |  CAST(ROUND(ln(n_letters) * 1e6) AS BIGINT)
+        |    - sum_clnc_micro // n_letters AS h_micro
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
     "sim_mips_topk" ->
       """WITH ee AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -24,6 +24,31 @@ class AsOfRangeSpec extends AnyFunSuite {
     assert(out(103L) === -1L) // key with no right rows -> null
   }
 
+  test("asof forward: >= boundary, carry-backward, null after last " +
+      "right row, and time-negation duality with backward asof") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 5L, 103L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 7L), (1L, 25L, 8L))
+      .toDF("k", "t", "rid")
+    val out = AsOf.asofJoinForward(left, right, Seq("k"), "t", "t",
+        Seq("rid"))
+      .collect().map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(100L) === 7L)  // equal time matches (>=)
+    assert(out(101L) === 8L)  // next right row ahead
+    assert(out(102L) === -1L) // nothing ahead -> null
+    assert(out(103L) === -1L) // key with no right rows -> null
+    // duality: forward == backward on negated time
+    import org.apache.spark.sql.functions.{col, negate}
+    val viaNeg = AsOf.asofJoin(
+        left.withColumn("t", negate(col("t"))),
+        right.withColumn("t", negate(col("t"))),
+        Seq("k"), "t", "t", Seq("rid"))
+      .collect().map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(viaNeg === out)
+  }
+
   test("interval join: boundary == window included, both orientations") {
     // ids chosen so the later event has the SMALLER id — the
     // orientation that the old pre-normalization filter dropped

@@ -105,6 +105,52 @@ class Ext12OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("window rank fns: pr/cd bounds and nth_value is the 3rd " +
+      "smallest per partition") {
+    val rows = Ext12Queries.windowRankFns(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (prio, ps) =>
+      val n = ps.length
+      // total order inside the partition -> pr spans [0,1], cd (0,1]
+      assert(ps.map(_._4).min === 0.0, prio)
+      if (n > 1) assert(ps.map(_._4).max === 1.0, prio)
+      assert(ps.map(_._5).max === 1.0, prio)
+      val third =
+        if (n >= 3) ps.map(_._3).sorted.apply(2) else -1L
+      assert(ps.forall(_._6 == third), prio)
+    }
+  }
+
+  test("char entropy matches a driver replay and the ln(26) bound") {
+    val out = Ext12Queries.charEntropy(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.nonEmpty)
+    val lnCap = math.round(math.log(26.0) * 1e6)
+    out.values.foreach { case (_, h) =>
+      assert(h >= 0L && h <= lnCap)
+    }
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    docs.foreach { case (id, text) =>
+      val counts = text.toLowerCase.filter(c => c >= 'a' && c <= 'z')
+        .groupBy(identity).map(_._2.length.toLong)
+      if (counts.nonEmpty) {
+        val n = counts.sum
+        val sumClnc = counts.map(c =>
+          c * math.round(math.log(c.toDouble) * 1e6)).sum
+        val h = math.round(math.log(n.toDouble) * 1e6) - sumClnc / n
+        assert(out(id) === ((n, h)), s"doc $id")
+      } else assert(!out.contains(id), s"doc $id")
+    }
+  }
+
   test("mips top-k equals an exhaustive driver-side scan for q_id=3") {
     val out = Ext12Queries.mipsTopK(spark, TestSpark.sfDir)
       .filter(col("q_id") === 3).collect()

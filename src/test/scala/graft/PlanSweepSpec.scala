@@ -37,7 +37,10 @@ class PlanSweepSpec extends AnyFunSuite {
   //    anchor BNLJ over the 8-query eval sample)
   //  - dq_t_closeness: dense grid = groups x broadcast band-domain
   //    aggregate (<= 7 rows) — plan-embedded bounded domain
+  //  - sim_mips_topk: same broadcast-anchor BNLJ shape as
+  //    sim_cosine_topk (8-row probe table, n_id <> q_id non-equi)
   private val allowCross = Set(
+    "sim_mips_topk",
     "eval_ann_recall", "text_rrf_fusion", "eval_matryoshka_overlap",
     "dq_t_closeness",
     "sim_cosine_topk", "sim_ann_pq", "sim_pq_rerank",
