@@ -270,6 +270,28 @@ object Ext12Queries {
       .select("doc_id", "n_letters", "h_micro")
       .orderBy("doc_id")
 
+  /** Calibration curve of the language-ID classifier over its own
+    * confidence proxy (the stopword-vote margin |en_hits − es_hits|,
+    * clamped to 5+): per margin bucket, how often is the guess right?
+    * The reliability diagram a model-driven filter needs BEFORE its
+    * confidence threshold means anything — a well-calibrated
+    * classifier's accuracy rises with the margin; a flat curve says
+    * the margin is noise. Bounded: ≤ 6 rows out of one hash
+    * aggregate over doc-level features (no shuffle of the corpus
+    * beyond the count collapse).
+    */
+  def evalCalibration(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(t(spark, dir, "documents"), "text")
+      .select(col("lang"), col("lang_guess"),
+        least(abs(col("en_hits") - col("es_hits")), lit(5L))
+          .as("margin"))
+      .groupBy("margin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang_guess") === col("lang"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_micro", expr("(n_correct * 1000000) div n"))
+      .orderBy("margin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_weighted_median" -> weightedMedian _,
     "dq_mad_outliers" -> madOutliers _,
@@ -279,6 +301,7 @@ object Ext12Queries {
     "q59_window_rank_fns" -> windowRankFns _,
     "q60_asof_forward" -> asofForward _,
     "text_char_entropy" -> charEntropy _,
+    "eval_calibration" -> evalCalibration _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -387,6 +410,36 @@ object Ext12Queries {
         |      WHEN 9 THEN 45757 END AS BIGINT) AS delta_micro
         |FROM g, tot
         |ORDER BY digit""".stripMargin,
+    "eval_calibration" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the', 'a', 'of', 'and', 'in', 'to', 'is'], lower(x))))
+        |      AS en_hits,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['el', 'la', 'de', 'que', 'y', 'en', 'es'], lower(x))))
+        |      AS es_hits
+        |  FROM base
+        |), g AS (
+        |  SELECT lang,
+        |    CASE WHEN en_hits > es_hits AND en_hits > 0 THEN 'en'
+        |         WHEN es_hits > en_hits AND es_hits > 0 THEN 'es'
+        |         ELSE 'unk' END AS lang_guess,
+        |    LEAST(ABS(en_hits - es_hits), 5) AS margin
+        |  FROM m
+        |)
+        |SELECT CAST(margin AS BIGINT) AS margin, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  CAST((SUM(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END)
+        |    * 1000000) // COUNT(*) AS BIGINT) AS acc_micro
+        |FROM g
+        |GROUP BY margin
+        |ORDER BY margin""".stripMargin,
     "q59_window_rank_fns" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_orderpriority AS prio,

@@ -151,6 +151,28 @@ class Ext12OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("calibration buckets partition the corpus and match a replay " +
+      "from the langId operator output") {
+    val out = graft.operators.Ext12Queries
+      .evalCalibration(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val docs = graft.operators.TextAnalysis.langId(
+        Tables.t(spark, TestSpark.sfDir, "documents"), "text")
+      .select(col("lang"), col("lang_guess"), col("en_hits"),
+        col("es_hits"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        math.min(math.abs(r.getLong(2) - r.getLong(3)), 5L)))
+    assert(out.values.map(_._1).sum === docs.length)
+    docs.groupBy(_._3).foreach { case (m, rows) =>
+      val (n, nc, acc) = out(m)
+      assert(n === rows.length, s"margin $m")
+      assert(nc === rows.count(r => r._1 == r._2), s"margin $m")
+      assert(acc === nc * 1000000L / n, s"margin $m")
+    }
+  }
+
   test("mips top-k equals an exhaustive driver-side scan for q_id=3") {
     val out = Ext12Queries.mipsTopK(spark, TestSpark.sfDir)
       .filter(col("q_id") === 3).collect()
