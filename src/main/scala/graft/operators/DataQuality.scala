@@ -309,10 +309,49 @@ object DataQuality {
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
+  /** Per-day PSI against the frozen first-half reference — the batch
+    * twin of `streaming/StreamingDrift` and the windowed refinement of
+    * [[drift]] (one PSI per day instead of one per split half). This
+    * query deliberately runs THROUGH the streaming monitor's code
+    * path (`bucketOf` + `psiPerWindow`), so the oracle gate covers
+    * the same arithmetic the stream executes. Bounds and split stay
+    * plan-embedded 1-row broadcasts (lazy construction holds).
+    */
+  def driftWindows(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingDrift
+    val ev = t(spark, dir, "events")
+      .select(graft.Tables.eventsTsMicros.as("ts"), col("value"))
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("day",
+        expr("(us - pmod(us, 86400000000)) div 86400000000"))
+    val sp = broadcast(ev
+      .agg(min(col("day")).as("mnd"), max(col("day")).as("mxd"))
+      .select(expr(
+        "(mnd + mxd + 1 - pmod(mnd + mxd + 1, 2)) div 2")
+        .as("split_day")))
+    val withRef = ev.crossJoin(sp)
+      .withColumn("is_ref", col("day") < col("split_day"))
+    val vb = broadcast(withRef.filter(col("is_ref"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax")))
+    val bucketed = withRef.crossJoin(vb)
+      .filter(col("value").isNotNull)
+      .withColumn("bucket", StreamingDrift.bucketOf(col("value"),
+        col("vmin"), col("vmax"), 10))
+    val refCounts = bucketed.filter(col("is_ref"))
+      .groupBy("bucket").agg(count(lit(1)).as("ref_cnt"))
+    val curCounts = bucketed
+      .groupBy(window(col("ts"), "1 day"), col("bucket"))
+      .agg(count(lit(1)).as("cur_cnt"))
+      .select(col("window.start").as("w_start"), col("bucket"),
+        col("cur_cnt"))
+    StreamingDrift.psiPerWindow(curCounts, refCounts, bins = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile_columns" -> profileColumns _,
     "dq_checks" -> checks _,
     "dq_drift" -> drift _,
+    "dq_drift_windows" -> driftWindows _,
     "dq_k_anonymity" -> kAnonymity _,
     "dq_l_diversity" -> lDiversity _,
     "dq_t_closeness" -> tCloseness _)
@@ -444,6 +483,56 @@ FROM lineitem"""
     "dq_profile_columns" -> profileOracle,
     "dq_checks" -> checksOracle,
     "dq_drift" -> driftOracle,
+    "dq_drift_windows" ->
+      """WITH ev AS (
+        |  SELECT ts, value, epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |), sp AS (
+        |  SELECT (MIN(day) + MAX(day) + 1) // 2 AS split_day FROM ev
+        |), w AS (
+        |  SELECT e.*, e.day < s.split_day AS is_ref FROM ev e, sp s
+        |), vb AS (
+        |  SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM w
+        |  WHERE is_ref
+        |), bk AS (
+        |  SELECT date_trunc('day', w.ts) AS w_start,
+        |    CASE WHEN b.vmax = b.vmin THEN 0
+        |      ELSE LEAST(GREATEST(CAST(FLOOR((w.value - b.vmin) * 10
+        |        / (b.vmax - b.vmin)) AS INT), 0), 9) END AS bucket,
+        |    w.is_ref
+        |  FROM w, vb b WHERE w.value IS NOT NULL
+        |), rc AS (
+        |  SELECT s.bucket,
+        |    COALESCE(SUM(CASE WHEN bk.is_ref THEN 1 ELSE 0 END), 0)
+        |      AS ref_cnt
+        |  FROM (SELECT UNNEST(range(0, 10)) AS bucket) s
+        |  LEFT JOIN bk ON bk.bucket = s.bucket
+        |  GROUP BY s.bucket
+        |), cw AS (
+        |  SELECT w_start, bucket, COUNT(*) AS cur_cnt FROM bk
+        |  GROUP BY w_start, bucket
+        |), spine AS (SELECT DISTINCT w_start FROM cw
+        |), fl AS (
+        |  SELECT sp2.w_start, r.bucket, r.ref_cnt,
+        |    COALESCE(c.cur_cnt, 0) AS cur_cnt
+        |  FROM spine sp2 CROSS JOIN rc r
+        |  LEFT JOIN cw c
+        |    ON c.w_start = sp2.w_start AND c.bucket = r.bucket
+        |), terms AS (
+        |  SELECT w_start, ref_cnt, cur_cnt,
+        |    CAST(ref_cnt + 1 AS DOUBLE)
+        |      / (SUM(ref_cnt) OVER (PARTITION BY w_start)
+        |         + COUNT(*) OVER (PARTITION BY w_start)) AS p,
+        |    CAST(cur_cnt + 1 AS DOUBLE)
+        |      / (SUM(cur_cnt) OVER (PARTITION BY w_start)
+        |         + COUNT(*) OVER (PARTITION BY w_start)) AS q
+        |  FROM fl)
+        |SELECT w_start, CAST(SUM(cur_cnt) AS BIGINT) AS n_cur,
+        |  ROUND(SUM((p - q) * LN(p / q)), 6) AS psi,
+        |  ROUND(SUM((p - q) * LN(p / q)), 6) > 0.1 AS drifted
+        |FROM terms
+        |GROUP BY w_start
+        |ORDER BY w_start""".stripMargin,
     "dq_k_anonymity" -> {
       def lvl(n: Int, cols: String): String =
         s"""SELECT $n AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,

@@ -47,6 +47,15 @@ object Ext12Queries {
     * the LOWER weighted-median candidate — matching percentile_disc's
     * lower-value convention. Pre-aggregating by (group, value)
     * collapses ties so the cumulative window is over distinct values.
+    *
+    * Scale note: the per-group cumulative window is a single task per
+    * group, so its input must be DOMAIN-bounded, not corpus-bounded —
+    * true here because the value lattice is finite (price cents ≤
+    * ~1e7 distinct, event milli-values ≤ ~1e6) and the groupBy
+    * collapses the corpus to it first. For an unbounded value domain
+    * the same selection rule runs on a coarse-to-fine histogram
+    * (bin-count pass → recurse into the median bin) — same answers,
+    * O(log) corpus passes, no single-task scan.
     */
   private def weightedMedianBy(df: DataFrame, grpCol: String,
       valCol: String, wCol: String, outCol: String): DataFrame = {

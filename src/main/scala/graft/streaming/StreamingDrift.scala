@@ -25,14 +25,21 @@ object StreamingDrift {
 
   /** Fixed-edge bucketing, identical to `DataQuality.drift`'s
     * reference-window binning (clamped to [0, bins-1]; a degenerate
-    * vmin==vmax reference collapses to bucket 0).
+    * vmin==vmax reference collapses to bucket 0). The Column-bounds
+    * form keeps a batch query lazy (bounds stay a plan-embedded 1-row
+    * broadcast); the Double form is for a streaming monitor whose
+    * reference bounds are frozen config.
     */
+  def bucketOf(value: Column, vmin: Column, vmax: Column,
+      bins: Int): Column =
+    when(vmax === vmin, lit(0)).otherwise(least(greatest(
+      floor((value - vmin) * bins / (vmax - vmin)).cast("int"),
+      lit(0)), lit(bins - 1)))
+
   def bucketOf(value: Column, vmin: Double, vmax: Double,
       bins: Int = 10): Column =
     if (vmax == vmin) lit(0)
-    else least(greatest(
-      floor((value - lit(vmin)) * bins / lit(vmax - vmin)).cast("int"),
-      lit(0)), lit(bins - 1))
+    else bucketOf(value, lit(vmin), lit(vmax), bins)
 
   /** Stream side: per (tumbling window, bucket) counts in append mode.
     * `stream` needs an event-time `ts` TimestampType column and a

@@ -33,6 +33,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext10Queries.oracle),
       ("Ext11Queries", operators.Ext11Queries.queries,
         operators.Ext11Queries.oracle),
+      ("Ext12Queries", operators.Ext12Queries.queries,
+        operators.Ext12Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,

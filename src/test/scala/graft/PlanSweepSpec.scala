@@ -39,8 +39,10 @@ class PlanSweepSpec extends AnyFunSuite {
   //    aggregate (<= 7 rows) — plan-embedded bounded domain
   //  - sim_mips_topk: same broadcast-anchor BNLJ shape as
   //    sim_cosine_topk (8-row probe table, n_id <> q_id non-equi)
+  //  - dq_drift_windows: dq_drift's plan-embedded 1-row bound
+  //    aggregates plus the 10-row bucket-spine broadcast
   private val allowCross = Set(
-    "sim_mips_topk",
+    "sim_mips_topk", "dq_drift_windows",
     "eval_ann_recall", "text_rrf_fusion", "eval_matryoshka_overlap",
     "dq_t_closeness",
     "sim_cosine_topk", "sim_ann_pq", "sim_pq_rerank",
