@@ -301,6 +301,83 @@ object Ext12Queries {
       .withColumn("acc_micro", expr("(n_correct * 1000000) div n"))
       .orderBy("margin")
 
+  /** STL-lite seasonal decomposition of the hourly event-count
+    * series: trend = centered 25-hour moving average over the hour
+    * INDEX (RANGE frame, so missing hours shrink the window rather
+    * than shifting it; only full windows kept), seasonal = per
+    * hour-of-day mean of the detrended residual. All sums are exact
+    * integers on the 1e-3 lattice (`sum25·1000 div 25` is exact for
+    * the full window; operands are positive so trunc == floor in
+    * both engines); the only double is the final rounded mean. The
+    * corpus collapses to the bounded hour series before any window.
+    */
+  def stlTrend(spark: SparkSession, dir: String): DataFrame = {
+    val series = t(spark, dir, "events")
+      .select(expr("(ts div 1000) div 3600000000").as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("cnt"))
+    val w25 = Window.orderBy("hr").rangeBetween(-12, 12)
+    series
+      .withColumn("n25", count(lit(1)).over(w25))
+      .withColumn("sum25", sum("cnt").over(w25))
+      .filter(col("n25") === 25)
+      .withColumn("det_milli",
+        col("cnt") * 1000 - expr("(sum25 * 1000) div 25"))
+      .withColumn("hod", expr("hr % 24"))
+      .groupBy("hod")
+      .agg(count(lit(1)).as("n_hours"),
+        sum("det_milli").as("sum_det_milli"))
+      .withColumn("seasonal_r6", round(
+        col("sum_det_milli").cast("double")
+          / col("n_hours").cast("double") / 1000.0, 6))
+      .orderBy("hod")
+  }
+
+  /** Per-document 3-gram novelty: the fraction of a document's
+    * distinct shingles it is the FIRST owner of (lowest doc_id) — the
+    * curation-side novelty/redundancy score (a late near-duplicate
+    * scores ~0; the template boilerplate everyone shares is charged
+    * to its earliest document). Shape: one shingle-keyed min
+    * aggregate + one join back on the shingle dimension + a per-doc
+    * aggregate — the inverted-index pattern, never all-pairs.
+    * Documents with no shingles (< 3 tokens) are absent.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(t(spark, dir, "documents"), "doc_id",
+      "text", n = 3)
+    val firstOwner = sh.groupBy("shingle")
+      .agg(min("id").as("first_id"))
+    sh.join(firstOwner, "shingle")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("id") === col("first_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_micro",
+        expr("(n_novel * 1000000) div n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** Kaplan-Meier-lite user survival: for each horizon k (days), the
+    * fraction of users whose observed lifetime (last event day −
+    * first event day) reaches k. One per-user aggregate collapses the
+    * corpus; the 15-row horizon spine rides an explode (narrow
+    * Generate — no join, no BNLJ), so the curve is one more hash
+    * aggregate over users × 15.
+    */
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("user_id"),
+        expr("((ts div 1000)) div 86400000000").as("day"))
+      .groupBy("user_id")
+      .agg((max("day") - min("day")).as("life"))
+      .withColumn("k", explode(sequence(lit(0L), lit(14L))))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("life") >= col("k"), 1L).otherwise(0L))
+          .as("n_surviving"))
+      .withColumn("surv_micro",
+        expr("(n_surviving * 1000000) div n_users"))
+      .orderBy("k")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_weighted_median" -> weightedMedian _,
     "dq_mad_outliers" -> madOutliers _,
@@ -311,6 +388,9 @@ object Ext12Queries {
     "q60_asof_forward" -> asofForward _,
     "text_char_entropy" -> charEntropy _,
     "eval_calibration" -> evalCalibration _,
+    "ts_stl_trend" -> stlTrend _,
+    "text_ngram_novelty" -> ngramNovelty _,
+    "ev_survival_curve" -> survivalCurve _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -419,6 +499,61 @@ object Ext12Queries {
         |      WHEN 9 THEN 45757 END AS BIGINT) AS delta_micro
         |FROM g, tot
         |ORDER BY digit""".stripMargin,
+    "ts_stl_trend" ->
+      """WITH s AS (
+        |  SELECT (epoch_us(ts) // 3600000000) AS hr, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1
+        |), tr AS (
+        |  SELECT hr, cnt,
+        |    COUNT(*) OVER (ORDER BY hr
+        |      RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS n25,
+        |    SUM(cnt) OVER (ORDER BY hr
+        |      RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS sum25
+        |  FROM s
+        |), d AS (
+        |  SELECT hr % 24 AS hod,
+        |    cnt * 1000 - (sum25 * 1000) // 25 AS det_milli
+        |  FROM tr WHERE n25 = 25)
+        |SELECT CAST(hod AS BIGINT) AS hod, COUNT(*) AS n_hours,
+        |  CAST(SUM(det_milli) AS BIGINT) AS sum_det_milli,
+        |  ROUND(CAST(SUM(det_milli) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1000.0, 6) AS seasonal_r6
+        |FROM d
+        |GROUP BY hod
+        |ORDER BY hod""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i)
+        |), fo AS (
+        |  SELECT shingle, MIN(id) AS first_id FROM sh GROUP BY shingle)
+        |SELECT sh.id AS doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN sh.id = fo.first_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST((SUM(CASE WHEN sh.id = fo.first_id THEN 1 ELSE 0 END)
+        |    * 1000000) // COUNT(*) AS BIGINT) AS novelty_micro
+        |FROM sh JOIN fo ON fo.shingle = sh.shingle
+        |GROUP BY sh.id
+        |ORDER BY doc_id""".stripMargin,
+    "ev_survival_curve" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(epoch_us(ts) // 86400000000)
+        |      - MIN(epoch_us(ts) // 86400000000) AS life
+        |  FROM events GROUP BY user_id
+        |), ks AS (SELECT UNNEST(range(0, 15)) AS k)
+        |SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN life >= k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_surviving,
+        |  CAST((SUM(CASE WHEN life >= k THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS surv_micro
+        |FROM u, ks
+        |GROUP BY k
+        |ORDER BY k""".stripMargin,
     "eval_calibration" ->
       """WITH base AS (
         |  SELECT doc_id, lang,

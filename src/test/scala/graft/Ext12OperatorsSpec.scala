@@ -173,6 +173,74 @@ class Ext12OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("stl trend: full-window interior only, replay-exact residuals") {
+    val out = graft.operators.Ext12Queries
+      .stlTrend(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val series = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(expr("(ts div 1000) div 3600000000").as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val replay = series.toSeq.flatMap { case (hr, cnt) =>
+      val win = (hr - 12 to hr + 12).flatMap(series.get)
+      if (win.length == 25)
+        Some((hr % 24) -> (cnt * 1000 - win.sum * 1000 / 25))
+      else None
+    }.groupBy(_._1)
+    assert(out.keySet === replay.keySet)
+    replay.foreach { case (hod, rows) =>
+      assert(out(hod) === ((rows.length.toLong,
+        rows.map(_._2).sum)), s"hod $hod")
+    }
+  }
+
+  test("ngram novelty: every shingle's novelty is charged to exactly " +
+      "its first owner (per-corpus shingle count conservation)") {
+    val out = graft.operators.Ext12Queries
+      .ngramNovelty(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val sh = graft.operators.Dedup.shingles(
+        Tables.t(spark, TestSpark.sfDir, "documents"), "doc_id",
+        "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // conservation: total novel shingles == distinct shingles in the
+    // corpus (each charged exactly once), totals match per doc
+    assert(out.map(_._3).sum === sh.map(_._2).distinct.length)
+    val perDoc = sh.groupBy(_._1)
+    out.foreach { case (id, n, novel) =>
+      assert(n === perDoc(id).length, s"doc $id")
+      val firsts = sh.groupBy(_._2).map { case (s, rows) =>
+        s -> rows.map(_._1).min
+      }
+      assert(novel === perDoc(id).count { case (_, s) =>
+        firsts(s) == id }, s"doc $id")
+    }
+  }
+
+  test("survival curve: k=0 is everyone, monotone non-increasing, " +
+      "replay-exact") {
+    val out = graft.operators.Ext12Queries
+      .survivalCurve(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.map(_._1).toSeq === (0L to 14L))
+    assert(out.head._3 === out.head._2) // k=0: everyone survives
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"k=${b._1}")
+    }
+    val lives = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy("user_id").agg((max("day") - min("day")).as("life"))
+      .collect().map(_.getLong(1))
+    out.foreach { case (k, n, surv, micro) =>
+      assert(n === lives.length)
+      assert(surv === lives.count(_ >= k), s"k=$k")
+      assert(micro === surv * 1000000L / n, s"k=$k")
+    }
+  }
+
   test("mips top-k equals an exhaustive driver-side scan for q_id=3") {
     val out = Ext12Queries.mipsTopK(spark, TestSpark.sfDir)
       .filter(col("q_id") === 3).collect()
