@@ -499,6 +499,10 @@ object Ext11Queries {
     * TakeOrderedAndProject, never a global sort.
     */
   def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    // NOT cached, deliberately: the three reads of this subtree
+    // (sizes + both wedge sides) already share one physical exchange
+    // via ReuseExchange — measured: cache() changes nothing at sf0.1.
+    // The wedge self-join below is the real cost.
     val edges = t(spark, dir, "orders")
       .join(t(spark, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
