@@ -378,6 +378,100 @@ object Ext12Queries {
         expr("(n_surviving * 1000000) div n_users"))
       .orderBy("k")
 
+  /** Top-25 token collocations by pointwise mutual information
+    * (adjacent-bigram PMI, the classic collocation extractor):
+    * PMI = ln(c_ab·N / (c_a·c_b)), quantized once per bigram on the
+    * 1e-6 micro-nat lattice (unigramLogprob's portability contract).
+    * Rare-pair noise is cut by the standard c_ab >= 5 floor; the
+    * result is TakeOrdered top-k, never a global sort. Shapes: one
+    * bigram + one unigram hash aggregate (vocabulary-sized), one
+    * join of bigrams to unigram counts per side.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(lower(col("text"))))
+          .as(Seq("pos", "tok")))
+    // adjacency via a per-doc lead window — ONE key shuffle of the
+    // token stream, not a token-level self-join (two shuffles)
+    val bi = toks
+      .withColumn("b", lead(col("tok"), 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("b").isNotNull)
+      .select(col("tok").as("a"), col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = bi.groupBy().agg(sum("c_ab").as("n_bi"))
+    bi.filter(col("c_ab") >= 5)
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_micro", round(
+        log(col("c_ab").cast("double") * col("n_bi").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double")))
+          * 1e6).cast("long"))
+      .select("a", "b", "c_ab", "c_a", "c_b", "pmi_micro")
+      .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+      .limit(25)
+  }
+
+  /** Threshold (range) vector search: every corpus vector within
+    * cosine >= 0.3 of each broadcast probe — the standard API sibling
+    * of top-k retrieval (what you run when the budget is a QUALITY
+    * bar, not a result count). Same broadcast-probe brute-force
+    * baseline as `sim_cosine_topk`; the scale path is the same
+    * SRP/IVF bucketing.
+    */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("q_nrm", Similarity.norm(col("q_vec")))
+    val c = emb.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_vec"))
+      .withColumn("n_nrm", Similarity.norm(col("n_vec")))
+    c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("sim", round(
+        Similarity.dot(col("q_vec"), col("n_vec"))
+          / (col("q_nrm") * col("n_nrm")), 6))
+      .filter(col("sim") >= 0.3)
+      .select("q_id", "n_id", "sim")
+      .orderBy("q_id", "n_id")
+  }
+
+  /** Daily row-count anomaly monitor: robust-free trailing z-score of
+    * each day's event count against the previous 7 days (integer
+    * moment sums, full windows only — ev_anomaly_zscore's contract
+    * lifted from per-user values to the pipeline's own volume). The
+    * |z| > 3 flag is the "did ingestion break today" page. Corpus
+    * collapses to the bounded day series before any window.
+    */
+  def rowAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("day").rowsBetween(-7, -1)
+    days
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win", sum("cnt").over(w))
+      .withColumn("sumsq_win", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("n_win") === 7)
+      // z = (cnt − mean)/σ_pop in one exact-integer rearrangement:
+      // (7·cnt − sum) / sqrt(7·sumsq − sum²); NULL for a
+      // zero-variance window instead of a NaN
+      .withColumn("z_r6",
+        when(col("sumsq_win") * 7 === col("sum_win") * col("sum_win"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("cnt") * 7 - col("sum_win")).cast("double")
+              / sqrt((col("sumsq_win") * 7 - col("sum_win")
+                * col("sum_win")).cast("double")), 6)))
+      .withColumn("is_anomaly", abs(col("z_r6")) > 3.0)
+      .select("day", "cnt", "sum_win", "sumsq_win", "z_r6",
+        "is_anomaly")
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_weighted_median" -> weightedMedian _,
     "dq_mad_outliers" -> madOutliers _,
@@ -391,6 +485,9 @@ object Ext12Queries {
     "ts_stl_trend" -> stlTrend _,
     "text_ngram_novelty" -> ngramNovelty _,
     "ev_survival_curve" -> survivalCurve _,
+    "text_pmi_collocations" -> pmiCollocations _,
+    "sim_range_search" -> rangeSearch _,
+    "dq_row_anomaly" -> rowAnomaly _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -499,6 +596,78 @@ object Ext12Queries {
         |      WHEN 9 THEN 45757 END AS BIGINT) AS delta_micro
         |FROM g, tot
         |ORDER BY digit""".stripMargin,
+    "text_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, i, tk[i] AS tok
+        |  FROM toks, UNNEST(range(1, len(tk) + 1)) AS r(i)
+        |), bi AS (
+        |  SELECT x.tok AS a, y.tok AS b, COUNT(*) AS c_ab
+        |  FROM pos x JOIN pos y
+        |    ON y.doc_id = x.doc_id AND y.i = x.i + 1
+        |  GROUP BY x.tok, y.tok
+        |), uni AS (
+        |  SELECT tok, COUNT(*) AS c FROM pos GROUP BY tok
+        |), nb AS (SELECT SUM(c_ab) AS n_bi FROM bi)
+        |SELECT a, b, c_ab,
+        |  ua.c AS c_a, ub.c AS c_b,
+        |  CAST(ROUND(LN(CAST(c_ab AS DOUBLE) * CAST(n_bi AS DOUBLE)
+        |    / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))) * 1e6)
+        |    AS BIGINT) AS pmi_micro
+        |FROM bi JOIN uni ua ON ua.tok = bi.a
+        |JOIN uni ub ON ub.tok = bi.b, nb
+        |WHERE c_ab >= 5
+        |ORDER BY pmi_micro DESC, a, b
+        |LIMIT 25""".stripMargin,
+    "sim_range_search" ->
+      """WITH ee AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee
+        |  GROUP BY vec_id
+        |), dots AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    SUM(q.x * e.x) AS dot
+        |  FROM ee q JOIN ee e ON q.i = e.i AND q.vec_id <> e.vec_id
+        |  WHERE q.vec_id < 8
+        |  GROUP BY q.vec_id, e.vec_id)
+        |SELECT d.q_id, d.n_id,
+        |  ROUND(d.dot / (nq.nrm * ne.nrm), 6) AS sim
+        |FROM dots d
+        |JOIN norms nq ON nq.vec_id = d.q_id
+        |JOIN norms ne ON ne.vec_id = d.n_id
+        |WHERE ROUND(d.dot / (nq.nrm * ne.nrm), 6) >= 0.3
+        |ORDER BY q_id, n_id""".stripMargin,
+    "dq_row_anomaly" ->
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1
+        |), w AS (
+        |  SELECT day, cnt,
+        |    COUNT(*) OVER tw AS n_win,
+        |    SUM(cnt) OVER tw AS sum_win,
+        |    SUM(cnt * cnt) OVER tw AS sumsq_win
+        |  FROM d
+        |  WINDOW tw AS (ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, cnt,
+        |  CAST(sum_win AS BIGINT) AS sum_win,
+        |  CAST(sumsq_win AS BIGINT) AS sumsq_win,
+        |  CASE WHEN sumsq_win * 7 = sum_win * sum_win THEN NULL
+        |    ELSE ROUND(CAST(cnt * 7 - sum_win AS DOUBLE)
+        |      / sqrt(CAST(sumsq_win * 7 - sum_win * sum_win
+        |        AS DOUBLE)), 6) END AS z_r6,
+        |  CASE WHEN sumsq_win * 7 = sum_win * sum_win THEN NULL
+        |    ELSE ABS(ROUND(CAST(cnt * 7 - sum_win AS DOUBLE)
+        |      / sqrt(CAST(sumsq_win * 7 - sum_win * sum_win
+        |        AS DOUBLE)), 6)) > 3.0 END AS is_anomaly
+        |FROM w WHERE n_win = 7
+        |ORDER BY day""".stripMargin,
     "ts_stl_trend" ->
       """WITH s AS (
         |  SELECT (epoch_us(ts) // 3600000000) AS hr, COUNT(*) AS cnt

@@ -241,6 +241,86 @@ class Ext12OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pmi collocations: counts floor respected, pmi arithmetic " +
+      "self-consistent, descending order") {
+    val out = graft.operators.Ext12Queries
+      .pmiCollocations(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty && out.length <= 25)
+    // recompute N (total bigrams) independently
+    val n = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(expr(
+        "greatest(size(split(trim(lower(text)), '\\\\s+')) - 1, 0)")
+        .as("nb"))
+      .agg(sum("nb")).head().getLong(0)
+    out.foreach { case (a, b, cab, ca, cb, pmi) =>
+      assert(cab >= 5, s"($a,$b)")
+      val want = math.round(math.log(
+        cab.toDouble * n / (ca.toDouble * cb.toDouble)) * 1e6)
+      assert(pmi === want, s"($a,$b)")
+    }
+    assert(out.map(_._6).toSeq === out.map(_._6).sortBy(-_).toSeq)
+  }
+
+  test("range search equals an exhaustive driver scan for q_id=3 " +
+      "and agrees with mips/cosine machinery") {
+    val got = graft.operators.Ext12Queries
+      .rangeSearch(spark, TestSpark.sfDir)
+      .filter(col("q_id") === 3).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val vecs = Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = vecs.toMap.apply(3L)
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < x.length) { acc += x(j).toDouble * y(j).toDouble; j += 1 }
+      acc
+    }
+    val qn = math.sqrt(dot(q, q))
+    val want = vecs.filter(_._1 != 3L).flatMap { case (id, v) =>
+      val s = BigDecimal(dot(q, v) / (qn * math.sqrt(dot(v, v))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (s >= 0.3) Some(id -> s) else None
+    }.toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, s) =>
+      assert(math.abs(got(id) - s) < 1e-9, s"n_id $id")
+    }
+  }
+
+  test("row anomaly matches a driver replay over the day series") {
+    val out = graft.operators.Ext12Queries
+      .rowAnomaly(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    val days = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val expectRows = days.indices.drop(7).map { i =>
+      val win = days.slice(i - 7, i).map(_._2)
+      val (sum, sumsq) = (win.sum, win.map(c => c * c).sum)
+      (days(i)._1, days(i)._2, sum, sumsq)
+    }
+    assert(out.length === expectRows.length)
+    out.zip(expectRows).foreach { case (r, (day, cnt, sum, sumsq)) =>
+      assert(r.getLong(0) === day)
+      assert(r.getLong(1) === cnt)
+      assert(r.getLong(2) === sum)
+      assert(r.getLong(3) === sumsq)
+      if (!r.isNullAt(4)) {
+        val z = (cnt * 7 - sum).toDouble /
+          math.sqrt((sumsq * 7 - sum * sum).toDouble)
+        assert(math.abs(r.getDouble(4) -
+          BigDecimal(z).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      }
+    }
+  }
+
   test("mips top-k equals an exhaustive driver-side scan for q_id=3") {
     val out = Ext12Queries.mipsTopK(spark, TestSpark.sfDir)
       .filter(col("q_id") === 3).collect()

@@ -41,8 +41,12 @@ class PlanSweepSpec extends AnyFunSuite {
   //    sim_cosine_topk (8-row probe table, n_id <> q_id non-equi)
   //  - dq_drift_windows: dq_drift's plan-embedded 1-row bound
   //    aggregates plus the 10-row bucket-spine broadcast
+  //  - sim_range_search: broadcast-anchor BNLJ (sim_cosine_topk's
+  //    shape with a threshold filter instead of top-k)
+  //  - text_pmi_collocations: 1-row bigram-total broadcast
   private val allowCross = Set(
-    "sim_mips_topk", "dq_drift_windows",
+    "sim_mips_topk", "dq_drift_windows", "sim_range_search",
+    "text_pmi_collocations",
     "eval_ann_recall", "text_rrf_fusion", "eval_matryoshka_overlap",
     "dq_t_closeness",
     "sim_cosine_topk", "sim_ann_pq", "sim_pq_rerank",
