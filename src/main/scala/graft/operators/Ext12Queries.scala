@@ -472,6 +472,48 @@ object Ext12Queries {
       .orderBy("day")
   }
 
+  /** Rolling 7-day active users (trailing WAU per day) — the classic
+    * sliding DISTINCT, which no window frame can compute because
+    * distinct is not subtractable. The scale-correct shape: collapse
+    * to (user, day) presence, explode each presence into the ≤ 7
+    * windows it serves (bounded 7× amplification of the ALREADY
+    * collapsed table, not the corpus), then one exact distinct count
+    * per window day. Trailing windows past the data's last day are
+    * cut by a plan-embedded 1-row max-day broadcast.
+    */
+  def activeUsers7d(spark: SparkSession, dir: String): DataFrame = {
+    val ud = t(spark, dir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val mx = broadcast(ud.agg(max("day").as("mxd")))
+    ud.withColumn("w_day",
+        explode(sequence(col("day"), col("day") + 6)))
+      .crossJoin(mx)
+      .filter(col("w_day") <= col("mxd"))
+      .groupBy("w_day")
+      .agg(countDistinct("user_id").as("active_users"))
+      .orderBy("w_day")
+  }
+
+  /** Interpolated (continuous) percentiles per group — the
+    * percentile_cont surface next to q52's percentile_disc; results
+    * rounded to the 1e-6 lattice since interpolation is the one step
+    * where engines may differ in the last ulp.
+    */
+  def percentileCont(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+        |    AS p50_r6,
+        |  ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6)
+        |    AS p90_r6
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_weighted_median" -> weightedMedian _,
     "dq_mad_outliers" -> madOutliers _,
@@ -488,6 +530,8 @@ object Ext12Queries {
     "text_pmi_collocations" -> pmiCollocations _,
     "sim_range_search" -> rangeSearch _,
     "dq_row_anomaly" -> rowAnomaly _,
+    "ev_active_users_7d" -> activeUsers7d _,
+    "q61_percentile_cont" -> percentileCont _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -596,6 +640,30 @@ object Ext12Queries {
         |      WHEN 9 THEN 45757 END AS BIGINT) AS delta_micro
         |FROM g, tot
         |ORDER BY digit""".stripMargin,
+    "ev_active_users_7d" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |), mx AS (SELECT MAX(day) AS mxd FROM ud),
+        |w AS (
+        |  SELECT ud.user_id, ud.day + r.i AS w_day
+        |  FROM ud, UNNEST(range(0, 7)) AS r(i), mx
+        |  WHERE ud.day + r.i <= mx.mxd)
+        |SELECT CAST(w_day AS BIGINT) AS w_day,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM w
+        |GROUP BY w_day
+        |ORDER BY w_day""".stripMargin,
+    "q61_percentile_cont" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+        |    AS p50_r6,
+        |  ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6)
+        |    AS p90_r6
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "text_pmi_collocations" ->
       """WITH toks AS (
         |  SELECT doc_id,

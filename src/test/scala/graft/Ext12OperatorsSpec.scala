@@ -321,6 +321,39 @@ class Ext12OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("active users 7d equals a driver replay of the sliding " +
+      "distinct") {
+    val out = graft.operators.Ext12Queries
+      .activeUsers7d(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    val ud = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mxd = ud.map(_._2).max
+    val want = ud.flatMap { case (u, d) =>
+      (d to math.min(d + 6, mxd)).map(w => w -> u)
+    }.groupBy(_._1).map { case (w, us) =>
+      w -> us.map(_._2).distinct.length.toLong
+    }
+    assert(out === want)
+    // a trailing window never counts more than the full-corpus DAU sum
+    out.foreach { case (w, n) => assert(n > 0, s"w_day $w") }
+  }
+
+  test("percentile_cont: p50 <= p90 and groups partition the corpus") {
+    val out = graft.operators.Ext12Queries
+      .percentileCont(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    val nEvents = Tables.t(spark, TestSpark.sfDir, "events").count()
+    assert(out.map(_.getLong(1)).sum === nEvents)
+    out.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3), r.getString(0))
+    }
+  }
+
   test("mips top-k equals an exhaustive driver-side scan for q_id=3") {
     val out = Ext12Queries.mipsTopK(spark, TestSpark.sfDir)
       .filter(col("q_id") === 3).collect()

@@ -44,9 +44,11 @@ class PlanSweepSpec extends AnyFunSuite {
   //  - sim_range_search: broadcast-anchor BNLJ (sim_cosine_topk's
   //    shape with a threshold filter instead of top-k)
   //  - text_pmi_collocations: 1-row bigram-total broadcast
+  //  - ev_active_users_7d: 1-row max-day broadcast cutting trailing
+  //    windows
   private val allowCross = Set(
     "sim_mips_topk", "dq_drift_windows", "sim_range_search",
-    "text_pmi_collocations",
+    "text_pmi_collocations", "ev_active_users_7d",
     "eval_ann_recall", "text_rrf_fusion", "eval_matryoshka_overlap",
     "dq_t_closeness",
     "sim_cosine_topk", "sim_ann_pq", "sim_pq_rerank",
