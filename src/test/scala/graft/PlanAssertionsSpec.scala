@@ -101,6 +101,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("text_pmi_collocations top-25 plans as TakeOrdered, not a " +
+      "global sort") {
+    val p = plan(graft.operators.Ext12Queries
+      .queries("text_pmi_collocations")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ev_active_users_7d partial-aggregates the distinct count " +
+      "map-side") {
+    val f = formatted(graft.operators.Ext12Queries
+      .queries("ev_active_users_7d")(spark, dir))
+    // exact distinct = two-phase aggregate (partial_count(distinct ..))
+    assert(f.contains("partial_count"), f)
+    assert(!f.contains("CartesianProduct"), f)
+  }
+
   test("q26 grouped top-k has no Window sort (bounded-heap aggregate)") {
     val p = plan(graft.operators.MiscQueries
       .queries("q26_topk_per_key")(spark, dir))
