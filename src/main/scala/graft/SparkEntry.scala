@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Ext10Queries.queries ++
       operators.Ext11Queries.queries ++
       operators.Ext12Queries.queries ++
+      operators.Ext13Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       operators.Ext10Queries.oracle ++
       operators.Ext11Queries.oracle ++
       operators.Ext12Queries.oracle ++
+      operators.Ext13Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

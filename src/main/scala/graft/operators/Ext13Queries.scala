@@ -1,0 +1,621 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch 1: change detection + trend decomposition + shape
+  * statistics — the monitoring layer a long-running curation pipeline
+  * runs over its own daily output volumes (reference analog: the
+  * monitoring surface, StatusServer/MetricRegistry, generalized from
+  * liveness counters to distribution-level drift).
+  *
+  *  - `ts_cusum`: CUSUM changepoint statistic over the daily
+  *    event-value series. The classic S_k = cum_k − k·mean form is
+  *    rescaled by n (S'_k = n·cum_k − k·total) so every value stays an
+  *    exact BIGINT — no mean division, no doubles, order-independent
+  *    under any partitioning. The peak |S'| day is the argmax
+  *    changepoint candidate (flagged in-plan by a whole-set window).
+  *  - `ts_holt`: Holt linear (double-exponential) smoothing with
+  *    α = β = 1/2 over the same daily series. The coupled recursion
+  *    l_t = ⌊(y_t + l + b)/2⌋, b_t = ⌊(l_t − l + b)/2⌋ runs inside ONE
+  *    `aggregate` higher-order lambda over the array-packed series —
+  *    sequential in t by construction, and exact because both engines
+  *    evaluate the identical `pmod`-floored integer division.
+  *  - `q62_skew_kurtosis`: per-event-type skewness and excess kurtosis
+  *    from integer power sums (q51's moment contract extended to 3rd/
+  *    4th order). The five sums s1..s4,n are exact BIGINTs; the n-scaled
+  *    central-moment identities (n³m₃ = n²s₃ − 3n·s₁s₂ + 2s₁³ …) are
+  *    evaluated in IEEE doubles with identical expression text in both
+  *    engines, and `sqrt` (correctly-rounded, unlike `pow`) is the only
+  *    libm call.
+  *
+  * 100 TB shapes: all three collapse the corpus with one hash-
+  * partitioned aggregate (day / event_type) before any window or
+  * sequential pass; the day-series windows and the Holt scan run on a
+  * DOMAIN-bounded table (days in the data's time range), never on the
+  * corpus. For an unbounded per-key Holt (millions of series) the same
+  * lambda runs per group after a groupBy-collect bounded by series
+  * length, or as a 2×2 matrix prefix-scan when single series exceed a
+  * row.
+  */
+object Ext13Queries {
+
+  /** Daily event-value series on the 1e-3 lattice (the
+    * ev_anomaly_zscore quantization convention): day index from the
+    * corpus epoch, exact BIGINT sum per day.
+    */
+  private def dailySeries(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        expr("datediff(timestamp_micros(ts div 1000), date'2024-01-01')")
+          .as("day"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"))
+      .groupBy("day").agg(sum("vm").as("v_day"))
+
+  /** CUSUM over the daily series, n-rescaled to stay integer:
+    * S'_k = n·cum_k − k·total = n·(cum_k − k·mean). |S'| peaks at the
+    * most likely single changepoint (Page's statistic, two-sided).
+    */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy()
+    val seq = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailySeries(spark, dir)
+      .withColumn("n_days", count(lit(1)).over(all))
+      .withColumn("total", sum("v_day").over(all))
+      .withColumn("cum", sum("v_day").over(seq))
+      .withColumn("k", row_number().over(Window.orderBy("day")))
+      .withColumn("s_scaled",
+        col("n_days") * col("cum") - col("k") * col("total"))
+      .withColumn("is_peak",
+        (abs(col("s_scaled")) === max(abs(col("s_scaled"))).over(all))
+          .cast("int"))
+      .select("day", "v_day", "s_scaled", "is_peak")
+      .orderBy("day")
+  }
+
+  /** Holt linear smoothing, α = β = 1/2, floored to the integer
+    * lattice. The recursion is inherently sequential, so it runs as an
+    * `aggregate` lambda over the array-sorted day series — one row in,
+    * |days| structs out, exploded back to rows. `pmod`-floor division
+    * (`(a − pmod(a,2)) div 2`) makes the halving exact and
+    * engine-portable for negative trends too (DuckDB mirrors it as
+    * `((a % 2) + 2) % 2`).
+    */
+  def holt(spark: SparkSession, dir: String): DataFrame = {
+    val packed = dailySeries(spark, dir)
+      .agg(array_sort(collect_list(struct(col("day"), col("v_day"))))
+        .as("s"))
+    // nl = new level, repeated inline where the new trend needs it —
+    // lambda-local bindings don't exist in SQL HOFs
+    val step =
+      """aggregate(
+        |  slice(s, 2, size(s) - 1),
+        |  named_struct(
+        |    'l', s[0].v_day, 'b', cast(0 as bigint),
+        |    'out', array(named_struct(
+        |      'day', s[0].day, 'v_day', s[0].v_day,
+        |      'level', s[0].v_day, 'trend', cast(0 as bigint)))),
+        |  (acc, x) -> named_struct(
+        |    'l', (x.v_day + acc.l + acc.b
+        |          - pmod(x.v_day + acc.l + acc.b, 2)) div 2,
+        |    'b', ((x.v_day + acc.l + acc.b
+        |           - pmod(x.v_day + acc.l + acc.b, 2)) div 2
+        |          - acc.l + acc.b
+        |          - pmod((x.v_day + acc.l + acc.b
+        |                  - pmod(x.v_day + acc.l + acc.b, 2)) div 2
+        |                 - acc.l + acc.b, 2)) div 2,
+        |    'out', concat(acc.out, array(named_struct(
+        |      'day', x.day, 'v_day', x.v_day,
+        |      'level', (x.v_day + acc.l + acc.b
+        |                - pmod(x.v_day + acc.l + acc.b, 2)) div 2,
+        |      'trend', ((x.v_day + acc.l + acc.b
+        |                 - pmod(x.v_day + acc.l + acc.b, 2)) div 2
+        |                - acc.l + acc.b
+        |                - pmod((x.v_day + acc.l + acc.b
+        |                        - pmod(x.v_day + acc.l + acc.b, 2)) div 2
+        |                       - acc.l + acc.b, 2)) div 2)))),
+        |  acc -> acc.out)""".stripMargin
+    packed.select(explode(expr(step)).as("h"))
+      .select(col("h.day").as("day"), col("h.v_day").as("v_day"),
+        col("h.level").as("level"), col("h.trend").as("trend"))
+      .orderBy("day")
+  }
+
+  /** Skewness + excess kurtosis per event_type from exact integer
+    * power sums. s₁³ and s₁⁴ overflow BIGINT at bench scale, so the
+    * n-scaled central-moment identities are evaluated in doubles —
+    * IEEE-deterministic because the expression text (and hence the
+    * rounding sequence) is identical in both engines, and the only
+    * libm call is correctly-rounded `sqrt`.
+    */
+  def skewKurtosis(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        expr("cast(round(value) as bigint)").as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .withColumn("skew_r6", expr(
+        """round(
+          |  (cast(n as double) * n * s3
+          |   - 3.0d * n * s1 * s2 + 2.0d * s1 * s1 * s1)
+          |  / (cast(n * s2 - s1 * s1 as double)
+          |     * sqrt(cast(n * s2 - s1 * s1 as double))), 6)"""
+          .stripMargin))
+      .withColumn("kurt_r6", expr(
+        """round(
+          |  (cast(n as double) * n * n * s4
+          |   - 4.0d * n * n * s1 * s3 + 6.0d * n * s1 * s1 * s2
+          |   - 3.0d * s1 * s1 * s1 * s1)
+          |  / (cast(n * s2 - s1 * s1 as double)
+          |     * cast(n * s2 - s1 * s1 as double)) - 3.0d, 6)"""
+          .stripMargin))
+      .select("event_type", "n", "s1", "s2", "s3", "s4", "skew_r6",
+        "kurt_r6")
+      .orderBy("event_type")
+
+  /** Top user journey trigrams: 30-minute-gap sessions (the engine's
+    * session convention, ev_window_session), ordered event-type
+    * trigrams within each session, global top-25 with a total
+    * (count desc, path) tie-break. The path-mining primitive behind
+    * funnel discovery — unlike `ev_funnel` it finds the funnels
+    * instead of checking a declared one.
+    *
+    * 100 TB shape: two per-user windows (session id + leads) over the
+    * same (user, time) partitioning — one shuffle, the second window
+    * reuses the sort — then a hash aggregate on a bounded path
+    * vocabulary (|types|³) and a TakeOrdered(25). Never materializes
+    * per-session paths beyond the aggregate.
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapNs = 1800L * 1000000000L
+    val sess = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("new_sess",
+        when(col("ts") - lag(col("ts"), 1).over(wSeq) > gapNs
+          or lag(col("ts"), 1).over(wSeq).isNull, 1).otherwise(0))
+      .withColumn("sess",
+        sum(col("new_sess")).over(
+          wSeq.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+    val wPath = Window.partitionBy("user_id", "sess")
+      .orderBy("ts", "event_id")
+    val wRank = Window.orderBy(col("n").desc, col("path"))
+    sess
+      .withColumn("t2", lead(col("event_type"), 1).over(wPath))
+      .withColumn("t3", lead(col("event_type"), 2).over(wPath))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 25)
+      .select("path", "n", "rank")
+      .orderBy("rank")
+  }
+
+  /** Bounded-round k-core peel (k = 3, 4 rounds) on the bipartite
+    * customer–supplier graph (supplier ids offset by 1e6, the
+    * graph_pagerank node convention). Each round drops nodes with
+    * degree < k and their edges; after convergence the survivors are
+    * exactly the 3-core. The ROUND COUNT is part of the declared
+    * contract (both engines unroll the identical 4 rounds), and the
+    * spec proves a 5th round is a no-op at test SF — the
+    * loud-convergence discipline of `dedup_clusters` applied to
+    * peeling.
+    *
+    * 100 TB shape: per round one degree aggregate + two semi-joins,
+    * all hash-partitioned on node id — O(R) shuffles, no driver data
+    * access during construction. Unbounded-depth peel cascades want
+    * the same fix as connected components: run until a changed-count
+    * observation hits zero, failing loudly at a round budget.
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val rounds = 4
+    val oneWay = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct()
+    var live = oneWay.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(oneWay.select(col("supp").as("src"),
+        col("cust").as("dst")))
+    for (_ <- 1 to rounds) {
+      val keep = live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+      live = live
+        .join(keep.select(col("node").as("src")), Seq("src"),
+          "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"),
+          "left_semi")
+    }
+    live.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+  }
+
+  /** Zipf-law fit over the token frequency spectrum: OLS of
+    * ln(count) on ln(rank) for the top-1000 terms. Both logs are
+    * quantized to the micro-nat lattice FIRST (the text_char_entropy
+    * convention) so the regression sums are exact BIGINTs; only the
+    * final closed-form slope/intercept touch doubles, with identical
+    * expression text in both engines. Slope near −1 is the Zipf
+    * signature; a flat slope flags synthetic or templated corpora —
+    * a cheap corpus-health audit.
+    *
+    * 100 TB shape: one (term) count aggregate, a top-1000 rank window
+    * over the aggregated vocabulary, then a 1-row regression
+    * aggregate. At extreme vocabularies the rank window becomes a
+    * two-phase count-histogram prefix sum; the regression is
+    * unchanged.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.orderBy(col("cnt").desc, col("tok"))
+    t(spark, dir, "documents")
+      .select(explode(transform(TextAnalysis.tokens(col("text")),
+        w => lower(w))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 1000)
+      .select(
+        expr("cast(round(ln(rank) * 1000000) as bigint)").as("lx"),
+        expr("cast(round(ln(cnt) * 1000000) as bigint)").as("ly"))
+      .agg(count(lit(1)).as("n"), sum("lx").as("sx"),
+        sum("ly").as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("lx") * col("ly")).as("sxy"))
+      .select(col("n"),
+        expr(
+          """round((cast(n as double) * sxy - cast(sx as double) * sy)
+            | / (cast(n as double) * sxx
+            |    - cast(sx as double) * sx), 6)""".stripMargin)
+          .as("slope_r6"),
+        expr(
+          """round((cast(sy as double)
+            |  - ((cast(n as double) * sxy - cast(sx as double) * sy)
+            |     / (cast(n as double) * sxx
+            |        - cast(sx as double) * sx)) * sx)
+            | / cast(n as double), 6)""".stripMargin)
+          .as("intercept_r6"))
+  }
+
+  /** Flesch reading-ease per document from deterministic proxies:
+    * sentences = non-blank [.!?]+ splits, words = whitespace tokens,
+    * syllables = vowel-group runs per word (min 1). The three counts
+    * are exact integers (hash-comparable on their own); the Flesch
+    * formula is one double expression with identical text in both
+    * engines. The classic curation quality gate alongside
+    * `text_quality`'s ratio features.
+    *
+    * 100 TB shape: a pure narrow map — per-document lambdas, no
+    * shuffle at all before the final sort.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val words = TextAnalysis.tokens(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "[.!?]+"),
+          s => length(trim(s)) > 0)).as("n_sent0"),
+        size(words).as("n_words"),
+        aggregate(transform(words,
+            w => greatest(lit(1), size(regexp_extract_all(lower(w),
+              lit("[aeiou]+"), lit(0))))),
+          lit(0L), (a, x) => a + x.cast("long")).as("syllables"))
+      .select(col("doc_id"),
+        greatest(col("n_sent0"), lit(1)).as("n_sent"),
+        col("n_words"), col("syllables"))
+      .withColumn("flesch_r6", expr(
+        """round(206.835d
+          | - 1.015d * (cast(n_words as double) / n_sent)
+          | - 84.6d * (cast(syllables as double) / n_words), 6)"""
+          .stripMargin))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental maintenance of a per-group TOP-K view under a keyed
+    * changelog with retractions — the hardest of the classic IVM
+    * shapes, because a deletion can evict a ranked row and pull data
+    * from BELOW the maintained boundary. The production answer
+    * (Materialize/DBSP top-k, F1's "candidate buffer") is maintained
+    * here on a batch micro-update:
+    *
+    *   - state: per-group top (k+b) CANDIDATES (b = buffer rows), not
+    *     just the top k;
+    *   - delta step: survivors = candidates minus touched keys;
+    *     newTouched = full-history LWW of touched keys (live only);
+    *   - SAFE group: ≥ k survivors remain, or the whole group fit in
+    *     the candidate set. Every candidate outranks every
+    *     non-candidate under the total (vm desc, user asc) order, so
+    *     with ≥ k survivors the true top-k ⊆ survivors ∪ newTouched
+    *     and one rank window over that union answers the group.
+    *   - UNSAFE group (buffer underflow): recompute the group from
+    *     maintained per-key state — the refetch branch. The state
+    *     itself is delta-maintained ((liveBase ∖ touched) ∪
+    *     newTouched), so even the refetch never re-reads history.
+    *
+    * At 100 TB: candidates and per-key state are group-bucketed
+    * stored tables; the delta legs semi-join-prune to touched keys /
+    * unsafe groups (partition prune on the bucketed state), so cost
+    * follows the delta except for genuinely underflowed groups,
+    * which each cost one group-partition scan — the same contract as
+    * KeyedTableSink's touched-bucket rewrite. The oracle recomputes
+    * the view from scratch; IVM == full is the invariant.
+    */
+  def ivmTopKCore(ev: DataFrame, k: Int, buf: Int): DataFrame = {
+    def live(df: DataFrame): DataFrame =
+      KeyedMerge.lww(df, Seq("user_id"), "event_id")
+        .filter(!col("del")).drop("del", "event_id")
+    val wRank = Window.partitionBy("event_type")
+      .orderBy(col("vm").desc, col("user_id"))
+    // per-key live state from the base (pre-delta) history; cached —
+    // the candidate, group-size, survivor and refetch legs all read it
+    val liveBase = live(ev.filter(col("event_id") % 5 =!= 4)).cache()
+    val cand = liveBase.withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= k + buf).drop("rk")
+    val gsize = liveBase.groupBy("event_type")
+      .agg(count(lit(1)).as("g_n"))
+    val touched = ev.filter(col("event_id") % 5 === 4)
+      .select("user_id").distinct()
+    val survivors = cand.join(touched, Seq("user_id"), "left_anti")
+    val newTouched = live(ev.join(touched, Seq("user_id"), "left_semi"))
+    val merged = survivors.unionByName(newTouched)
+    // buffer-underflow detection per group, over bounded inputs
+    val unsafe = gsize
+      .join(survivors.groupBy("event_type")
+        .agg(count(lit(1)).as("n_surv")), Seq("event_type"), "left")
+      .filter(coalesce(col("n_surv"), lit(0L)) < k
+        && col("g_n") > (k + buf))
+      .select("event_type")
+    val safeTopK = merged
+      .join(unsafe, Seq("event_type"), "left_anti")
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+    // refetch branch: delta-maintained full state, pruned to the
+    // underflowed groups only
+    val liveFull = liveBase.join(touched, Seq("user_id"), "left_anti")
+      .unionByName(newTouched)
+    val refetchTopK = liveFull
+      .join(unsafe, Seq("event_type"), "left_semi")
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+    safeTopK.unionByName(refetchTopK)
+      .select(col("event_type"), col("user_id"), col("vm"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("event_type", "rank")
+  }
+
+  def ivmTopK(spark: SparkSession, dir: String): DataFrame =
+    ivmTopKCore(
+      t(spark, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"),
+        (col("event_id") % 7 === 0).as("del")),
+      k = 3, buf = 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_ivm_topk" -> ivmTopK _,
+    "ts_cusum" -> cusum _,
+    "ts_holt" -> holt _,
+    "q62_skew_kurtosis" -> skewKurtosis _,
+    "ev_top_paths" -> topPaths _,
+    "graph_kcore" -> kcore _,
+    "text_zipf_fit" -> zipfFit _,
+    "text_readability" -> readability _)
+
+  private val dailySql =
+    """SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |    AS day,
+      |  CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+      |    AS v_day
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "cdc_ivm_topk" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm,
+        |    (event_id % 7 = 0) AS del
+        |  FROM events
+        |), lww AS (
+        |  SELECT user_id, event_type, vm, del,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM ev
+        |), live AS (
+        |  SELECT user_id, event_type, vm FROM lww
+        |  WHERE rn = 1 AND NOT del
+        |), r AS (
+        |  SELECT event_type, user_id, vm,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY vm DESC, user_id) AS rank
+        |  FROM live)
+        |SELECT event_type, user_id, vm, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "ts_cusum" ->
+      s"""WITH d AS ($dailySql),
+        |w AS (
+        |  SELECT CAST(day AS INT) AS day, v_day,
+        |    COUNT(*) OVER () AS n_days,
+        |    SUM(v_day) OVER () AS total,
+        |    SUM(v_day) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    ROW_NUMBER() OVER (ORDER BY day) AS k
+        |  FROM d)
+        |SELECT day, v_day,
+        |  CAST(n_days * cum - k * total AS BIGINT) AS s_scaled,
+        |  CAST(CASE WHEN abs(n_days * cum - k * total)
+        |      = MAX(abs(n_days * cum - k * total)) OVER ()
+        |    THEN 1 ELSE 0 END AS INT) AS is_peak
+        |FROM w ORDER BY day""".stripMargin,
+    "ts_holt" ->
+      s"""WITH RECURSIVE d0 AS ($dailySql),
+        |d AS (
+        |  SELECT CAST(day AS INT) AS day, v_day,
+        |    ROW_NUMBER() OVER (ORDER BY day) AS k
+        |  FROM d0),
+        |h AS (
+        |  SELECT k, day, v_day, v_day AS level,
+        |    CAST(0 AS BIGINT) AS trend
+        |  FROM d WHERE k = 1
+        |  UNION ALL
+        |  SELECT d.k, d.day, d.v_day,
+        |    CAST((d.v_day + h.level + h.trend
+        |      - ((((d.v_day + h.level + h.trend) % 2) + 2) % 2)) // 2
+        |      AS BIGINT) AS level,
+        |    CAST(((d.v_day + h.level + h.trend
+        |        - ((((d.v_day + h.level + h.trend) % 2) + 2) % 2)) // 2
+        |       - h.level + h.trend
+        |       - (((((d.v_day + h.level + h.trend
+        |            - ((((d.v_day + h.level + h.trend) % 2) + 2) % 2))
+        |            // 2 - h.level + h.trend) % 2) + 2) % 2)) // 2
+        |      AS BIGINT) AS trend
+        |  FROM h JOIN d ON d.k = h.k + 1)
+        |SELECT day, v_day, level, trend FROM h ORDER BY day""".stripMargin,
+    "q62_skew_kurtosis" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value) AS BIGINT) AS x
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s1,
+        |    CAST(SUM(x * x) AS BIGINT) AS s2,
+        |    CAST(SUM(x * x * x) AS BIGINT) AS s3,
+        |    CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n, s1, s2, s3, s4,
+        |  round(
+        |    (CAST(n AS DOUBLE) * n * s3
+        |     - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1)
+        |    / (CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |       * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))), 6)
+        |    AS skew_r6,
+        |  round(
+        |    (CAST(n AS DOUBLE) * n * n * s4
+        |     - 4.0 * n * n * s1 * s3 + 6.0 * n * s1 * s1 * s2
+        |     - 3.0 * s1 * s1 * s1 * s1)
+        |    / (CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |       * CAST(n * s2 - s1 * s1 AS DOUBLE)) - 3.0, 6)
+        |    AS kurt_r6
+        |FROM m ORDER BY event_type""".stripMargin,
+    "ev_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, tu, event_type,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |           OR tu - lag(tu) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+        |), s2 AS (
+        |  SELECT user_id, event_id, tu, event_type,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s
+        |), tri AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w2 AS t2,
+        |    lead(event_type, 2) OVER w2 AS t3
+        |  FROM s2
+        |  WINDOW w2 AS (PARTITION BY user_id, sess
+        |    ORDER BY tu, event_id)
+        |), p AS (
+        |  SELECT event_type || '>' || t2 || '>' || t3 AS path
+        |  FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |), c AS (
+        |  SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p
+        |  GROUP BY path)
+        |SELECT path, n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT)
+        |    AS rank
+        |FROM c QUALIFY rank <= 25 ORDER BY rank""".stripMargin,
+    "graph_kcore" ->
+      """WITH ow AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), l0 AS (
+        |  SELECT cust AS src, supp AS dst FROM ow
+        |  UNION ALL SELECT supp AS src, cust AS dst FROM ow
+        |), k1 AS (SELECT src FROM l0 GROUP BY src HAVING COUNT(*) >= 3),
+        |l1 AS (SELECT src, dst FROM l0
+        |  WHERE src IN (SELECT src FROM k1)
+        |    AND dst IN (SELECT src FROM k1)),
+        |k2 AS (SELECT src FROM l1 GROUP BY src HAVING COUNT(*) >= 3),
+        |l2 AS (SELECT src, dst FROM l1
+        |  WHERE src IN (SELECT src FROM k2)
+        |    AND dst IN (SELECT src FROM k2)),
+        |k3 AS (SELECT src FROM l2 GROUP BY src HAVING COUNT(*) >= 3),
+        |l3 AS (SELECT src, dst FROM l2
+        |  WHERE src IN (SELECT src FROM k3)
+        |    AND dst IN (SELECT src FROM k3)),
+        |k4 AS (SELECT src FROM l3 GROUP BY src HAVING COUNT(*) >= 3),
+        |l4 AS (SELECT src, dst FROM l3
+        |  WHERE src IN (SELECT src FROM k4)
+        |    AND dst IN (SELECT src FROM k4))
+        |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |FROM l4 GROUP BY src ORDER BY node""".stripMargin,
+    "text_zipf_fit" ->
+      """WITH tk AS (
+        |  SELECT lower(unnest(string_split_regex(trim(text), '\s+')))
+        |    AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk
+        |  GROUP BY tok
+        |), r AS (
+        |  SELECT cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+        |  FROM freq QUALIFY rank <= 1000
+        |), q AS (
+        |  SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS lx,
+        |    CAST(round(ln(cnt) * 1000000) AS BIGINT) AS ly
+        |  FROM r
+        |), m AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(lx) AS BIGINT) AS sx,
+        |    CAST(SUM(ly) AS BIGINT) AS sy,
+        |    CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+        |    CAST(SUM(lx * ly) AS BIGINT) AS sxy
+        |  FROM q)
+        |SELECT n,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |   / (CAST(n AS DOUBLE) * sxx
+        |      - CAST(sx AS DOUBLE) * sx), 6) AS slope_r6,
+        |  round((CAST(sy AS DOUBLE)
+        |    - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |       / (CAST(n AS DOUBLE) * sxx
+        |          - CAST(sx AS DOUBLE) * sx)) * sx)
+        |   / CAST(n AS DOUBLE), 6) AS intercept_r6
+        |FROM m""".stripMargin,
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    GREATEST(CAST(len(list_filter(
+        |      string_split_regex(text, '[.!?]+'),
+        |      s -> len(trim(s)) > 0)) AS INT), 1) AS n_sent,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+        |      AS n_words,
+        |    CAST(list_sum(list_transform(
+        |      string_split_regex(trim(text), '\s+'),
+        |      w -> GREATEST(1, len(regexp_extract_all(lower(w),
+        |        '[aeiou]+'))))) AS BIGINT) AS syllables
+        |  FROM documents)
+        |SELECT doc_id, n_sent, n_words, syllables,
+        |  round(206.835
+        |   - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+        |   - 84.6 * (CAST(syllables AS DOUBLE) / n_words), 6)
+        |    AS flesch_r6
+        |FROM c ORDER BY doc_id""".stripMargin)
+}

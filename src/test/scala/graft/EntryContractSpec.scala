@@ -35,6 +35,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext11Queries.oracle),
       ("Ext12Queries", operators.Ext12Queries.queries,
         operators.Ext12Queries.oracle),
+      ("Ext13Queries", operators.Ext13Queries.queries,
+        operators.Ext13Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,

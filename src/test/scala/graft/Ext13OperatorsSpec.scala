@@ -1,0 +1,293 @@
+package graft
+
+import graft.operators.Ext13Queries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 batch 1 invariants the hash-compare cannot see: the CUSUM
+  * statistic matches an exact driver replay and telescopes to zero at
+  * the series end, the Holt recursion matches a `Math.floorDiv` replay
+  * row-for-row (including negative-trend flooring), and the
+  * skew/kurtosis moments match BigInt-exact power sums with the
+  * closed-form double within tolerance of a direct two-pass
+  * computation.
+  */
+class Ext13OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def daily(): Seq[(Int, Long)] =
+    Tables.t(spark, TestSpark.sfDir, "events")
+      .select(
+        expr("datediff(timestamp_micros(ts div 1000), date'2024-01-01')"),
+        expr("cast(round(value * 1000) as bigint)"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, vs) => (d, vs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+
+  test("cusum matches an exact driver replay and ends at zero") {
+    val out = Ext13Queries.cusum(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val series = daily()
+    assert(out.length === series.length)
+    val n = series.length.toLong
+    val total = series.map(_._2).sum
+    var cum = 0L
+    val expected = series.zipWithIndex.map { case ((d, v), i) =>
+      cum += v
+      (d, v, n * cum - (i + 1) * total)
+    }
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq === expected)
+    // telescoping: at k = n the scaled deviation is identically zero
+    assert(out.last._3 === 0L)
+    // exactly the max-|S| rows are flagged, and at least one is
+    val maxAbs = expected.map(t => math.abs(t._3)).max
+    out.foreach { t =>
+      assert((t._4 == 1) === (math.abs(t._3) == maxAbs))
+    }
+    assert(out.exists(_._4 == 1))
+  }
+
+  test("holt recursion matches a floorDiv driver replay") {
+    val out = Ext13Queries.holt(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val series = daily()
+    assert(out.length === series.length)
+    var l = series.head._2
+    var b = 0L
+    val expected = series.head match {
+      case (d0, v0) =>
+        (d0, v0, l, b) +: series.tail.map { case (d, v) =>
+          val nl = Math.floorDiv(v + l + b, 2)
+          val nb = Math.floorDiv(nl - l + b, 2)
+          l = nl; b = nb
+          (d, v, l, b)
+        }
+    }
+    assert(out.toSeq === expected)
+    // the recursion genuinely smooths: levels track the series scale
+    assert(out.map(_._3).max <= series.map(_._2).max)
+    // negative trends occur in this series (the floor-division of
+    // negative numerators is exercised, not vacuous)
+    assert(out.exists(_._4 < 0L))
+  }
+
+  test("skew/kurtosis moments are BigInt-exact and the closed form " +
+      "agrees with a direct two-pass computation") {
+    val out = Ext13Queries.skewKurtosis(spark, TestSpark.sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val raw = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(col("event_type"), expr("cast(round(value) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out.foreach { r =>
+      val et = r.getString(0)
+      val xs = raw.filter(_._1 == et).map(_._2)
+      val n = xs.length.toLong
+      assert(r.getLong(1) === n)
+      // power sums exact vs BigInt accumulation
+      assert(BigInt(r.getLong(2)) === xs.map(BigInt(_)).sum)
+      assert(BigInt(r.getLong(3)) === xs.map(x => BigInt(x) * x).sum)
+      assert(BigInt(r.getLong(4)) ===
+        xs.map(x => BigInt(x) * x * x).sum)
+      assert(BigInt(r.getLong(5)) ===
+        xs.map(x => BigInt(x) * x * x * x).sum)
+      // two-pass central moments as the independent reference
+      val mean = xs.map(_.toDouble).sum / n
+      val m2 = xs.map(x => math.pow(x - mean, 2)).sum / n
+      val m3 = xs.map(x => math.pow(x - mean, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mean, 4)).sum / n
+      val skew = m3 / math.pow(m2, 1.5)
+      val kurt = m4 / (m2 * m2) - 3.0
+      assert(math.abs(r.getDouble(6) - skew) < 1e-4,
+        s"$et skew ${r.getDouble(6)} vs $skew")
+      assert(math.abs(r.getDouble(7) - kurt) < 1e-4,
+        s"$et kurt ${r.getDouble(7)} vs $kurt")
+    }
+  }
+
+  test("top paths match a driver sessionize-and-count replay") {
+    val out = Ext13Queries.topPaths(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty && out.length <= 25)
+    val raw = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val gap = 1800L * 1000000000L
+    val paths = raw.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2))
+      // split into sessions at > 30 min gaps, emit trigrams per session
+      val sessions = sorted.foldLeft(List.empty[List[(Long, String)]]) {
+        case (acc, e) =>
+          acc match {
+            case (cur @ ((lastTs, _) :: _)) :: rest
+                if e._3 - lastTs <= gap =>
+              ((e._3, e._4) :: cur) :: rest
+            case _ => List((e._3, e._4)) :: acc
+          }
+      }.map(_.reverse.map(_._2))
+      sessions.flatMap(s => s.sliding(3).filter(_.length == 3)
+        .map(_.mkString(">")))
+    }
+    val counts = paths.groupBy(identity).view.mapValues(_.size.toLong)
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(25).zipWithIndex
+      .map { case ((p, n), i) => (p, n, i + 1) }
+    assert(out.toSeq === expected)
+  }
+
+  test("k-core peel reaches its fixpoint within the declared rounds " +
+      "and every survivor has degree >= k") {
+    val out = Ext13Queries.kcore(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    // every surviving node meets the core threshold
+    assert(out.forall(_._2 >= 3L))
+    // driver replay: peel to the TRUE fixpoint and compare — proves
+    // the declared 4 rounds are enough at this SF (a 5th round is a
+    // no-op), not just that 4 rounds ran
+    val oneWay = Tables.t(spark, TestSpark.sfDir, "orders")
+      .join(Tables.t(spark, TestSpark.sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey") + 1000000L)
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = (oneWay ++ oneWay.map(e => (e._2, e._1))).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != edges.size
+      edges = next
+    }
+    val expected = edges.groupBy(_._1).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    assert(out.toSeq === expected)
+  }
+
+  test("ivm top-k: buffer underflow takes the refetch branch and " +
+      "both branches match a full recompute") {
+    import spark.implicits._
+    // base id 35u+1 (%5=1, never %7=0); delta update 35u+9 (%5=4,
+    // %7!=0); delta DELETE 35u+14 (%5=4, %7=0) — the arithmetic the
+    // query's selectors key on
+    def base(u: Long, g: String, vm: Long) = (35 * u + 1, u, g, vm, false)
+    def upd(u: Long, g: String, vm: Long) = (35 * u + 9, u, g, vm, false)
+    def del(u: Long, g: String) = (35 * u + 14, u, g, 0L, true)
+    // group A: 6 users, deltas DELETE its top-2 candidates -> with
+    // k=2, buf=1 only 1 candidate survives (< k) and g_n=6 > k+buf:
+    // unsafe, must refetch below the old candidate boundary
+    // group B: 4 users, one mid update: 2 candidates survive: safe
+    // group C: new group arriving only in the delta
+    val rows =
+      (1L to 6L).map(u => base(u, "A", 700 - 100 * u)) ++
+        Seq(del(1L, "A"), del(2L, "A")) ++
+        (11L to 14L).map(u => base(u, "B", 2000 - 100 * u)) ++
+        Seq(upd(13L, "B", 2500L)) ++
+        Seq(upd(21L, "C", 50L))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "vm", "del")
+    val out = operators.Ext13Queries.ivmTopKCore(ev, k = 2, buf = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    // full recompute: per-user LWW, live only, top-2 per group
+    val lww = rows.groupBy(_._2).map { case (_, rs) =>
+      rs.maxBy(_._1)
+    }.filter(!_._5).toSeq
+    val expected = lww.groupBy(_._3).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._4, r._2)).take(2).zipWithIndex
+        .map { case (r, i) => (g, r._2, r._4, i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    assert(out.toSeq === expected)
+    // the A rows prove the refetch: user 3 (old candidate) and user 4
+    // (BELOW the old k+buf boundary) — unreachable via the safe merge
+    assert(out.filter(_._1 == "A").map(_._2).toSeq === Seq(3L, 4L))
+    // B took the safe path shape: updated user 13 leads, survivor 11
+    assert(out.filter(_._1 == "B").map(_._2).toSeq === Seq(13L, 11L))
+    // new group C appears with its single delta row
+    assert(out.filter(_._1 == "C").map(_._2).toSeq === Seq(21L))
+  }
+
+  test("ivm top-k on the fixture corpus equals a full recompute") {
+    val out = operators.Ext13Queries.ivmTopK(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(out.nonEmpty)
+    val raw = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("cast(round(value * 1000) as bigint)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val expected = raw.groupBy(_._2).map { case (_, rs) =>
+      rs.maxBy(_._1)
+    }.filter(r => r._1 % 7 != 0).toSeq
+      .groupBy(_._3).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._4, r._2)).take(3).zipWithIndex
+          .map { case (r, i) => (g, r._2, r._4, i + 1) }
+      }.sortBy(t => (t._1, t._4))
+    assert(out.toSeq === expected)
+  }
+
+  test("zipf fit matches a driver regression replay and has a " +
+      "zipf-shaped slope") {
+    val row = Ext13Queries.zipfFit(spark, TestSpark.sfDir).collect()
+      .head
+    val (n, slope, intercept) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    val counts = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.trim.split("\\s+")).map(_.toLowerCase)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    assert(n === math.min(1000L, counts.length.toLong))
+    val top = counts.sortBy { case (t, c) => (-c, t) }.take(1000)
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(math.log(i + 1.0) * 1e6),
+        math.round(math.log(c.toDouble) * 1e6))
+    }
+    val nn = pts.length.toLong
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val repSlope = (nn.toDouble * sxy - sx.toDouble * sy) /
+      (nn.toDouble * sxx - sx.toDouble * sx)
+    val repIcept = (sy.toDouble - repSlope * sx) / nn.toDouble
+    assert(math.abs(slope - repSlope) < 1e-5)
+    assert(math.abs(intercept - repIcept) < 1e-5)
+    // counts are rank-sorted, so the fit is strictly decreasing; the
+    // synthetic fixture's spectrum is much flatter than natural
+    // language (-0.18 at sf0.001 vs ~-1 for real text) — exactly the
+    // corpus-health signal this audit exists to surface
+    assert(slope < 0.0 && slope > -3.0, s"slope $slope")
+  }
+
+  test("readability counts match a per-document regex replay") {
+    val out = Ext13Queries.readability(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    out.foreach { case (id, nSent, nWords, syl, flesch) =>
+      val text = docs(id)
+      val sents = text.split("[.!?]+", -1).count(_.trim.nonEmpty)
+      assert(nSent === math.max(sents, 1), s"doc $id sentences")
+      val words = text.trim.split("\\s+")
+      assert(nWords === words.length, s"doc $id words")
+      val sylRep = words.map(w =>
+        math.max(1, "[aeiou]+".r.findAllIn(w.toLowerCase).size).toLong)
+        .sum
+      assert(syl === sylRep, s"doc $id syllables")
+      val rep = 206.835 - 1.015 * (nWords.toDouble / nSent) -
+        84.6 * (syl.toDouble / nWords)
+      assert(math.abs(flesch - rep) < 1e-5, s"doc $id flesch")
+    }
+  }
+}
