@@ -402,8 +402,85 @@ object Ext13Queries {
         (col("event_id") % 7 === 0).as("del")),
       k = 3, buf = 2)
 
+  /** Voiced-span merging over the audio-style frame energies
+    * (`mm_energy_frames`): consecutive ACTIVE frames collapse into
+    * spans via gaps-and-islands — the step after VAD that turns
+    * per-frame detections into the clip list a training pipeline
+    * actually keeps. Frames stride by 2, so the island key is
+    * `frame_idx − row_number` on the HALVED frame number (the raw
+    * frame_no increments by 2 per consecutive frame and would break
+    * the constant-difference trick).
+    *
+    * 100 TB shape: rides mm_energy_frames' partition-batched slicing;
+    * the island window partitions by media id (bounded frames per
+    * clip), and the span aggregate is a narrow per-media groupBy.
+    */
+  def vadSpans(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("media_id").orderBy("frame_no")
+    Ext11Queries.energyFrames(spark, dir)
+      .filter(col("active"))
+      .withColumn("grp",
+        expr("frame_no div 2") - row_number().over(w))
+      .groupBy("media_id", "grp")
+      .agg(min("frame_no").as("span_start"),
+        max("frame_no").as("span_end"),
+        count(lit(1)).as("n_frames"),
+        sum("energy").as("energy_sum"))
+      .drop("grp")
+      .orderBy("media_id", "span_start")
+  }
+
+  /** Cluster-size histogram of the near-dup graph — the dedup report
+    * a curation run ships (how much of the corpus is duplicated, and
+    * in what clump sizes). Reuses the exact `dedup_clusters`
+    * component labeling; documents with no near-dup edge are the
+    * n_members = 1 row (components have ≥ 2 members by
+    * construction, so the singleton row never collides).
+    *
+    * 100 TB shape: two tiny aggregates over the component labeling
+    * (bounded by cluster count) plus one anti-join for the singleton
+    * count — the labeling itself is the banded-LSH + large-star/
+    * small-star path that already carries the scale contract.
+    */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(t(spark, dir, "documents"), "doc_id",
+        "text", numHashes = 16, bands = 4, minJ = 0.1))
+    val clustered = cc.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .groupBy("n_members")
+      .agg(count(lit(1)).as("n_clusters"))
+    val singletons = t(spark, dir, "documents")
+      .select(col("doc_id").as("id"))
+      .join(cc.select("id"), Seq("id"), "left_anti")
+      .agg(lit(1L).as("n_members"), count(lit(1)).as("n_clusters"))
+    clustered.unionByName(singletons).orderBy("n_members")
+  }
+
+  /** Per-group statistical mode with the (count desc, value asc)
+    * total tie-break — the explicit-rule twin of SQL `mode()`, which
+    * engines are free to tie-break differently. One (group, value)
+    * aggregate plus a rank window over the collapsed lattice.
+    */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("n").desc, col("qty"))
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("cast(round(l_quantity) as bigint)").as("qty"))
+      .groupBy("l_returnflag", "qty")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_ivm_topk" -> ivmTopK _,
+    "mm_vad_spans" -> vadSpans _,
+    "dedup_cluster_sizes" -> clusterSizes _,
+    "q63_mode" -> modePerGroup _,
     "ts_cusum" -> cusum _,
     "ts_holt" -> holt _,
     "q62_skew_kurtosis" -> skewKurtosis _,
@@ -442,6 +519,74 @@ object Ext13Queries {
         |  FROM live)
         |SELECT event_type, user_id, vm, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "mm_vad_spans" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, text,
+        |    unnest(range(0, greatest(
+        |      CAST(ceil(n_bytes / 64.0) AS BIGINT), 1), 2)) AS frame_no
+        |  FROM m
+        |), fr AS (
+        |  SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |    substring(text, CAST(frame_no * 64 + 1 AS BIGINT), 64)
+        |      AS fs
+        |  FROM f
+        |), en AS (
+        |  SELECT media_id, frame_no,
+        |    CAST(COALESCE(list_sum(list_transform(
+        |      string_split(fs, ''),
+        |      ch -> CAST((ord(ch) - 32) * (ord(ch) - 32) AS BIGINT))),
+        |      0) AS BIGINT) AS energy
+        |  FROM fr
+        |), act AS (
+        |  SELECT media_id, frame_no, energy FROM en
+        |  WHERE energy > 64 * 1500
+        |), isl AS (
+        |  SELECT media_id, frame_no, energy,
+        |    frame_no // 2 - ROW_NUMBER() OVER (PARTITION BY media_id
+        |      ORDER BY frame_no) AS grp
+        |  FROM act)
+        |SELECT media_id, MIN(frame_no) AS span_start,
+        |  MAX(frame_no) AS span_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(energy) AS BIGINT) AS energy_sum
+        |FROM isl GROUP BY media_id, grp
+        |ORDER BY media_id, span_start""".stripMargin,
+    "q63_mode" ->
+      """WITH q AS (
+        |  SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem
+        |), c AS (
+        |  SELECT l_returnflag, qty, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM q GROUP BY l_returnflag, qty
+        |), r AS (
+        |  SELECT l_returnflag, qty, n,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY n DESC, qty) AS rk
+        |  FROM c)
+        |SELECT l_returnflag, qty AS mode_qty, n FROM r
+        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+    // composes the dedup_clusters oracle verbatim as a subquery —
+    // the histogram MUST agree with the exact labeling it reports on
+    "dedup_cluster_sizes" ->
+      s"""WITH cc AS (${ExtQueries.oracle("dedup_clusters")}),
+        |cs AS (
+        |  SELECT cluster, COUNT(*) AS n_members FROM cc
+        |  GROUP BY cluster
+        |), hist AS (
+        |  SELECT CAST(n_members AS BIGINT) AS n_members,
+        |    CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |  FROM cs GROUP BY n_members
+        |), single AS (
+        |  SELECT CAST(1 AS BIGINT) AS n_members,
+        |    CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |  FROM documents
+        |  WHERE doc_id NOT IN (SELECT id FROM cc))
+        |SELECT * FROM hist UNION ALL SELECT * FROM single
+        |ORDER BY n_members""".stripMargin,
     "ts_cusum" ->
       s"""WITH d AS ($dailySql),
         |w AS (

@@ -233,6 +233,72 @@ class Ext13OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq === expected)
   }
 
+  test("vad spans partition the active frames exactly") {
+    val frames = operators.Ext11Queries
+      .energyFrames(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val spans = operators.Ext13Queries.vadSpans(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(spans.nonEmpty)
+    // replay: group consecutive (stride-2) active frames per media
+    val expected = frames.filter(_._4).groupBy(_._1).toSeq
+      .flatMap { case (m, fs) =>
+        val sorted = fs.sortBy(_._2)
+        val groups = sorted.foldLeft(List.empty[List[(Long, Long)]]) {
+          case (acc, f) => acc match {
+            case (cur @ ((lastNo, _) :: _)) :: rest
+                if f._2 == lastNo + 2 =>
+              ((f._2, f._3) :: cur) :: rest
+            case _ => List((f._2, f._3)) :: acc
+          }
+        }.map(_.reverse)
+        groups.map(g => (m, g.head._1, g.last._1, g.length.toLong,
+          g.map(_._2).sum))
+      }.sortBy(s => (s._1, s._2))
+    assert(spans.toSeq === expected)
+    // spans cover every active frame exactly once
+    assert(spans.map(_._4).sum === frames.count(_._4).toLong)
+  }
+
+  test("cluster-size histogram conserves the document count") {
+    val hist = operators.Ext13Queries
+      .clusterSizes(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = Tables.t(spark, TestSpark.sfDir, "documents").count()
+    assert(hist.map { case (m, c) => m * c }.sum === nDocs)
+    // components have >= 2 members, so the singleton row is alone
+    assert(hist.count(_._1 == 1L) === 1)
+    // histogram agrees with the labeling it reports on
+    val cc = operators.ExtQueries
+      .dedupClusters(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(1))
+    val rep = cc.groupBy(identity).values.map(_.size)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    hist.filter(_._1 > 1L).foreach { case (m, c) =>
+      assert(rep(m.toInt) === c, s"size $m")
+    }
+  }
+
+  test("mode per group matches a driver count replay") {
+    val out = operators.Ext13Queries
+      .modePerGroup(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val raw = Tables.t(spark, TestSpark.sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("cast(round(l_quantity) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = raw.groupBy(_._1).toSeq.map { case (g, rs) =>
+      val (qty, n) = rs.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.minBy { case (q, c) => (-c, q) }
+      (g, qty, n)
+    }.sortBy(_._1)
+    assert(out.toSeq === expected)
+  }
+
   test("zipf fit matches a driver regression replay and has a " +
       "zipf-shaped slope") {
     val row = Ext13Queries.zipfFit(spark, TestSpark.sfDir).collect()
