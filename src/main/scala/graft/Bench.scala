@@ -175,7 +175,14 @@ object Bench {
       // banded calibration join, 8-lag window, grid interpolation,
       // fused retrieval legs
       "mm_phash_dups", "eval_minhash_err", "ts_ewma",
-      "ts_resample_linear", "text_rrf_fusion")
+      "ts_resample_linear", "text_rrf_fusion",
+      // round-5 additions: IVM top-k (delta-bounded rank windows),
+      // session trigram mining, bounded-round peel, frequency-spectrum
+      // OLS, frame-island merge, CC histogram; the day-series trio
+      // (cusum/holt/skew) witnesses the aggregate-first floor
+      "cdc_ivm_topk", "ev_top_paths", "graph_kcore", "text_zipf_fit",
+      "text_readability", "mm_vad_spans", "dedup_cluster_sizes",
+      "q63_mode", "ts_cusum", "ts_holt", "q62_skew_kurtosis")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

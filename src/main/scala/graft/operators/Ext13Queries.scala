@@ -226,9 +226,17 @@ object Ext13Queries {
       .select(col("o_custkey").as("cust"),
         (col("l_suppkey") + 1000000L).as("supp"))
       .distinct()
+    // cache() per round, deliberately: each round reads the previous
+    // round's edge list THREE times (the degree aggregate, and both
+    // semi-join probes), so an uncached loop re-evaluates the base
+    // orders⋈lineitem subtree ~3^R times — measured 40 s at sf0.1 vs
+    // ~1 s cached. CacheManager keys by canonicalized plan, so
+    // repeated constructions reuse the same R entries and the bench's
+    // between-query clearCache releases them.
     var live = oneWay.select(col("cust").as("src"), col("supp").as("dst"))
       .unionAll(oneWay.select(col("supp").as("src"),
         col("cust").as("dst")))
+      .cache()
     for (_ <- 1 to rounds) {
       val keep = live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
@@ -238,6 +246,7 @@ object Ext13Queries {
           "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"),
           "left_semi")
+        .cache()
     }
     live.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
@@ -476,8 +485,52 @@ object Ext13Queries {
       .orderBy("l_returnflag")
   }
 
+  /** Mutual-kNN graph over the whole embedding corpus — the
+    * navigation structure semantic-dedup / clustering pipelines
+    * build (SemDeDup's neighbor graph, k-NN graph clustering).
+    * Candidates come from SRP-bucket equality (the corpus-scale LSH
+    * path: NO broadcast query set, a bucket-keyed self-join whose
+    * fan-out is collision-bounded); each node keeps its top-3 cosine
+    * neighbors, and an edge survives only if BOTH endpoints keep it
+    * (the mutual filter that prunes hub-induced false neighbors).
+    *
+    * 100 TB shape: one narrow bucket+norm projection, one equi-join
+    * on bucket (the standard banded-candidate contract — raise
+    * planes to cut collisions), one per-node rank window, and a
+    * semi-join of the directed edge list against its own transpose.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket",
+        Similarity.srpBucket(col("embedding"), planes = 6, dims = 64))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val a = e.select(col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("bucket"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("bucket").as("bucket_b"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy("id_a")
+      .orderBy(col("sim").desc, col("id_b"))
+    val directed = a.join(b,
+        col("bucket") === col("bucket_b")
+          && col("id_a") =!= col("id_b"))
+      .withColumn("sim", round(
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")),
+        6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("id_a", "id_b", "sim")
+    directed
+      .join(directed.select(col("id_a").as("id_b"),
+        col("id_b").as("id_a")), Seq("id_a", "id_b"), "left_semi")
+      .filter(col("id_a") < col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_ivm_topk" -> ivmTopK _,
+    "sim_knn_graph" -> knnGraph _,
     "mm_vad_spans" -> vadSpans _,
     "dedup_cluster_sizes" -> clusterSizes _,
     "q63_mode" -> modePerGroup _,
@@ -519,6 +572,54 @@ object Ext13Queries {
         |  FROM live)
         |SELECT event_type, user_id, vm, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "sim_knn_graph" ->
+      """WITH ee AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), contrib AS (
+        |  SELECT vec_id, p,
+        |    SUM(x * CASE WHEN substr(md5(p || ',' || (i - 1)), 1, 1)
+        |      IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0
+        |      END) AS c
+        |  FROM ee, UNNEST(range(0, 6)) AS pl(p)
+        |  GROUP BY vec_id, p
+        |), buckets AS (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN c >= 0 THEN '1' ELSE '0' END, ''
+        |      ORDER BY p) AS bucket
+        |  FROM contrib GROUP BY vec_id
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee
+        |  GROUP BY vec_id
+        |), cand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |), dots AS (
+        |  SELECT c.id_a, c.id_b, SUM(ea.x * eb.x) AS dot
+        |  FROM cand c
+        |  JOIN ee ea ON ea.vec_id = c.id_a
+        |  JOIN ee eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+        |  GROUP BY c.id_a, c.id_b
+        |), sims AS (
+        |  SELECT d.id_a, d.id_b,
+        |    ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.id_a
+        |  JOIN norms nb ON nb.vec_id = d.id_b
+        |), ranked AS (
+        |  SELECT id_a, id_b, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY id_a
+        |      ORDER BY sim DESC, id_b) AS rank
+        |  FROM sims
+        |), directed AS (
+        |  SELECT id_a, id_b, sim FROM ranked WHERE rank <= 3)
+        |SELECT d.id_a, d.id_b, d.sim
+        |FROM directed d
+        |JOIN directed r ON r.id_a = d.id_b AND r.id_b = d.id_a
+        |WHERE d.id_a < d.id_b
+        |ORDER BY d.id_a, d.id_b""".stripMargin,
     "mm_vad_spans" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text,

@@ -233,6 +233,54 @@ class Ext13OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq === expected)
   }
 
+  test("mutual knn graph matches an exact driver replay of the " +
+      "SRP-bucketed top-3") {
+    val out = operators.Ext13Queries.knnGraph(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // replay: same ±1 planes, same sequential float->double fold,
+    // same round-half-up to 6
+    val planes = (0 until 6).map(p => (0 until 64)
+      .map(j => operators.Similarity.planeComponent(p, j).toFloat)
+      .toArray)
+    def bucket(v: Array[Float]): String = planes.map { pl =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        s += v(i).toDouble * pl(i).toDouble; i += 1
+      }
+      if (s >= 0) "1" else "0"
+    }.mkString
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byBucket = vecs.groupBy(v => bucket(v._2))
+    val nrm = vecs.map { case (id, v) =>
+      id -> math.sqrt(dot(v, v))
+    }.toMap
+    val vmap = vecs.toMap
+    val top3 = vecs.map { case (id, v) =>
+      val mates = byBucket(bucket(v)).filter(_._1 != id)
+      id -> mates.map { case (mid, mv) =>
+        (mid, r6(dot(v, mv) / (nrm(id) * nrm(mid))))
+      }.sortBy { case (mid, s) => (-s, mid) }.take(3).toSeq
+    }.toMap
+    val expected = top3.toSeq.flatMap { case (a, ns) =>
+      ns.collect {
+        case (b, s) if a < b && top3(b).exists(_._1 == a) => (a, b, s)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq === expected)
+    assert(out.nonEmpty)
+  }
+
   test("vad spans partition the active frames exactly") {
     val frames = operators.Ext11Queries
       .energyFrames(spark, TestSpark.sfDir).collect()
