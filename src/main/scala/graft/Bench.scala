@@ -182,7 +182,9 @@ object Bench {
       // (cusum/holt/skew) witnesses the aggregate-first floor
       "cdc_ivm_topk", "ev_top_paths", "graph_kcore", "text_zipf_fit",
       "text_readability", "mm_vad_spans", "dedup_cluster_sizes",
-      "q63_mode", "ts_cusum", "ts_holt", "q62_skew_kurtosis")
+      "q63_mode", "ts_cusum", "ts_holt", "q62_skew_kurtosis",
+      "sim_knn_graph", "eval_auc", "ts_seasonality_strength",
+      "graph_degree_histogram")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

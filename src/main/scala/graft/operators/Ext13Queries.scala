@@ -528,9 +528,100 @@ object Ext13Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** ROC AUC of a deterministic scorer via the rank-sum
+    * (Mann-Whitney) identity with exact tie handling — the
+    * classifier-evaluation primitive that never materializes a curve.
+    * Scores collapse to their integer lattice first; doubled average
+    * ranks (`2·(cum − cnt) + cnt + 1`) keep tie averaging integral,
+    * so the whole statistic including `auc_micro` is BIGINT
+    * arithmetic end-to-end — no doubles anywhere.
+    *
+    * 100 TB shape: one (score) aggregate collapses the corpus to the
+    * score lattice; the rank window runs over that DOMAIN-bounded
+    * table; the final reduction is a 1-row aggregate.
+    */
+  def evalAuc(spark: SparkSession, dir: String): DataFrame = {
+    val wCum = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    t(spark, dir, "embeddings")
+      .select(
+        expr("cast(round(cast(element_at(embedding, 1) as double)" +
+          " * 1000000) as bigint)").as("score"),
+        (col("label") % 2 === 0).cast("long").as("pos"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum("pos").as("cnt_pos"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("avg_rank2",
+        (col("cum") - col("cnt")) * 2 + col("cnt") + 1)
+      .agg(sum(col("cnt_pos") * col("avg_rank2")).as("r_pos2"),
+        sum(col("cnt_pos")).as("n_pos"),
+        sum(col("cnt") - col("cnt_pos")).as("n_neg"))
+      .withColumn("auc_micro", expr(
+        "((r_pos2 - n_pos * (n_pos + 1)) * 1000000)" +
+          " div (2 * n_pos * n_neg)"))
+      .select("n_pos", "n_neg", "r_pos2", "auc_micro")
+  }
+
+  /** Seasonality strength of the hourly event series via the ANOVA
+    * identity on the 25h-detrended values (the `ts_stl_trend`
+    * pipeline): strength = SS_between(hour-of-day) / SS_total — the
+    * R² of the hod predictor, i.e. how much of the detrended
+    * variance the daily cycle explains. Per-hod terms are floored to
+    * integers (`S_g² div n_g`) so the cross-group sum is order-free;
+    * only the final ratio touches doubles, identical text both
+    * engines.
+    */
+  def seasonalityStrength(spark: SparkSession, dir: String): DataFrame = {
+    val w25 = Window.orderBy("hr").rangeBetween(-12, 12)
+    val det = t(spark, dir, "events")
+      .select(expr("(ts div 1000) div 3600000000").as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("cnt"))
+      .withColumn("n25", count(lit(1)).over(w25))
+      .withColumn("sum25", sum("cnt").over(w25))
+      .filter(col("n25") === 25)
+      .withColumn("x",
+        col("cnt") * 1000 - expr("(sum25 * 1000) div 25"))
+      .withColumn("hod", expr("hr % 24"))
+    det.groupBy("hod")
+      .agg(count(lit(1)).as("n_g"), sum("x").as("s_g"),
+        sum(col("x") * col("x")).as("q_g"))
+      .agg(sum("n_g").as("n"), sum("s_g").as("s"),
+        sum("q_g").as("q"),
+        sum(expr("(s_g * s_g) div n_g")).as("ssb"))
+      .withColumn("strength_r6", expr(
+        """round((cast(ssb as double) - cast(s as double) * s / n)
+          | / (cast(q as double) - cast(s as double) * s / n), 6)"""
+          .stripMargin))
+      .select("n", "s", "q", "ssb", "strength_r6")
+  }
+
+  /** Degree histogram of the bipartite customer–supplier graph, per
+    * side — the one-pass graph profile that sizes skew risk before
+    * any join-heavy graph operator runs (the precondition check for
+    * `graph_triangles`' degree orientation).
+    */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val oneWay = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val deg = oneWay.select(lit("cust").as("side"),
+        col("cust").as("node"))
+      .unionAll(oneWay.select(lit("supp").as("side"),
+        col("supp").as("node")))
+      .groupBy("side", "node").agg(count(lit(1)).as("deg"))
+    deg.groupBy("side", "deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("side", "deg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_ivm_topk" -> ivmTopK _,
     "sim_knn_graph" -> knnGraph _,
+    "eval_auc" -> evalAuc _,
+    "ts_seasonality_strength" -> seasonalityStrength _,
+    "graph_degree_histogram" -> degreeHistogram _,
     "mm_vad_spans" -> vadSpans _,
     "dedup_cluster_sizes" -> clusterSizes _,
     "q63_mode" -> modePerGroup _,
@@ -572,6 +663,74 @@ object Ext13Queries {
         |  FROM live)
         |SELECT event_type, user_id, vm, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "eval_auc" ->
+      """WITH sc AS (
+        |  SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS score,
+        |    CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings
+        |), g AS (
+        |  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(pos) AS BIGINT) AS cnt_pos
+        |  FROM sc GROUP BY score
+        |), w AS (
+        |  SELECT cnt, cnt_pos,
+        |    SUM(cnt) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g
+        |), t AS (
+        |  SELECT CAST(SUM(cnt_pos * ((cum - cnt) * 2 + cnt + 1))
+        |      AS BIGINT) AS r_pos2,
+        |    CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(cnt - cnt_pos) AS BIGINT) AS n_neg
+        |  FROM w)
+        |SELECT n_pos, n_neg, r_pos2,
+        |  CAST(((r_pos2 - n_pos * (n_pos + 1)) * 1000000)
+        |    // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+        |FROM t""".stripMargin,
+    "ts_seasonality_strength" ->
+      """WITH series AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1
+        |), win AS (
+        |  SELECT hr, cnt,
+        |    COUNT(*) OVER w25 AS n25,
+        |    SUM(cnt) OVER w25 AS sum25
+        |  FROM series
+        |  WINDOW w25 AS (ORDER BY hr
+        |    RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |), det AS (
+        |  SELECT hr % 24 AS hod,
+        |    CAST(cnt * 1000 - (sum25 * 1000) // 25 AS BIGINT) AS x
+        |  FROM win WHERE n25 = 25
+        |), g AS (
+        |  SELECT hod, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(x) AS BIGINT) AS s_g,
+        |    CAST(SUM(x * x) AS BIGINT) AS q_g
+        |  FROM det GROUP BY hod
+        |), t AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(s_g) AS BIGINT) AS s,
+        |    CAST(SUM(q_g) AS BIGINT) AS q,
+        |    CAST(SUM((s_g * s_g) // n_g) AS BIGINT) AS ssb
+        |  FROM g)
+        |SELECT n, s, q, ssb,
+        |  round((CAST(ssb AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |   / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)
+        |    AS strength_r6
+        |FROM t""".stripMargin,
+    "graph_degree_histogram" ->
+      """WITH ow AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), deg AS (
+        |  SELECT side, node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT 'cust' AS side, cust AS node FROM ow
+        |    UNION ALL SELECT 'supp' AS side, supp AS node FROM ow) u
+        |  GROUP BY side, node)
+        |SELECT side, deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY side, deg ORDER BY side, deg""".stripMargin,
     "sim_knn_graph" ->
       """WITH ee AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -233,6 +233,81 @@ class Ext13OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq === expected)
   }
 
+  test("auc equals the brute-force pair-counting definition") {
+    val row = operators.Ext13Queries.evalAuc(spark, TestSpark.sfDir)
+      .collect().head
+    val (nPos, nNeg, rPos2, aucMicro) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    val data = Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select(
+        expr("cast(round(cast(element_at(embedding, 1) as double)" +
+          " * 1000000) as bigint)"),
+        (col("label") % 2 === 0))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val pos = data.filter(_._2).map(_._1)
+    val neg = data.filterNot(_._2).map(_._1)
+    assert(nPos === pos.length.toLong && nNeg === neg.length.toLong)
+    // independent definition: P(score_pos > score_neg) + ties/2
+    var gt = 0L; var tie = 0L
+    for (p <- pos; n <- neg) {
+      if (p > n) gt += 1 else if (p == n) tie += 1
+    }
+    assert(rPos2 - nPos * (nPos + 1) === 2 * gt + tie)
+    assert(aucMicro === ((2 * gt + tie) * 1000000L) /
+      (2 * nPos * nNeg))
+    assert(aucMicro >= 0L && aucMicro <= 1000000L)
+  }
+
+  test("seasonality strength is a valid variance share and matches " +
+      "an integer replay") {
+    val row = operators.Ext13Queries
+      .seasonalityStrength(spark, TestSpark.sfDir).collect().head
+    val (n, s, q, ssb, strength) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4))
+    // replay the detrended series from raw hourly counts
+    val hours = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(expr("(ts div 1000) div 3600000000"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy(_._1)
+    val hmap = hours.toMap
+    val det = hours.flatMap { case (hr, cnt) =>
+      val win = (hr - 12 to hr + 12).flatMap(hmap.get)
+      if (win.length == 25)
+        Some((hr % 24, cnt * 1000 - win.sum * 1000 / 25))
+      else None
+    }
+    assert(n === det.length.toLong)
+    assert(s === det.map(_._2).sum)
+    assert(q === det.map(d => d._2 * d._2).sum)
+    val ssbRep = det.groupBy(_._1).values.map { g =>
+      val sg = g.map(_._2).sum
+      sg * sg / g.length
+    }.sum
+    assert(ssb === ssbRep)
+    assert(strength >= 0.0 && strength <= 1.0)
+  }
+
+  test("degree histogram conserves the edge count on both sides") {
+    val hist = operators.Ext13Queries
+      .degreeHistogram(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nEdges = Tables.t(spark, TestSpark.sfDir, "orders")
+      .join(Tables.t(spark, TestSpark.sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().count()
+    Seq("cust", "supp").foreach { side =>
+      val mass = hist.filter(_._1 == side)
+        .map { case (_, d, c) => d * c }.sum
+      assert(mass === nEdges, side)
+    }
+    // bipartite sanity: suppliers are far fewer, so their degrees
+    // run higher than customer degrees
+    val maxCust = hist.filter(_._1 == "cust").map(_._2).max
+    val maxSupp = hist.filter(_._1 == "supp").map(_._2).max
+    assert(maxSupp >= maxCust)
+  }
+
   test("mutual knn graph matches an exact driver replay of the " +
       "SRP-bucketed top-3") {
     val out = operators.Ext13Queries.knnGraph(spark, TestSpark.sfDir)
