@@ -616,9 +616,168 @@ object Ext13Queries {
       .orderBy("side", "deg")
   }
 
+  /** Session summary distribution: the 30-minute-gap sessions of
+    * `ev_top_paths`, collapsed to a (session length → count, total
+    * duration) histogram — the engagement profile a product-analytics
+    * pipeline reports. Duration stays in exact whole seconds
+    * (nanos div 1e9 per session, then summed).
+    *
+    * 100 TB shape: one (user, time) window pass for session ids, one
+    * per-session aggregate, then a histogram aggregate over the
+    * bounded session-length lattice.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapNs = 1800L * 1000000000L
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("new_sess",
+        when(col("ts") - lag(col("ts"), 1).over(wSeq) > gapNs
+          or lag(col("ts"), 1).over(wSeq).isNull, 1).otherwise(0))
+      .withColumn("sess",
+        sum(col("new_sess")).over(
+          wSeq.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(ts) - min(ts)) div 1000000000")
+          .as("duration_sec"))
+      .groupBy("n_events")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("duration_sec").as("total_duration_sec"))
+      .orderBy("n_events")
+  }
+
+  /** Rollup drill-down with share-of-parent: the (returnflag,
+    * linestatus) revenue rollup where every leaf also carries its
+    * share of the flag subtotal, and every flag subtotal its share of
+    * the grand total — the percent-of-parent drill a BI layer
+    * computes. Shares are micro-lattice integral divisions; revenue
+    * stays DECIMAL cents end-to-end.
+    *
+    * 100 TB shape: one rollup aggregate (partial-agg friendly), then
+    * two joins on the TINY aggregated levels table (|flags| ×
+    * |statuses| rows).
+    */
+  def rollupShare(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("cast(round(l_extendedprice * 100) as bigint)")
+          .as("cents"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("cents").as("revenue_cents"))
+      .withColumn("lvl", expr(
+        "cast(l_returnflag is null as int) * 2" +
+          " + cast(l_linestatus is null as int)"))
+    val grand = base.filter(col("lvl") === 3)
+      .select(col("revenue_cents").as("grand_cents"))
+    val flagTot = base.filter(col("lvl") === 1)
+      .select(col("l_returnflag").as("pf"),
+        col("revenue_cents").as("flag_cents"))
+    base.filter(col("lvl") === 0)
+      .join(flagTot, col("l_returnflag") === col("pf"))
+      .crossJoin(broadcast(grand))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("revenue_cents"),
+        expr("(revenue_cents * 1000000) div flag_cents")
+          .as("share_of_flag_micro"),
+        expr("(flag_cents * 1000000) div grand_cents")
+          .as("flag_share_of_total_micro"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Heaps'-law fit of vocabulary growth: ln(cumulative distinct
+    * tokens) regressed on ln(cumulative token count) over the corpus
+    * in doc_id order. Cumulative DISTINCT is not subtractable, so it
+    * comes from the FIRST-OWNER decomposition (the `text_ngram_novelty`
+    * pattern): a token's first-owning doc contributes it exactly once,
+    * making cumV a plain running sum. Both logs quantize to the
+    * micro-nat lattice before the exact-integer regression sums.
+    *
+    * 100 TB shape: one token count per doc (narrow), one (token)
+    * min-aggregate for first owners, one join back, then windows and
+    * the regression over the |docs|-bounded table.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(transform(TextAnalysis.tokens(col("text")),
+          w => lower(w))).as("tok"))
+    val perDoc = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"))
+    val newTypes = toks.groupBy("tok")
+      .agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val wCum = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc.join(newTypes, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("cum_n", sum("n_toks").over(wCum))
+      .withColumn("cum_v", sum("n_new").over(wCum))
+      .select(
+        expr("cast(round(ln(cum_n) * 1000000) as bigint)").as("lx"),
+        expr("cast(round(ln(cum_v) * 1000000) as bigint)").as("ly"))
+      .agg(count(lit(1)).as("n"), sum("lx").as("sx"),
+        sum("ly").as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("lx") * col("ly")).as("sxy"))
+      .select(col("n"),
+        expr(
+          """round((cast(n as double) * sxy - cast(sx as double) * sy)
+            | / (cast(n as double) * sxx
+            |    - cast(sx as double) * sx), 6)""".stripMargin)
+          .as("beta_r6"),
+        expr(
+          """round((cast(sy as double)
+            |  - ((cast(n as double) * sxy - cast(sx as double) * sy)
+            |     / (cast(n as double) * sxx
+            |        - cast(sx as double) * sx)) * sx)
+            | / cast(n as double), 6)""".stripMargin)
+          .as("intercept_r6"))
+  }
+
+  /** Degree assortativity of the bipartite graph: Pearson correlation
+    * (q51's exact-integer-moment contract) between the customer-side
+    * and supplier-side degrees ACROSS edges — do high-degree
+    * customers trade with high-degree suppliers? The one-number skew
+    * coupling metric that decides whether degree-ordered orientation
+    * (graph_triangles) is worth it.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val oneWay = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val degC = oneWay.groupBy("cust").agg(count(lit(1)).as("deg_c"))
+    val degS = oneWay.groupBy("supp").agg(count(lit(1)).as("deg_s"))
+    oneWay.join(degC, "cust").join(degS, "supp")
+      .agg(count(lit(1)).as("n"), sum("deg_c").as("sx"),
+        sum("deg_s").as("sy"),
+        sum(col("deg_c") * col("deg_c")).as("sxx"),
+        sum(col("deg_s") * col("deg_s")).as("syy"),
+        sum(col("deg_c") * col("deg_s")).as("sxy"))
+      // n·sxy and friends can overflow BIGINT on a dense edge list
+      // (n ~ 1e6 edges × degree products ~ 1e7) — evaluate the
+      // closed form in doubles with identical text both engines (the
+      // q62 skew/kurtosis discipline), sqrt-only libm
+      .withColumn("r_r6", expr(
+        """round((cast(n as double) * sxy - cast(sx as double) * sy)
+          | / (sqrt(cast(n as double) * sxx
+          |         - cast(sx as double) * sx)
+          |    * sqrt(cast(n as double) * syy
+          |           - cast(sy as double) * sy)), 6)"""
+          .stripMargin))
+      .select("n", "sx", "sy", "sxx", "syy", "sxy", "r_r6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_ivm_topk" -> ivmTopK _,
     "sim_knn_graph" -> knnGraph _,
+    "ev_session_stats" -> sessionStats _,
+    "q64_rollup_share" -> rollupShare _,
+    "tok_vocab_growth" -> vocabGrowth _,
+    "graph_assortativity" -> assortativity _,
     "eval_auc" -> evalAuc _,
     "ts_seasonality_strength" -> seasonalityStrength _,
     "graph_degree_histogram" -> degreeHistogram _,
@@ -663,6 +822,120 @@ object Ext13Queries {
         |  FROM live)
         |SELECT event_type, user_id, vm, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "ev_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, tu,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |           OR tu - lag(tu) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+        |), s2 AS (
+        |  SELECT user_id, tu,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s
+        |), per AS (
+        |  SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST((MAX(tu) - MIN(tu)) // 1000000 AS BIGINT)
+        |      AS duration_sec
+        |  FROM s2 GROUP BY user_id, sess)
+        |SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(duration_sec) AS BIGINT) AS total_duration_sec
+        |FROM per GROUP BY n_events ORDER BY n_events""".stripMargin,
+    "q64_rollup_share" ->
+      """WITH q AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), leaf AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |  FROM q GROUP BY l_returnflag, l_linestatus
+        |), flag AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(cents) AS BIGINT) AS flag_cents
+        |  FROM q GROUP BY l_returnflag
+        |), grand AS (
+        |  SELECT CAST(SUM(cents) AS BIGINT) AS grand_cents FROM q)
+        |SELECT l.l_returnflag, l.l_linestatus, l.revenue_cents,
+        |  CAST((l.revenue_cents * 1000000) // f.flag_cents AS BIGINT)
+        |    AS share_of_flag_micro,
+        |  CAST((f.flag_cents * 1000000) // g.grand_cents AS BIGINT)
+        |    AS flag_share_of_total_micro
+        |FROM leaf l
+        |JOIN flag f ON f.l_returnflag = l.l_returnflag, grand g
+        |ORDER BY l.l_returnflag, l.l_linestatus""".stripMargin,
+    "tok_vocab_growth" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    lower(unnest(string_split_regex(trim(text), '\s+'))) AS tok
+        |  FROM documents
+        |), per_doc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+        |  FROM tk GROUP BY doc_id
+        |), new_types AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+        |    SELECT tok, MIN(doc_id) AS doc_id FROM tk GROUP BY tok) f
+        |  GROUP BY doc_id
+        |), cums AS (
+        |  SELECT p.doc_id, p.n_toks, COALESCE(n.n_new, 0) AS n_new,
+        |    SUM(p.n_toks) OVER (ORDER BY p.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_n,
+        |    SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY p.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_v
+        |  FROM per_doc p LEFT JOIN new_types n ON n.doc_id = p.doc_id
+        |), q AS (
+        |  SELECT CAST(round(ln(cum_n) * 1000000) AS BIGINT) AS lx,
+        |    CAST(round(ln(cum_v) * 1000000) AS BIGINT) AS ly
+        |  FROM cums
+        |), m AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(lx) AS BIGINT) AS sx,
+        |    CAST(SUM(ly) AS BIGINT) AS sy,
+        |    CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+        |    CAST(SUM(lx * ly) AS BIGINT) AS sxy
+        |  FROM q)
+        |SELECT n,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |   / (CAST(n AS DOUBLE) * sxx
+        |      - CAST(sx AS DOUBLE) * sx), 6) AS beta_r6,
+        |  round((CAST(sy AS DOUBLE)
+        |    - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |       / (CAST(n AS DOUBLE) * sxx
+        |          - CAST(sx AS DOUBLE) * sx)) * sx)
+        |   / CAST(n AS DOUBLE), 6) AS intercept_r6
+        |FROM m""".stripMargin,
+    "graph_assortativity" ->
+      """WITH ow AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), dc AS (
+        |  SELECT cust, CAST(COUNT(*) AS BIGINT) AS deg_c FROM ow
+        |  GROUP BY cust
+        |), ds AS (
+        |  SELECT supp, CAST(COUNT(*) AS BIGINT) AS deg_s FROM ow
+        |  GROUP BY supp
+        |), m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(deg_c) AS BIGINT) AS sx,
+        |    CAST(SUM(deg_s) AS BIGINT) AS sy,
+        |    CAST(SUM(deg_c * deg_c) AS BIGINT) AS sxx,
+        |    CAST(SUM(deg_s * deg_s) AS BIGINT) AS syy,
+        |    CAST(SUM(deg_c * deg_s) AS BIGINT) AS sxy
+        |  FROM ow JOIN dc ON dc.cust = ow.cust
+        |  JOIN ds ON ds.supp = ow.supp)
+        |SELECT n, sx, sy, sxx, syy, sxy,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |   / (sqrt(CAST(n AS DOUBLE) * sxx
+        |           - CAST(sx AS DOUBLE) * sx)
+        |      * sqrt(CAST(n AS DOUBLE) * syy
+        |             - CAST(sy AS DOUBLE) * sy)), 6) AS r_r6
+        |FROM m""".stripMargin,
     "eval_auc" ->
       """WITH sc AS (
         |  SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000)

@@ -233,6 +233,107 @@ class Ext13OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq === expected)
   }
 
+  test("session stats conserve events and sessions") {
+    val out = operators.Ext13Queries
+      .sessionStats(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val raw = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // event conservation: every event is in exactly one session
+    assert(out.map { case (ne, ns, _) => ne * ns }.sum ===
+      raw.length.toLong)
+    // session count matches a driver sessionization replay
+    val gap = 1800L * 1000000000L
+    val nSess = raw.groupBy(_._1).values.map { evs =>
+      val ts = evs.map(e => (e._3, e._2)).sorted.map(_._1)
+      1 + ts.zip(ts.tail).count { case (a, b) => b - a > gap }
+    }.sum
+    assert(out.map(_._2).sum === nSess.toLong)
+  }
+
+  test("rollup shares telescope within truncation bounds") {
+    val out = operators.Ext13Queries
+      .rollupShare(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // leaf revenue matches a direct aggregate
+    val direct = Tables.t(spark, TestSpark.sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    out.foreach { case (f, s, cents, _, _) =>
+      assert(direct((f, s)) === cents)
+    }
+    // per flag: floored leaf shares sum to 1e6 minus < nLeaves
+    out.groupBy(_._1).foreach { case (f, rows) =>
+      val tot = rows.map(_._4).sum
+      assert(tot <= 1000000L && tot > 1000000L - rows.length, s"$f")
+      // flag-share column is constant within the flag
+      assert(rows.map(_._5).distinct.length === 1, s"$f")
+    }
+    // flag shares of total telescope the same way
+    val flagShares = out.groupBy(_._1).view.mapValues(_.head._5)
+      .values.toSeq
+    val ftot = flagShares.sum
+    assert(ftot <= 1000000L && ftot > 1000000L - flagShares.length)
+  }
+
+  test("vocab growth matches an exact replay and is heaps-shaped") {
+    val row = operators.Ext13Queries
+      .vocabGrowth(spark, TestSpark.sfDir).collect().head
+    val (n, beta, icept) = (row.getLong(0), row.getDouble(1),
+      row.getDouble(2))
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    var cumN = 0L
+    val pts = docs.map { case (_, text) =>
+      val toks = text.trim.split("\\s+").map(_.toLowerCase)
+      cumN += toks.length
+      toks.foreach(seen += _)
+      (math.round(math.log(cumN.toDouble) * 1e6),
+        math.round(math.log(seen.size.toDouble) * 1e6))
+    }
+    assert(n === pts.length.toLong)
+    val nn = pts.length.toLong
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val repBeta = (nn.toDouble * sxy - sx.toDouble * sy) /
+      (nn.toDouble * sxx - sx.toDouble * sx)
+    assert(math.abs(beta - repBeta) < 1e-5)
+    val repIcept = (sy.toDouble - repBeta * sx) / nn.toDouble
+    assert(math.abs(icept - repIcept) < 1e-5)
+    // vocabulary grows sublinearly in corpus size
+    assert(beta > 0.0 && beta <= 1.0, s"beta $beta")
+  }
+
+  test("assortativity is a valid correlation matching exact moments") {
+    val row = operators.Ext13Queries
+      .assortativity(spark, TestSpark.sfDir).collect().head
+    val r = row.getDouble(6)
+    assert(r >= -1.0 && r <= 1.0)
+    val edges = Tables.t(spark, TestSpark.sfDir, "orders")
+      .join(Tables.t(spark, TestSpark.sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val dc = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ds = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(row.getLong(0) === edges.length.toLong)
+    assert(row.getLong(1) === edges.map(e => dc(e._1)).sum)
+    assert(row.getLong(2) === edges.map(e => ds(e._2)).sum)
+    assert(row.getLong(5) ===
+      edges.map(e => dc(e._1) * ds(e._2)).sum)
+  }
+
   test("auc equals the brute-force pair-counting definition") {
     val row = operators.Ext13Queries.evalAuc(spark, TestSpark.sfDir)
       .collect().head

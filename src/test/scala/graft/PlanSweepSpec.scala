@@ -46,7 +46,10 @@ class PlanSweepSpec extends AnyFunSuite {
   //  - text_pmi_collocations: 1-row bigram-total broadcast
   //  - ev_active_users_7d: 1-row max-day broadcast cutting trailing
   //    windows
+  //  - q64_rollup_share: 1-row grand-total broadcast attaching the
+  //    denominator to the |flags|×|statuses| leaf table
   private val allowCross = Set(
+    "q64_rollup_share",
     "sim_mips_topk", "dq_drift_windows", "sim_range_search",
     "text_pmi_collocations", "ev_active_users_7d",
     "eval_ann_recall", "text_rrf_fusion", "eval_matryoshka_overlap",
