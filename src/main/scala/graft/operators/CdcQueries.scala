@@ -70,6 +70,24 @@ object CdcQueries {
   def parseRoute(spark: SparkSession, dir: String): DataFrame =
     parsed(spark, dir).select("event_id", "op").orderBy("event_id")
 
+  /** Changelog op-mix monitor: message count, distinct touched keys
+    * and traffic share per routed op — the per-changefeed health
+    * report an operator reads before trusting a pipeline (reference
+    * analog: the per-reader counters surfaced by the monitoring API,
+    * WebController.java:25-83, aggregated by op instead of reader).
+    * One hash aggregate over the parsed stream; the share window
+    * runs on the |ops|-bounded result.
+    */
+  def opMix(spark: SparkSession, dir: String): DataFrame = {
+    parsed(spark, dir)
+      .groupBy("op")
+      .agg(count(lit(1)).as("n_msgs"),
+        countDistinct(col("user_id")).as("n_keys"))
+      .withColumn("share_micro",
+        expr("(n_msgs * 1000000) div sum(n_msgs) over ()"))
+      .orderBy("op")
+  }
+
   def typedAssembly(spark: SparkSession, dir: String): DataFrame =
     parsed(spark, dir).filter(col("op") =!= CdcParse.OpDrop)
       .orderBy("event_id")
@@ -260,6 +278,7 @@ object CdcQueries {
     "cdc_scd2" -> scd2 _,
     "cdc_debezium" -> debezium _,
     "cdc_parse_route" -> parseRoute _,
+    "cdc_op_mix" -> opMix _,
     "cdc_typed_assembly" -> typedAssembly _,
     "cdc_lww_dedup" -> lwwDedup _,
     "cdc_apply_upsert" -> applyUpsert _,
@@ -410,6 +429,16 @@ object CdcQueries {
         |ORDER BY user_id, valid_from""".stripMargin),
     "cdc_parse_route" -> (baseCte +
       "\nSELECT event_id, op FROM ops ORDER BY event_id"),
+    "cdc_op_mix" -> (baseCte +
+      """
+        |, mix AS (
+        |  SELECT op, CAST(COUNT(*) AS BIGINT) AS n_msgs,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+        |  FROM typed GROUP BY op)
+        |SELECT op, n_msgs, n_keys,
+        |  CAST((n_msgs * 1000000) // SUM(n_msgs) OVER () AS BIGINT)
+        |    AS share_micro
+        |FROM mix ORDER BY op""".stripMargin),
     "cdc_typed_assembly" -> (baseCte +
       """
         |SELECT event_id, op, user_id, event_type, value_milli

@@ -771,9 +771,91 @@ object Ext13Queries {
       .select("n", "sx", "sy", "sxx", "syy", "sxy", "r_r6")
   }
 
+  /** Nearest-in-time as-of join: for every event, the purchase
+    * closest in time in EITHER direction (ties to the past) — the
+    * third member of the as-of family (backward q14, forward q60).
+    * Composed as one backward + one forward carry pass over the same
+    * key partitioning, then a per-row arbitration — no range probe,
+    * no interval blow-up.
+    *
+    * 100 TB shape: two union+carry as-of passes (each one shuffle on
+    * the key) + an equi-join on the probe id; identical cost class
+    * to running the two directional joins a user would otherwise run
+    * separately.
+    */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("tus"))
+      .agg(min(col("event_id")).as("p_seq"))
+      .withColumn("p_tus", col("tus"))
+    val probe = ev.select("event_id", "user_id", "tus")
+    val back = AsOf.asofJoin(probe, purchases, Seq("user_id"),
+        "tus", "tus", Seq("p_seq", "p_tus"))
+      .select(col("event_id"), col("user_id"), col("tus"),
+        col("p_seq").as("b_seq"), col("p_tus").as("b_tus"))
+    val fwd = AsOf.asofJoinForward(probe, purchases, Seq("user_id"),
+        "tus", "tus", Seq("p_seq", "p_tus"))
+      .select(col("event_id").as("f_event_id"),
+        col("p_seq").as("f_seq"), col("p_tus").as("f_tus"))
+    back.join(fwd, col("event_id") === col("f_event_id"))
+      .select(col("event_id"), col("user_id"),
+        expr(
+          """case when b_tus is null then f_seq
+            |     when f_tus is null then b_seq
+            |     when tus - b_tus <= f_tus - tus then b_seq
+            |     else f_seq end""".stripMargin).as("nearest_seq"),
+        expr(
+          """case when b_tus is null then f_tus - tus
+            |     when f_tus is null then b_tus - tus
+            |     when tus - b_tus <= f_tus - tus then b_tus - tus
+            |     else f_tus - tus end""".stripMargin).as("dt_us"))
+      .orderBy("event_id")
+  }
+
+  /** BFS distance layers (depth ≤ 3) from the seed supplier set
+    * (suppkey % 10 = 0) over the bipartite graph — the bounded-depth
+    * reachability labeling behind "within N hops of a flagged node"
+    * audits. Frontier/visited are cached per round (the k-core
+    * lesson: each round's set feeds two consumers).
+    */
+  def bfsLayers(spark: SparkSession, dir: String): DataFrame = {
+    val oneWay = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct()
+    val edges = oneWay.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(oneWay.select(col("supp").as("src"),
+        col("cust").as("dst")))
+      .cache()
+    var visited = oneWay
+      .filter((col("supp") - 1000000L) % 10 === 0)
+      .select(col("supp").as("node")).distinct()
+      .withColumn("dist", lit(0)).cache()
+    var frontier = visited.select("node")
+    for (d <- 1 to 3) {
+      frontier = edges
+        .join(frontier.select(col("node").as("src")), Seq("src"),
+          "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .cache()
+      visited = visited
+        .unionByName(frontier.withColumn("dist", lit(d)))
+        .cache()
+    }
+    visited.orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_ivm_topk" -> ivmTopK _,
     "sim_knn_graph" -> knnGraph _,
+    "q65_asof_nearest" -> asofNearest _,
+    "graph_bfs_layers" -> bfsLayers _,
     "ev_session_stats" -> sessionStats _,
     "q64_rollup_share" -> rollupShare _,
     "tok_vocab_growth" -> vocabGrowth _,
@@ -822,6 +904,63 @@ object Ext13Queries {
         |  FROM live)
         |SELECT event_type, user_id, vm, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "q65_asof_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, tus, MIN(event_id) AS p_seq
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, tus
+        |), b AS (
+        |  SELECT e.event_id, e.user_id, e.tus,
+        |    p.p_seq AS b_seq, p.tus AS b_tus
+        |  FROM ev e ASOF LEFT JOIN p
+        |    ON e.user_id = p.user_id AND e.tus >= p.tus
+        |), f AS (
+        |  SELECT e.event_id, p.p_seq AS f_seq, p.tus AS f_tus
+        |  FROM ev e ASOF LEFT JOIN p
+        |    ON e.user_id = p.user_id AND e.tus <= p.tus)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN b_tus IS NULL THEN f_seq
+        |       WHEN f_tus IS NULL THEN b_seq
+        |       WHEN b.tus - b_tus <= f_tus - b.tus THEN b_seq
+        |       ELSE f_seq END AS nearest_seq,
+        |  CAST(CASE WHEN b_tus IS NULL THEN f_tus - b.tus
+        |       WHEN f_tus IS NULL THEN b_tus - b.tus
+        |       WHEN b.tus - b_tus <= f_tus - b.tus THEN b_tus - b.tus
+        |       ELSE f_tus - b.tus END AS BIGINT) AS dt_us
+        |FROM b JOIN f ON f.event_id = b.event_id
+        |ORDER BY b.event_id""".stripMargin,
+    "graph_bfs_layers" ->
+      """WITH ow AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), ed AS (
+        |  SELECT cust AS src, supp AS dst FROM ow
+        |  UNION ALL SELECT supp AS src, cust AS dst FROM ow
+        |), d0 AS (
+        |  SELECT DISTINCT supp AS node FROM ow
+        |  WHERE (supp - 1000000) % 10 = 0
+        |), f1 AS (
+        |  SELECT DISTINCT dst AS node FROM ed
+        |  WHERE src IN (SELECT node FROM d0)
+        |    AND dst NOT IN (SELECT node FROM d0)
+        |), f2 AS (
+        |  SELECT DISTINCT dst AS node FROM ed
+        |  WHERE src IN (SELECT node FROM f1)
+        |    AND dst NOT IN (SELECT node FROM d0)
+        |    AND dst NOT IN (SELECT node FROM f1)
+        |), f3 AS (
+        |  SELECT DISTINCT dst AS node FROM ed
+        |  WHERE src IN (SELECT node FROM f2)
+        |    AND dst NOT IN (SELECT node FROM d0)
+        |    AND dst NOT IN (SELECT node FROM f1)
+        |    AND dst NOT IN (SELECT node FROM f2))
+        |SELECT node, CAST(0 AS INT) AS dist FROM d0
+        |UNION ALL SELECT node, CAST(1 AS INT) FROM f1
+        |UNION ALL SELECT node, CAST(2 AS INT) FROM f2
+        |UNION ALL SELECT node, CAST(3 AS INT) FROM f3
+        |ORDER BY node""".stripMargin,
     "ev_session_stats" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tu FROM events

@@ -233,6 +233,85 @@ class Ext13OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq === expected)
   }
 
+  test("nearest as-of picks the min |dt| purchase with ties to the " +
+      "past") {
+    val out = operators.Ext13Queries
+      .asofNearest(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val raw = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val purByUser = raw.filter(_._4 == "purchase")
+      .groupBy(_._2).view.mapValues { ps =>
+        ps.groupBy(_._3).map { case (t, rs) =>
+          (t, rs.map(_._1).min)
+        }.toSeq
+      }.toMap
+    assert(out.length === raw.length)
+    val outMap = out.map(t => t._1 -> (t._3, t._4)).toMap
+    raw.foreach { case (eid, uid, tus, _) =>
+      val (gotSeq, gotDt) = outMap(eid)
+      purByUser.get(uid) match {
+        case None => assert(gotSeq.isEmpty && gotDt.isEmpty, s"e$eid")
+        case Some(ps) =>
+          // min |dt|, ties to the past (dt <= 0 preferred)
+          val best = ps.map { case (t, seq) => (t - tus, seq) }
+            .minBy { case (dt, _) => (math.abs(dt), dt) }
+          assert(gotDt.contains(best._1), s"e$eid")
+          assert(gotSeq.contains(best._2), s"e$eid")
+      }
+    }
+  }
+
+  test("bfs layers equal true bfs distances capped at depth 3") {
+    val out = operators.Ext13Queries
+      .bfsLayers(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val edges0 = Tables.t(spark, TestSpark.sfDir, "orders")
+      .join(Tables.t(spark, TestSpark.sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey") + 1000000L)
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges0 ++ edges0.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = edges0.map(_._2).distinct
+      .filter(s => (s - 1000000L) % 10 == 0).toSet
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (d <- 1 to 3) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      dist = dist ++ frontier.map(_ -> d)
+    }
+    assert(out.toMap === dist)
+    // all four layers are non-trivial at this SF
+    assert((0 to 3).forall(d => out.exists(_._2 == d)))
+  }
+
+  test("cdc op mix conserves messages and shares") {
+    val out = operators.CdcQueries.opMix(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val nEvents = Tables.t(spark, TestSpark.sfDir, "events").count()
+    assert(out.map(_._2).sum === nEvents)
+    val shares = out.map(_._4)
+    assert(shares.sum <= 1000000L &&
+      shares.sum > 1000000L - out.length)
+    // the synthetic envelope generator routes every op kind
+    assert(out.map(_._1).toSet === Set("drop", "erase", "update",
+      "update_keys_only", "update_newimage"))
+    out.foreach { case (op, n, k, _) =>
+      assert(k <= n, op)
+    }
+  }
+
   test("session stats conserve events and sessions") {
     val out = operators.Ext13Queries
       .sessionStats(spark, TestSpark.sfDir).collect()
