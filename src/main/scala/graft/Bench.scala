@@ -186,7 +186,8 @@ object Bench {
       "sim_knn_graph", "eval_auc", "ts_seasonality_strength",
       "graph_degree_histogram", "ev_session_stats",
       "q64_rollup_share", "tok_vocab_growth", "graph_assortativity",
-      "q65_asof_nearest", "graph_bfs_layers", "cdc_op_mix")
+      "q65_asof_nearest", "graph_bfs_layers", "cdc_op_mix",
+      "embed_cluster_radius")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

@@ -172,12 +172,18 @@ object Ext13Queries {
     * vocabulary (|types|³) and a TakeOrdered(25). Never materializes
     * per-session paths beyond the aggregate.
     */
-  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+  /** 30-minute-gap sessionization (the engine's session convention):
+    * appends a per-user `sess` ordinal via one (user, time) window
+    * pass. Shared by the path-mining and session-stats queries — the
+    * downstream windows reuse the same partitioning/sort.
+    */
+  private def sessionized(spark: SparkSession, dir: String,
+      extra: Seq[String]): DataFrame = {
     val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapNs = 1800L * 1000000000L
-    val sess = t(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), col("ts"),
-        col("event_type"))
+    t(spark, dir, "events")
+      .select((Seq("user_id", "event_id", "ts") ++ extra)
+        .map(col): _*)
       .withColumn("new_sess",
         when(col("ts") - lag(col("ts"), 1).over(wSeq) > gapNs
           or lag(col("ts"), 1).over(wSeq).isNull, 1).otherwise(0))
@@ -185,6 +191,10 @@ object Ext13Queries {
         sum(col("new_sess")).over(
           wSeq.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)))
+  }
+
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionized(spark, dir, Seq("event_type"))
     val wPath = Window.partitionBy("user_id", "sess")
       .orderBy("ts", "event_id")
     val wRank = Window.orderBy(col("n").desc, col("path"))
@@ -627,17 +637,7 @@ object Ext13Queries {
     * bounded session-length lattice.
     */
   def sessionStats(spark: SparkSession, dir: String): DataFrame = {
-    val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val gapNs = 1800L * 1000000000L
-    t(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), col("ts"))
-      .withColumn("new_sess",
-        when(col("ts") - lag(col("ts"), 1).over(wSeq) > gapNs
-          or lag(col("ts"), 1).over(wSeq).isNull, 1).otherwise(0))
-      .withColumn("sess",
-        sum(col("new_sess")).over(
-          wSeq.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
+    sessionized(spark, dir, Seq.empty)
       .groupBy("user_id", "sess")
       .agg(count(lit(1)).as("n_events"),
         expr("(max(ts) - min(ts)) div 1000000000")
@@ -851,9 +851,48 @@ object Ext13Queries {
     visited.orderBy("node")
   }
 
+  /** Per-cluster radius/compactness report over the IVF k-means
+    * quantizer (same fit params as `sim_ann_ivf`, so the quantizer is
+    * identical): member count, worst (min) and mean cosine-to-own-
+    * centroid per cell — the diagnostics that decide nprobe and flag
+    * degenerate cells. Sims quantize to micro ints BEFORE the sum
+    * (order-free); the mean divides on the pmod-floored lattice so a
+    * negative sum cannot split truncation semantics across engines.
+    *
+    * 100 TB shape: the narrow literal-centroid projection of
+    * `sim_ann_ivf` plus one |cells|-bounded aggregate.
+    */
+  def clusterRadius(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = t(spark, dir, "embeddings")
+    val cents = Similarity.fitCentArr(corpus, "vec_id", "embedding",
+      nCells = 16, iters = 2, fitSampleMod = 2)
+    val centsLit = typedlit(cents.toSeq.map { case (cell, cv) =>
+      (cell, cv.toSeq, Similarity.centNorm(cv))
+    })
+    val v = col("embedding")
+    val cands = transform(centsLit, c => struct(
+      round(Similarity.dotD(v, c.getField("_2"))
+        / (col("__nrm_d") * c.getField("_3")), 6).as("s"),
+      (-c.getField("_1")).as("nc"), c.getField("_1").as("c")))
+    corpus.select(col("vec_id"), v)
+      .withColumn("__nrm_d", Similarity.normD(v))
+      .withColumn("best", array_max(cands))
+      .select(col("best.c").as("cell"),
+        expr("cast(round(best.s * 1000000) as bigint)").as("sim_micro"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        min("sim_micro").as("min_sim_micro"),
+        sum("sim_micro").as("sum_sim_micro"))
+      .withColumn("mean_sim_micro", expr(
+        "(sum_sim_micro - pmod(sum_sim_micro, n_members))" +
+          " div n_members"))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_ivm_topk" -> ivmTopK _,
     "sim_knn_graph" -> knnGraph _,
+    "embed_cluster_radius" -> clusterRadius _,
     "q65_asof_nearest" -> asofNearest _,
     "graph_bfs_layers" -> bfsLayers _,
     "ev_session_stats" -> sessionStats _,
@@ -904,6 +943,22 @@ object Ext13Queries {
         |  FROM live)
         |SELECT event_type, user_id, vm, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "embed_cluster_radius" -> (ExtQueries.ivfFitAssignSql(16, 2, 2) +
+      """, rad AS (
+        |  SELECT a.cell,
+        |    CAST(ROUND(ROUND(d.dot / (nv.nrm * cc.cnrm), 6) * 1000000)
+        |      AS BIGINT) AS sim_micro
+        |  FROM assign a
+        |  JOIN cdF d ON d.vec_id = a.vec_id AND d.cell = a.cell
+        |  JOIN norms nv ON nv.vec_id = a.vec_id
+        |  JOIN cnF cc ON cc.cell = a.cell)
+        |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(MIN(sim_micro) AS BIGINT) AS min_sim_micro,
+        |  CAST(SUM(sim_micro) AS BIGINT) AS sum_sim_micro,
+        |  CAST((CAST(SUM(sim_micro) AS BIGINT)
+        |    - ((CAST(SUM(sim_micro) AS BIGINT) % COUNT(*)) + COUNT(*))
+        |      % COUNT(*)) // COUNT(*) AS BIGINT) AS mean_sim_micro
+        |FROM rad GROUP BY cell ORDER BY cell""".stripMargin),
     "q65_asof_nearest" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type

@@ -233,6 +233,32 @@ class Ext13OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq === expected)
   }
 
+  test("cluster radius report conserves members and orders moments") {
+    val out = operators.Ext13Queries
+      .clusterRadius(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val nVecs = Tables.t(spark, TestSpark.sfDir, "embeddings").count()
+    assert(out.map(_._2).sum === nVecs)
+    // ≤ nCells clusters; labels are fit-internal (seed-derived), and
+    // the embed_kmeans cross-check below pins them exactly
+    assert(out.length <= 16)
+    out.foreach { case (cell, n, minS, sumS, meanS) =>
+      // floor-mean sits between min and the max possible sim
+      assert(meanS >= minS, s"cell $cell")
+      assert(meanS <= 1000000L, s"cell $cell")
+      // floored mean reconstructs the sum within n
+      assert(meanS * n <= sumS && sumS < (meanS + 1) * n, s"cell $cell")
+    }
+    // the assignment agrees with embed_kmeans' cluster sizes (same fit)
+    val sizes = operators.ExtQueries.embedKmeans(spark, TestSpark.sfDir)
+      .select(col("cell"), col("cluster_size")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.foreach { case (cell, n, _, _, _) =>
+      assert(sizes(cell) === n, s"cell $cell")
+    }
+  }
+
   test("nearest as-of picks the min |dt| purchase with ties to the " +
       "past") {
     val out = operators.Ext13Queries
