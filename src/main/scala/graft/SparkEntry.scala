@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Ext11Queries.queries ++
       operators.Ext12Queries.queries ++
       operators.Ext13Queries.queries ++
+      operators.Ext14Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
       operators.Ext11Queries.oracle ++
       operators.Ext12Queries.oracle ++
       operators.Ext13Queries.oracle ++
+      operators.Ext14Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

@@ -121,6 +121,36 @@ object CdcQueries {
       oddLww(spark, dir).filter(col("op") === CdcParse.OpErase),
       Seq("user_id")).orderBy("user_id")
 
+  /** Point-in-time snapshot (time travel): state0 with the odd-delta
+    * changelog applied only up to a sequence cutoff — the "what did
+    * the table look like at seq T" reconstruction a changefeed
+    * consumer owes its auditors. The cutoff (max(event_id) div 2,
+    * mid-corpus and SF-invariant) rides as a 1-row broadcast
+    * plan-embedded scalar; everything downstream is the ordinary
+    * parse → LWW → keyed-merge pipeline, so snapshot-at-T costs
+    * exactly one changelog apply, never a table rescan per T.
+    */
+  def snapshotAt(spark: SparkSession, dir: String): DataFrame =
+    snapshotAtCut(spark, dir,
+      t(spark, dir, "events").agg(
+        expr("max(event_id) div 2").as("cut")))
+
+  /** snapshotAt with an explicit 1-row (cut BIGINT) cutoff frame —
+    * the spec drives this with cut = max and cut = -1 to prove the
+    * endpoints collapse to apply-all and state0.
+    */
+  def snapshotAtCut(spark: SparkSession, dir: String,
+      cutDf: DataFrame): DataFrame = {
+    val deltas = parsed(spark, dir, odd)
+      .crossJoin(broadcast(cutDf))
+      .filter(col("event_id") <= col("cut")
+        && col("op") =!= CdcParse.OpDrop)
+      .drop("cut")
+    KeyedMerge.applyCdc(state0(spark, dir),
+      KeyedMerge.lww(deltas, Seq("user_id"), "event_id"),
+      Seq("user_id")).orderBy("user_id")
+  }
+
   /** README mat_view1 analog (README.md:80-101): Text event time ->
     * Timestamp via parse + Unwrap (graft custom expression).
     */
@@ -282,6 +312,7 @@ object CdcQueries {
     "cdc_typed_assembly" -> typedAssembly _,
     "cdc_lww_dedup" -> lwwDedup _,
     "cdc_apply_upsert" -> applyUpsert _,
+    "cdc_snapshot_at" -> snapshotAt _,
     "cdc_apply_insert" -> applyInsert _,
     "cdc_apply_update_on" -> applyUpdateOn _,
     "cdc_apply_delete" -> applyDelete _,
@@ -456,6 +487,22 @@ object CdcQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM odd_lww b WHERE b.user_id = s.user_id)
         |  UNION ALL
         |  SELECT user_id, event_type, value_milli FROM odd_lww WHERE op <> 'erase') f
+        |ORDER BY user_id""".stripMargin),
+    "cdc_snapshot_at" -> (baseCte +
+      """, cut AS (
+        |  SELECT MAX(event_id) // 2 AS cut FROM events
+        |), odd_lww_cut AS (
+        |  SELECT user_id, op, event_type, value_milli, event_id FROM (
+        |    SELECT t.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM typed t, cut c
+        |    WHERE op <> 'drop' AND event_id % 2 = 1 AND event_id <= c.cut) x
+        |  WHERE rn = 1
+        |)
+        |SELECT user_id, event_type, value_milli FROM (
+        |  SELECT s.user_id, s.event_type, s.value_milli FROM state0 s
+        |  WHERE NOT EXISTS (SELECT 1 FROM odd_lww_cut b WHERE b.user_id = s.user_id)
+        |  UNION ALL
+        |  SELECT user_id, event_type, value_milli FROM odd_lww_cut WHERE op <> 'erase') f
         |ORDER BY user_id""".stripMargin),
     "cdc_apply_insert" -> (baseCte +
       """

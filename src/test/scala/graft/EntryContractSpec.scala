@@ -37,6 +37,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext12Queries.oracle),
       ("Ext13Queries", operators.Ext13Queries.queries,
         operators.Ext13Queries.oracle),
+      ("Ext14Queries", operators.Ext14Queries.queries,
+        operators.Ext14Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,

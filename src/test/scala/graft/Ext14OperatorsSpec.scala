@@ -1,0 +1,178 @@
+package graft
+
+import graft.operators.{CdcQueries, Ext14Queries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants the hash-compare cannot see for the graph-metric /
+  * retrieval-eval / time-travel batch: the clustering coefficient and
+  * link-prediction arithmetic on hand-built graphs with known closed
+  * forms, metric-definition replays for MRR/NDCG, and the snapshot-at
+  * endpoints (cut = max collapses to apply-all, cut < min to state0).
+  */
+class Ext14OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("clustering coefficient exact on a hand-built graph") {
+    import spark.implicits._
+    // 4-cycle 1-2-3-4 plus diagonal 1-3: triangles (1,2,3), (1,3,4).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("a", "b")
+    val got = Ext14Queries.clusteringFromPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L, 666666L), // 2·2/(3·2) = 2/3
+      (2L, 2L, 1L, 1000000L), // closed pair
+      (3L, 3L, 2L, 666666L),
+      (4L, 2L, 1L, 1000000L)))
+  }
+
+  test("clustering coefficient on data: bounds and clique consistency") {
+    val rows = Ext14Queries.clusteringCoeff(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (deg, tri, cc) =>
+      assert(deg >= 1)
+      assert(cc >= 0 && cc <= 1000000)
+      // triangles through a node cannot exceed its wedge count
+      assert(2 * tri <= deg * (deg - 1))
+      if (deg < 2) assert(cc === 0L)
+    }
+  }
+
+  test("link prediction exact on a hand-built bipartite graph") {
+    import spark.implicits._
+    // items: p1 {A,B} (deg 2), p2 {A,B,C,D} (deg 4), hub {A,B,...}
+    // with deg 5 > maxDeg=4 pruned.
+    val edges = (Seq(("p1", "A"), ("p1", "B"),
+      ("p2", "A"), ("p2", "B"), ("p2", "C"), ("p2", "D")) ++
+      (1 to 5).map(i => ("hub", s"${('A' + i - 1).toChar}")))
+      .toDF("item", "node")
+    val got = Ext14Queries.linkPredictFromEdges(edges, maxDeg = 4)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // A,B share p1 (1e9/2) and p2 (1e9/4): ra = 750000000, common 2;
+    // all other pairs share only p2: ra = 250000000.
+    assert(got.head === ("A", "B", 2L, 750000000L))
+    assert(got.length === 6) // C(4,2) pairs within p2's members
+    got.tail.foreach { case (_, _, c, ra) =>
+      assert(c === 1L && ra === 250000000L)
+    }
+  }
+
+  test("retrieval metrics: definition replay from the ranked run") {
+    val out = Ext14Queries.evalMrrNdcg(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    out.foreach { case (_, nRel, firstRank, rr, ndcg) =>
+      assert(nRel > 0, "every benchmark query should have relevant docs")
+      assert(firstRank >= 1)
+      assert(rr === 1000000L / firstRank)
+      assert(ndcg >= 0 && ndcg <= 1000000)
+      // a first-ranked relevant doc forces both metrics positive
+      if (firstRank == 1) assert(rr === 1000000L && ndcg > 0)
+    }
+  }
+
+  test("snapshot-at endpoints: apply-all and state0") {
+    import spark.implicits._
+    val dir = TestSpark.sfDir
+    val all = CdcQueries.snapshotAtCut(spark, dir,
+      Seq(Long.MaxValue).toDF("cut")).collect().toSeq
+    val upsert = CdcQueries.queries("cdc_apply_upsert")(spark, dir)
+      .collect().toSeq
+    assert(all === upsert,
+      "cut = +inf must equal the unbounded apply")
+    val none = CdcQueries.snapshotAtCut(spark, dir,
+      Seq(-1L).toDF("cut")).collect().toSeq
+    // cut below min seq: no delta survives, snapshot == state0
+    // (reconstructed here from its definition: per-user aggregate of
+    // even-event_id rows)
+    val state0 = Tables.t(spark, dir, "events")
+      .filter(col("event_id") % 2 === 0)
+      .groupBy(col("user_id"))
+      .agg(max(col("event_type")).as("event_type"),
+        max(round(col("value") * 1000).cast("long")).as("value_milli"))
+      .orderBy("user_id").collect().toSeq
+    assert(none === state0, "cut < min seq must collapse to state0")
+    val mid = CdcQueries.queries("cdc_snapshot_at")(spark, dir)
+      .collect().toSeq
+    assert(mid.nonEmpty)
+  }
+
+  test("ivm distinct equals a from-scratch recompute") {
+    val dir = TestSpark.sfDir
+    val got = Ext14Queries.ivmDistinct(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // full recompute straight from the LWW definition
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("cast(round(value * 1000) as bigint) div 100").as("bv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val live = ev.groupBy(_._2).map { case (_, rows) =>
+      rows.maxBy(_._1)
+    }.filter(_._1 % 7 != 0).toSeq
+    val expected = live.groupBy(_._3).map { case (g, rows) =>
+      (g, rows.map(_._4).distinct.size.toLong, rows.size.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got === expected)
+  }
+
+  test("shot boundaries: frame conservation and segment contiguity") {
+    val segs = Ext14Queries.shotBoundaries(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(segs.nonEmpty)
+    segs.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      // segments number 1..k, start at the media's first frame, and
+      // tile the frame axis without overlap
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 < b._3)
+        case _ =>
+      }
+      sorted.foreach { s => assert(s._3 <= s._4 && s._5 >= 1) }
+    }
+  }
+
+  test("gini matches the exact driver formula") {
+    val out = Ext14Queries.giniActivity(spark, TestSpark.sfDir)
+      .collect().head
+    val counts = Tables.t(spark, TestSpark.sfDir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = counts.length.toLong
+    val total = counts.sum
+    val iw = counts.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    assert(out.getLong(0) === n)
+    assert(out.getLong(1) === total)
+    assert(out.getLong(2) ===
+      ((2 * iw - (n + 1) * total) * 1000000L) / (n * total))
+    val top = counts.takeRight((n / 10).toInt).sum
+    assert(out.getLong(3) === top * 1000000L / total)
+  }
+
+  test("theil-sen matches the exact pairwise-slope median") {
+    val out = Ext14Queries.theilSen(spark, TestSpark.sfDir)
+      .collect().head
+    val series = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(
+        expr("datediff(timestamp_micros(ts div 1000), date'2024-01-01')"),
+        expr("cast(round(value * 1000) as bigint)"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, vs) => (d, vs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val slopes = (for {
+      (da, va) <- series; (db, vb) <- series if da < db
+    } yield ((vb - va) * 1000000L) / (db - da)).sorted
+    assert(out.getLong(0) === series.length.toLong)
+    assert(out.getLong(1) === slopes.length.toLong)
+    // lower weighted median by the cumulative rule == element at
+    // ceil(n/2) of the sorted multiset
+    assert(out.getLong(2) === slopes((slopes.length - 1) / 2))
+  }
+}

@@ -48,7 +48,14 @@ class PlanSweepSpec extends AnyFunSuite {
   //    windows
   //  - q64_rollup_share: 1-row grand-total broadcast attaching the
   //    denominator to the |flags|×|statuses| leaf table
+  //  - eval_mrr_ndcg: composes bm25TopK's 1-row corpus-stats
+  //    broadcast (same shape as text_bm25_topk)
+  //  - cdc_snapshot_at: 1-row seq-cutoff broadcast gating the delta
+  //    stream — plan-embedded scalar
+  //  - ts_theil_sen: |days|² pair enumeration + 1-row n_days
+  //    broadcast, both on the DOMAIN-bounded day table
   private val allowCross = Set(
+    "eval_mrr_ndcg", "cdc_snapshot_at", "ts_theil_sen",
     "q64_rollup_share",
     "sim_mips_topk", "dq_drift_windows", "sim_range_search",
     "text_pmi_collocations", "ev_active_users_7d",
