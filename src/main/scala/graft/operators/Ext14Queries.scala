@@ -363,6 +363,153 @@ object Ext14Queries {
   }
 
   // ---------------------------------------------------------------
+  // ev_markov_entropy
+  // ---------------------------------------------------------------
+
+  /** Per-state entropy of the user-journey transition matrix (the
+    * ev_markov_transitions pair counts): H(from) = ln(ftot) −
+    * (Σ n·ln(n)) / ftot in micro-nats, each ln quantized ONCE to the
+    * 1e-6 lattice (text_char_entropy's quantize-each-ln-once rule) so
+    * the aggregation is exact-integer and order-free. High-entropy
+    * states are journey branch points; near-zero states are funnels —
+    * the navigability audit over the same bounded |types|² table.
+    */
+  def markovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lnn_micro",
+        round(log(col("n").cast("double")) * 1e6).cast("long"))
+      .groupBy("from_type")
+      .agg(count(lit(1)).as("n_out"),
+        sum("n").as("ftot"),
+        sum(col("n") * col("lnn_micro")).as("sum_nlnn"))
+      .withColumn("h_micro",
+        round(log(col("ftot").cast("double")) * 1e6).cast("long")
+          - expr("sum_nlnn div ftot"))
+      .select("from_type", "n_out", "ftot", "h_micro")
+      .orderBy("from_type")
+  }
+
+  // ---------------------------------------------------------------
+  // ts_burst_days
+  // ---------------------------------------------------------------
+
+  /** Burst detection per event type: days whose count exceeds the
+    * type's mean by 2σ, decided by the EXACT integer inequality
+    * (n·c − s1)² > 4·(n·s2 − s1²) with n·c > s1 — the z > 2 rule
+    * n²-rescaled so no mean or variance division ever happens
+    * (ts_cusum's discipline extended to second moments). The corpus
+    * collapses to the bounded (type, day) table first; the moment
+    * windows run per type on that table.
+    */
+  def burstDays(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        expr("datediff(timestamp_micros(ts div 1000), date'2024-01-01')")
+          .as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum("c").over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .withColumn("dev_scaled", expr("n * c - s1"))
+      .filter(col("dev_scaled") > 0 &&
+        expr("dev_scaled * dev_scaled > 4 * (n * s2 - s1 * s1)"))
+      .select("event_type", "day", "c", "dev_scaled")
+      .orderBy("event_type", "day")
+  }
+
+  // ---------------------------------------------------------------
+  // dq_uniqueness
+  // ---------------------------------------------------------------
+
+  /** (entity label, table, key columns) audited by dq_uniqueness —
+    * shared by the Spark plan and the oracle generator so the two
+    * can never drift. The last two rows are deliberate NON-unique
+    * probes (fan-out keys) so the duplicate statistics are exercised,
+    * not vacuously zero. Running it immediately caught a third:
+    * the synthetic generator does NOT enforce lineitem's composite
+    * (l_orderkey, l_linenumber) key (4599 distinct / 6000 rows at
+    * sf0.001) — the violation class the audit exists to surface.
+    */
+  private val uniquenessEntities: Seq[(String, String, Seq[String])] =
+    Seq(
+      ("customer.c_custkey", "customer", Seq("c_custkey")),
+      ("documents.doc_id", "documents", Seq("doc_id")),
+      ("embeddings.vec_id", "embeddings", Seq("vec_id")),
+      ("events.event_id", "events", Seq("event_id")),
+      ("lineitem.pk", "lineitem", Seq("l_orderkey", "l_linenumber")),
+      ("nation.n_nationkey", "nation", Seq("n_nationkey")),
+      ("orders.o_orderkey", "orders", Seq("o_orderkey")),
+      ("part.p_partkey", "part", Seq("p_partkey")),
+      ("region.r_regionkey", "region", Seq("r_regionkey")),
+      ("supplier.s_suppkey", "supplier", Seq("s_suppkey")),
+      ("events.user_id", "events", Seq("user_id")),
+      ("lineitem.l_orderkey", "lineitem", Seq("l_orderkey")))
+
+  /** Key-uniqueness audit across the whole catalog: per declared key,
+    * row count, distinct keys, duplicated keys and max multiplicity —
+    * the first integrity check a pipeline runs over a new snapshot.
+    * Each entity is one hash aggregate on its key (map-side partial,
+    * output 1 row); the union is |entities| rows total.
+    */
+  def uniqueness(spark: SparkSession, dir: String): DataFrame =
+    uniquenessEntities.map { case (label, table, keys) =>
+      t(spark, dir, table)
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("m"))
+        .agg(count(lit(1)).as("n_keys"), sum("m").as("n_rows"),
+          sum(when(col("m") > 1, 1L).otherwise(0L)).as("dup_keys"),
+          max("m").as("max_mult"))
+        .select(lit(label).as("entity"), col("n_rows"), col("n_keys"),
+          col("dup_keys"), col("max_mult"))
+    }.reduce(_ unionByName _).orderBy("entity")
+
+  // ---------------------------------------------------------------
+  // dq_reconciliation
+  // ---------------------------------------------------------------
+
+  /** Order-total reconciliation: the stored o_totalprice against the
+    * recomputed Σ charge over its line items (TPC-H charge =
+    * price·(1−disc)·(1+tax), each product rounded back to scale-2
+    * decimal — the engine's money contract), with the signed relative
+    * deviation bucketed in 250-permille bands clamped to ±1000. The
+    * synthetic totals are independent of the lines, so the histogram
+    * is a REAL mismatch distribution — exactly what the audit exists
+    * to show. One join orders⋈lineitem, one per-order aggregate, one
+    * |buckets|-bounded histogram.
+    */
+  def reconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val charge = expr(
+      "round(round(cast(l_extendedprice as decimal(18,2)) * " +
+        "(cast(1 as decimal(18,4)) - cast(l_discount as decimal(18,4)))" +
+        ", 2) * (cast(1 as decimal(18,4)) + " +
+        "cast(l_tax as decimal(18,4))), 2)")
+    val recon = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), (charge * 100).cast("long").as("cents"))
+      .groupBy("l_orderkey").agg(sum("cents").as("recon_cents"))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+          .as("stored_cents"))
+      .join(recon, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("permille", expr(
+        "((recon_cents - stored_cents) * 1000) div stored_cents"))
+      .withColumn("bucket",
+        expr("greatest(least(permille, 1000L), -1000L) div 250"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min("permille").as("min_permille"),
+        max("permille").as("max_permille"))
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------
   // catalog
   // ---------------------------------------------------------------
 
@@ -373,7 +520,23 @@ object Ext14Queries {
     "cdc_ivm_distinct" -> ivmDistinct _,
     "mm_shot_boundaries" -> shotBoundaries _,
     "ev_gini" -> giniActivity _,
-    "ts_theil_sen" -> theilSen _)
+    "ts_theil_sen" -> theilSen _,
+    "ev_markov_entropy" -> markovEntropy _,
+    "ts_burst_days" -> burstDays _,
+    "dq_uniqueness" -> uniqueness _,
+    "dq_reconciliation" -> reconciliation _)
+
+  private val uniquenessSql: String =
+    uniquenessEntities.map { case (label, table, keys) =>
+      s"""SELECT '$label' AS entity,
+         |  CAST(SUM(m) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_keys,
+         |  CAST(MAX(m) AS BIGINT) AS max_mult
+         |FROM (SELECT COUNT(*) AS m FROM $table
+         |      GROUP BY ${keys.mkString(", ")})""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY entity")
 
   /** Shared CTE: the simhash maxHamming=5 pair list, verbatim from
     * the graph_triangles oracle so both audits describe one graph.
@@ -598,5 +761,75 @@ object Ext14Queries {
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
         |  CAST(MAX(tw) AS BIGINT) AS n_pairs,
         |  CAST(MIN(slope) AS BIGINT) AS slope_micro
-        |FROM cum WHERE cw * 2 >= tw""".stripMargin)
+        |FROM cum WHERE cw * 2 >= tw""".stripMargin,
+    "ev_markov_entropy" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS ft,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS tt
+        |  FROM events
+        |), pairs AS (
+        |  SELECT ft, tt, COUNT(*) AS n FROM seq
+        |  WHERE tt IS NOT NULL GROUP BY ft, tt
+        |), q AS (
+        |  SELECT ft, n,
+        |    CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS lnn_micro
+        |  FROM pairs
+        |), g AS (
+        |  SELECT ft AS from_type, CAST(COUNT(*) AS BIGINT) AS n_out,
+        |    CAST(SUM(n) AS BIGINT) AS ftot,
+        |    CAST(SUM(n * lnn_micro) AS BIGINT) AS sum_nlnn
+        |  FROM q GROUP BY ft)
+        |SELECT from_type, n_out, ftot,
+        |  CAST(round(ln(CAST(ftot AS DOUBLE)) * 1e6) AS BIGINT)
+        |    - sum_nlnn // ftot AS h_micro
+        |FROM g ORDER BY from_type""".stripMargin,
+    "ts_burst_days" ->
+      """WITH byday AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS day,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, day, CAST(c AS BIGINT) AS c,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS s1,
+        |    CAST(SUM(c * c) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS s2
+        |  FROM byday)
+        |SELECT event_type, day, c,
+        |  CAST(n * c - s1 AS BIGINT) AS dev_scaled
+        |FROM m
+        |WHERE n * c - s1 > 0
+        |  AND (n * c - s1) * (n * c - s1) > 4 * (n * s2 - s1 * s1)
+        |ORDER BY event_type, day""".stripMargin,
+    "dq_uniqueness" -> uniquenessSql,
+    "dq_reconciliation" ->
+      """WITH recon AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(ROUND(ROUND(
+        |      CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,4))
+        |           - CAST(l_discount AS DECIMAL(18,4))), 2)
+        |      * (CAST(1 AS DECIMAL(18,4))
+        |         + CAST(l_tax AS DECIMAL(18,4))), 2) * 100 AS BIGINT))
+        |      AS BIGINT) AS recon_cents
+        |  FROM lineitem GROUP BY l_orderkey
+        |), j AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS stored_cents,
+        |    r.recon_cents
+        |  FROM orders o JOIN recon r ON r.l_orderkey = o.o_orderkey
+        |), dev AS (
+        |  SELECT ((recon_cents - stored_cents) * 1000) // stored_cents
+        |    AS permille
+        |  FROM j)
+        |SELECT greatest(least(permille, 1000), -1000) // 250 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(MIN(permille) AS BIGINT) AS min_permille,
+        |  CAST(MAX(permille) AS BIGINT) AS max_permille
+        |FROM dev GROUP BY 1 ORDER BY bucket""".stripMargin)
 }
