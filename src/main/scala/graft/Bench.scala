@@ -187,7 +187,15 @@ object Bench {
       "graph_degree_histogram", "ev_session_stats",
       "q64_rollup_share", "tok_vocab_growth", "graph_assortativity",
       "q65_asof_nearest", "graph_bfs_layers", "cdc_op_mix",
-      "embed_cluster_radius")
+      "embed_cluster_radius",
+      // this round's batch: near-dup graph wedge metrics, bipartite
+      // link wedges, multi-query retrieval eval, cutoff apply, support
+      // IVM, per-media islands, whole-set rank windows, |days|² pairs,
+      // catalog-wide key audit, money-lattice reconciliation
+      "graph_clustering_coeff", "graph_link_predict", "eval_mrr_ndcg",
+      "cdc_snapshot_at", "cdc_ivm_distinct", "mm_shot_boundaries",
+      "ev_gini", "ts_theil_sen", "ev_markov_entropy", "ts_burst_days",
+      "dq_uniqueness", "dq_reconciliation")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

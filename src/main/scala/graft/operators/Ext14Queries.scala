@@ -510,6 +510,128 @@ object Ext14Queries {
   }
 
   // ---------------------------------------------------------------
+  // sim_query_routing
+  // ---------------------------------------------------------------
+
+  /** ANN probe-cost audit over the SHARED sim_ann_ivf quantizer fit:
+    * for each benchmark probe, the nprobe=2 cells it would search and
+    * the fraction of the corpus those cells hold — the routing cost
+    * model that decides whether an IVF layout actually prunes (a
+    * probe landing in a 40% mega-cell says re-fit, not search). Cell
+    * ranking is round-6 cosine against the LITERAL centroid array
+    * (ties to the lowest cell, cellExpr's rule); corpus cell sizes
+    * come from the same narrow assignment projection as embed_kmeans.
+    */
+  def queryRouting(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val centArr = Similarity.fitCentArr(emb, "vec_id", "embedding",
+      nCells = 16, iters = 2, fitSampleMod = 2)
+    val centsLit = typedlit(centArr.toSeq.map { case (cell, cv) =>
+      (cell, cv.toSeq, Similarity.centNorm(cv))
+    })
+    val csz = emb
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nd", Similarity.normD(col("v")))
+      .withColumn("cell", Similarity.cellExpr(col("v"), col("nd"),
+        centArr))
+      .groupBy("cell").agg(count(lit(1)).as("sz"))
+    val top2 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("v"))
+      .withColumn("nrm_d", Similarity.normD(col("v")))
+      .select(col("q_id"), col("v"), col("nrm_d"),
+        explode(centsLit).as("c"))
+      .select(col("q_id"), col("c._1").as("cell"),
+        round(Similarity.dotD(col("v"), col("c._2"))
+          / (col("nrm_d") * col("c._3")), 6).as("csim"))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rn") <= 2)
+      .groupBy("q_id")
+      .agg(min(when(col("rn") === 1, col("cell"))).as("cell_1"),
+        min(when(col("rn") === 2, col("cell"))).as("cell_2"))
+    top2
+      .join(csz.select(col("cell").as("cell_1"), col("sz").as("sz1")),
+        Seq("cell_1"), "left")
+      .join(csz.select(col("cell").as("cell_2"), col("sz").as("sz2")),
+        Seq("cell_2"), "left")
+      .na.fill(0L, Seq("sz1", "sz2"))
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("n"))))
+      .select(col("q_id"), col("cell_1"), col("cell_2"),
+        (col("sz1") + col("sz2")).as("scanned"),
+        expr("((sz1 + sz2) * 1000000) div n").as("frac_micro"))
+      .orderBy("q_id")
+  }
+
+  // ---------------------------------------------------------------
+  // ts_mann_kendall
+  // ---------------------------------------------------------------
+
+  /** Mann–Kendall trend test over the daily series: S = Σ_{i<j}
+    * sign(v_j − v_i), tie-corrected variance numerator
+    * varnum = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)  (Var = varnum/18),
+    * and the two-sided |Z| > 2 significance decided by the EXACT
+    * integer inequality 9·S² > 2·varnum (no continuity correction —
+    * the uncorrected statistic keeps everything on the lattice).
+    * Complements ts_theil_sen: same |days|² domain-bounded pair
+    * enumeration, slope magnitude there, trend significance here.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "events")
+      .select(
+        expr("datediff(timestamp_micros(ts div 1000), date'2024-01-01')")
+          .as("day"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"))
+      .groupBy("day").agg(sum("vm").as("v_day"))
+    val a = s.select(col("day").as("da"), col("v_day").as("va"))
+    val b = s.select(col("day").as("db"), col("v_day").as("vb"))
+    val sStat = a.join(b, col("da") < col("db"))
+      .agg(sum(when(col("vb") > col("va"), 1L)
+        .when(col("vb") < col("va"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = s.groupBy("v_day").agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_sum"))
+    val n = s.agg(count(lit(1)).as("n_days"))
+    sStat.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .select(col("n_days"), col("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum")
+          .as("varnum"))
+      .withColumn("trending",
+        expr("9 * s_stat * s_stat > 2 * varnum"))
+      .select("n_days", "s_stat", "varnum", "trending")
+  }
+
+  // ---------------------------------------------------------------
+  // text_diversity
+  // ---------------------------------------------------------------
+
+  /** Lexical-diversity report per source: type-token ratio, Simpson
+    * concentration Σ f·(f−1) / (N·(N−1)), hapax fraction of the
+    * vocabulary, and modal-token share — the corpus-health quartet a
+    * mixing strategy reads before weighting a source (low diversity +
+    * high concentration = boilerplate). One (source, token) count
+    * shuffle, then a |sources|-bounded aggregate; every ratio is a
+    * floored micro-lattice division of exact BIGINTs.
+    */
+  def textDiversity(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("source"), lower(col("tok")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+      .groupBy("source")
+      .agg(sum("f").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"),
+        max("f").as("max_f"),
+        sum(expr("f * (f - 1)")).as("sq"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("(vocab * 1000000) div n_tokens").as("ttr_micro"),
+        expr("(sq * 1000000) div (n_tokens * (n_tokens - 1))")
+          .as("simpson_micro"),
+        expr("(hapax * 1000000) div vocab").as("hapax_micro"),
+        expr("(max_f * 1000000) div n_tokens").as("top_share_micro"))
+      .orderBy("source")
+
+  // ---------------------------------------------------------------
   // catalog
   // ---------------------------------------------------------------
 
@@ -524,7 +646,10 @@ object Ext14Queries {
     "ev_markov_entropy" -> markovEntropy _,
     "ts_burst_days" -> burstDays _,
     "dq_uniqueness" -> uniqueness _,
-    "dq_reconciliation" -> reconciliation _)
+    "dq_reconciliation" -> reconciliation _,
+    "sim_query_routing" -> queryRouting _,
+    "ts_mann_kendall" -> mannKendall _,
+    "text_diversity" -> textDiversity _)
 
   private val uniquenessSql: String =
     uniquenessEntities.map { case (label, table, keys) =>
@@ -831,5 +956,90 @@ object Ext14Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(MIN(permille) AS BIGINT) AS min_permille,
         |  CAST(MAX(permille) AS BIGINT) AS max_permille
-        |FROM dev GROUP BY 1 ORDER BY bucket""".stripMargin)
+        |FROM dev GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // extends the shared IVF fit/assign replica (MATERIALIZED: cent2 /
+    // cnF / norms / assign are each referenced more than once below)
+    "sim_query_routing" ->
+      (ExtQueries.ivfFitAssignSql(16, 2, 2, mat = true) +
+      """, csz AS (
+        |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM assign GROUP BY cell
+        |), qd AS (
+        |  SELECT q.vec_id AS q_id, c.cell, SUM(q.x * c.m) AS dot
+        |  FROM ee q JOIN cent2 c ON q.i = c.i
+        |  WHERE q.vec_id < 8
+        |  GROUP BY q.vec_id, c.cell
+        |), qr AS (
+        |  SELECT qd.q_id, qd.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY qd.q_id ORDER BY
+        |      ROUND(qd.dot / (nq.nrm * cc.cnrm), 6) DESC, qd.cell)
+        |      AS rn
+        |  FROM qd
+        |  JOIN norms nq ON nq.vec_id = qd.q_id
+        |  JOIN cnF cc ON cc.cell = qd.cell
+        |), top2 AS (
+        |  SELECT q_id,
+        |    MIN(CASE WHEN rn = 1 THEN cell END) AS cell_1,
+        |    MIN(CASE WHEN rn = 2 THEN cell END) AS cell_2
+        |  FROM qr WHERE rn <= 2 GROUP BY q_id)
+        |SELECT t.q_id, t.cell_1, t.cell_2,
+        |  COALESCE(s1.sz, 0) + COALESCE(s2.sz, 0) AS scanned,
+        |  CAST(((COALESCE(s1.sz, 0) + COALESCE(s2.sz, 0)) * 1000000)
+        |    // (SELECT COUNT(*) FROM embeddings) AS BIGINT)
+        |    AS frac_micro
+        |FROM top2 t
+        |LEFT JOIN csz s1 ON s1.cell = t.cell_1
+        |LEFT JOIN csz s2 ON s2.cell = t.cell_2
+        |ORDER BY t.q_id""".stripMargin),
+    "ts_mann_kendall" ->
+      """WITH d AS (
+        |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS day,
+        |    CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+        |      AS v_day
+        |  FROM events
+        |  GROUP BY 1
+        |), s AS (
+        |  SELECT CAST(SUM(CASE WHEN b.v_day > a.v_day THEN 1
+        |    WHEN b.v_day < a.v_day THEN -1 ELSE 0 END) AS BIGINT)
+        |    AS s_stat
+        |  FROM d a JOIN d b ON a.day < b.day
+        |), ties AS (
+        |  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+        |    AS BIGINT) AS tie_sum
+        |  FROM (SELECT COUNT(*) AS t FROM d GROUP BY v_day)
+        |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d)
+        |SELECT nn.n_days, s.s_stat,
+        |  CAST(nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5)
+        |    - ties.tie_sum AS BIGINT) AS varnum,
+        |  9 * s.s_stat * s.s_stat >
+        |    2 * (nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5)
+        |      - ties.tie_sum) AS trending
+        |FROM s, ties, nn""".stripMargin,
+    "text_diversity" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    lower(unnest(string_split_regex(trim(text), '\s+')))
+        |      AS tok
+        |  FROM documents
+        |), f AS (
+        |  SELECT source, tok, COUNT(*) AS f
+        |  FROM tok GROUP BY source, tok
+        |), g AS (
+        |  SELECT source,
+        |    CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hapax,
+        |    CAST(MAX(f) AS BIGINT) AS max_f,
+        |    CAST(SUM(f * (f - 1)) AS BIGINT) AS sq
+        |  FROM f GROUP BY source)
+        |SELECT source, n_tokens, vocab,
+        |  CAST((vocab * 1000000) // n_tokens AS BIGINT) AS ttr_micro,
+        |  CAST((sq * 1000000) // (n_tokens * (n_tokens - 1))
+        |    AS BIGINT) AS simpson_micro,
+        |  CAST((hapax * 1000000) // vocab AS BIGINT) AS hapax_micro,
+        |  CAST((max_f * 1000000) // n_tokens AS BIGINT)
+        |    AS top_share_micro
+        |FROM g ORDER BY source""".stripMargin)
 }

@@ -247,6 +247,71 @@ class Ext14OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("query routing: cells from the shared fit, scanned adds up") {
+    val out = Ext14Queries.queryRouting(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq.sorted === (0L to 7L))
+    // cross-check against the independently-declared cluster sizes
+    val sizes = graft.operators.ExtQueries
+      .queries("embed_kmeans_clusters")(spark, TestSpark.sfDir)
+      .select("cell", "cluster_size").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nTotal = sizes.values.sum
+    out.foreach { case (_, c1, c2, scanned, frac) =>
+      assert(c1 !== c2)
+      assert(scanned ===
+        sizes.getOrElse(c1, 0L) + sizes.getOrElse(c2, 0L))
+      assert(frac === scanned * 1000000L / nTotal)
+      assert(frac > 0 && frac <= 1000000L)
+    }
+  }
+
+  test("mann-kendall matches the exact driver statistic") {
+    val out = Ext14Queries.mannKendall(spark, TestSpark.sfDir)
+      .collect().head
+    val series = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(
+        expr("datediff(timestamp_micros(ts div 1000), date'2024-01-01')"),
+        expr("cast(round(value * 1000) as bigint)"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, vs) => (d, vs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val s = (for {
+      (da, va) <- series; (db, vb) <- series if da < db
+    } yield java.lang.Long.signum(vb - va).toLong).sum
+    val n = series.length.toLong
+    val tieSum = series.groupBy(_._2).values
+      .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) })
+      .sum
+    val varnum = n * (n - 1) * (2 * n + 5) - tieSum
+    assert(out.getLong(0) === n)
+    assert(out.getLong(1) === s)
+    assert(out.getLong(2) === varnum)
+    assert(out.getBoolean(3) === (9 * s * s > 2 * varnum))
+  }
+
+  test("text diversity: exact replay per source") {
+    val out = Ext14Queries.textDiversity(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val toks = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+")
+        .map(t0 => (r.getString(0), t0.toLowerCase)))
+    val expected = toks.groupBy(_._1).map { case (src, xs) =>
+      val f = xs.groupBy(_._2).map(_._2.size.toLong).toSeq
+      val nT = f.sum; val v = f.size.toLong
+      val hapax = f.count(_ == 1L).toLong
+      val maxF = f.max
+      val sq = f.map(x => x * (x - 1)).sum
+      (src, nT, v, v * 1000000L / nT,
+        sq * 1000000L / (nT * (nT - 1)),
+        hapax * 1000000L / v, maxF * 1000000L / nT)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq === expected)
+  }
+
   test("theil-sen matches the exact pairwise-slope median") {
     val out = Ext14Queries.theilSen(spark, TestSpark.sfDir)
       .collect().head

@@ -54,8 +54,13 @@ class PlanSweepSpec extends AnyFunSuite {
   //    stream — plan-embedded scalar
   //  - ts_theil_sen: |days|² pair enumeration + 1-row n_days
   //    broadcast, both on the DOMAIN-bounded day table
+  //  - ts_mann_kendall: same |days|² pair enumeration as ts_theil_sen
+  //    plus 1-row tie/count broadcasts
+  //  - sim_query_routing: 1-row corpus-count broadcast attaching the
+  //    denominator to the 8-row probe report
   private val allowCross = Set(
     "eval_mrr_ndcg", "cdc_snapshot_at", "ts_theil_sen",
+    "ts_mann_kendall", "sim_query_routing",
     "q64_rollup_share",
     "sim_mips_topk", "dq_drift_windows", "sim_range_search",
     "text_pmi_collocations", "ev_active_users_7d",

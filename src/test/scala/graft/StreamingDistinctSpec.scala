@@ -1,0 +1,107 @@
+package graft
+
+import graft.streaming.StreamingDistinct
+import graft.streaming.StreamingDistinct.SupportDelta
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Streaming distinct-under-retraction: the support MapState tracks
+  * value liveness exactly across micro-batches (two-phase
+  * one-checkpoint replay), a retract-to-zero removes the value from
+  * the distinct set, a same-batch retract+re-add resolves in seq
+  * order, and a retract without a matching add fails LOUDLY instead
+  * of reporting a wrong count.
+  */
+class StreamingDistinctSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def runOnce(dir: String, ckpt: String,
+      outDir: String): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[SupportDelta]
+    // foreachBatch -> parquet append (the memory sink cannot recover
+    // from a checkpoint, and this spec replays TWO phases on one)
+    val q = StreamingDistinct.distinctCounts(src)
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[
+           StreamingDistinct.GroupDistinct], id: Long) =>
+          b.withColumn("batch_id", org.apache.spark.sql.functions
+            .lit(id)).coalesce(1)
+            .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+  }
+
+  test("support-count distinct maintains exact sets under retraction") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("dist-src").toString
+      val ckpt = Files.createTempDirectory("dist-ckpt").toString
+      val outDir = Files.createTempDirectory("dist-out").toString
+      Seq(
+        SupportDelta("g1", 10L, 1L, 1),
+        SupportDelta("g1", 10L, 2L, 1),
+        SupportDelta("g1", 20L, 3L, 1),
+        SupportDelta("g2", 10L, 4L, 1))
+        .toDS().coalesce(1).write.mode("append").parquet(dir)
+      runOnce(dir, ckpt, outDir)
+      def byBatch(): Map[(Long, String), (Long, Long)] =
+        spark.read.parquet(outDir)
+          .select("batch_id", "group", "nDistinct", "nRows")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) ->
+            ((r.getLong(2), r.getLong(3)))).toMap
+      // g1: values {10 (support 2), 20} -> 2 distinct over 3 rows
+      assert(byBatch() === Map(
+        (0L, "g1") -> ((2L, 3L)), (0L, "g2") -> ((1L, 1L))))
+
+      Seq(
+        SupportDelta("g1", 10L, 5L, -1), // support 2 -> 1: stays live
+        SupportDelta("g1", 20L, 6L, -1), // support 1 -> 0: value gone
+        SupportDelta("g1", 30L, 7L, 1),
+        SupportDelta("g2", 10L, 8L, -1), // same-batch retract...
+        SupportDelta("g2", 10L, 9L, 1)) //  ...then re-add: net live
+        .toDS().coalesce(1).write.mode("append").parquet(dir)
+      runOnce(dir, ckpt, outDir)
+      val all = byBatch()
+      assert(all((1L, "g1")) === ((2L, 2L)))
+      assert(all((1L, "g2")) === ((1L, 1L)))
+    }
+  }
+
+  test("a retract with no matching add fails loudly") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("dist-bad").toString
+      val ckpt = Files.createTempDirectory("dist-bad-ck").toString
+      Seq(SupportDelta("g9", 5L, 1L, -1))
+        .toDS().coalesce(1).write.mode("append").parquet(dir)
+      val ex = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+        runOnce(dir, ckpt,
+          Files.createTempDirectory("dist-bad-out").toString)
+      }
+      assert(ex.getMessage.contains("negative")
+        || Option(ex.getCause).exists(c =>
+          String.valueOf(c.getMessage).contains("negative")))
+    }
+  }
+}
