@@ -632,6 +632,123 @@ object Ext14Queries {
       .orderBy("source")
 
   // ---------------------------------------------------------------
+  // tok_bpe_train3
+  // ---------------------------------------------------------------
+
+  /** Corpus → (symbol array, count) vocabulary table: the ONE corpus
+    * scan the whole BPE trainer pays. Every merge round after this
+    * operates on the vocabulary-sized table — the textbook trainer
+    * shape (at 100 TB the corpus collapse is the only big job; the
+    * merge loop is driver-trivial by comparison but stays declarative
+    * here so the oracle can replay it).
+    */
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(split(col("word"), "").as("s"), col("cnt"))
+
+  /** Highest-count adjacent symbol pair (ties: lexicographic on
+    * (p1, p2)) — the BPE merge-selection rule.
+    */
+  private def bpeBestPair(words: DataFrame): DataFrame =
+    words.filter(size(col("s")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(s) - 1), i -> " +
+          "struct(element_at(s, i) as p1, element_at(s, i + 1) as p2))"))
+        .as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("p1"), col("p2")).limit(1)
+
+  /** Left-to-right non-overlapping application of the (p1, p2) merge
+    * to every symbol array — "aaa" under merge (a,a) becomes
+    * ["aa","a"], never ["aa","aa"]. One aggregate() fold with a
+    * skip-next flag; the 1-row best pair rides as a broadcast.
+    */
+  private def bpeApplyMerge(words: DataFrame,
+      best: DataFrame): DataFrame =
+    words.crossJoin(broadcast(best))
+      .withColumn("s", expr(
+        """aggregate(sequence(1, size(s)),
+          |  named_struct('out', cast(array() as array<string>),
+          |    'skip', false),
+          |  (acc, i) -> case
+          |    when acc.skip
+          |      then named_struct('out', acc.out, 'skip', false)
+          |    when i < size(s) and element_at(s, i) = p1
+          |        and element_at(s, i + 1) = p2
+          |      then named_struct(
+          |        'out', concat(acc.out, array(concat(p1, p2))),
+          |        'skip', true)
+          |    else named_struct(
+          |      'out', concat(acc.out, array(element_at(s, i))),
+          |      'skip', false)
+          |  end,
+          |  acc -> acc.out)""".stripMargin))
+      .select("s", "cnt")
+
+  /** Three rounds of actual BPE training (selection + merge + recount
+    * — not just the first-pair count): emits each round's chosen
+    * merge and its weighted frequency. Every intermediate is cached
+    * plan-keyed (the k-core lesson: round r's vocabulary feeds both
+    * round r+1's pair count and the merge application; uncached, the
+    * corpus scan would re-run ~10×). The DuckDB oracle replays the
+    * identical left-to-right rule with one recursive position-walk
+    * per round.
+    */
+  def bpeTrain3(spark: SparkSession, dir: String): DataFrame = {
+    val w0 = bpeVocab(spark, dir).cache()
+    val b1 = bpeBestPair(w0).cache()
+    val w1 = bpeApplyMerge(w0, b1).cache()
+    val b2 = bpeBestPair(w1).cache()
+    val w2 = bpeApplyMerge(w1, b2).cache()
+    val b3 = bpeBestPair(w2).cache()
+    def row(r: Int, b: DataFrame): DataFrame =
+      b.select(lit(r.toLong).as("round"),
+        concat_ws("|", col("p1"), col("p2")).as("pair"), col("n"))
+    row(1, b1).unionByName(row(2, b2)).unionByName(row(3, b3))
+      .orderBy("round")
+  }
+
+  // ---------------------------------------------------------------
+  // embed_outliers
+  // ---------------------------------------------------------------
+
+  /** Embedding-space outlier report over the SHARED IVF quantizer
+    * fit: the 20 vectors farthest (lowest round-6 cosine) from their
+    * own cell centroid — the data-cleaning cut a curation pipeline
+    * applies before treating cluster membership as a topic label.
+    * Assignment is the same literal-centroid argmax as embed_kmeans
+    * (ties to the lowest cell); the report is TakeOrdered, never a
+    * global sort.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val centArr = Similarity.fitCentArr(emb, "vec_id", "embedding",
+      nCells = 16, iters = 2, fitSampleMod = 2)
+    val centsLit = typedlit(centArr.toSeq.map { case (cell, cv) =>
+      (cell, cv.toSeq, Similarity.centNorm(cv))
+    })
+    val own = emb
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nd", Similarity.normD(col("v")))
+      .withColumn("best", array_max(transform(centsLit, c => struct(
+        round(Similarity.dotD(col("v"), c.getField("_2"))
+          / (col("nd") * c.getField("_3")), 6).as("s"),
+        (-c.getField("_1")).as("nc"),
+        c.getField("_1").as("c")))))
+      .select(col("vec_id"), col("best.c").as("cell"),
+        col("best.s").as("sim"))
+    own.orderBy(col("sim"), col("vec_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim"), col("vec_id"))))
+      .select("rank", "vec_id", "cell", "sim")
+      .orderBy("rank")
+  }
+
+  // ---------------------------------------------------------------
   // catalog
   // ---------------------------------------------------------------
 
@@ -649,7 +766,43 @@ object Ext14Queries {
     "dq_reconciliation" -> reconciliation _,
     "sim_query_routing" -> queryRouting _,
     "ts_mann_kendall" -> mannKendall _,
-    "text_diversity" -> textDiversity _)
+    "text_diversity" -> textDiversity _,
+    "tok_bpe_train3" -> bpeTrain3 _,
+    "embed_outliers" -> embedOutliers _)
+
+  /** One BPE round in the oracle: pair-count over the current
+    * vocabulary CTE `wPrev`, 1-row argmax `bR`, then the recursive
+    * left-to-right position walk producing `wR`. Mirrors
+    * bpeBestPair + bpeApplyMerge exactly.
+    */
+  private def bpeRoundSql(r: Int, wPrev: String): String = {
+    val b = s"b$r"; val mw = s"mw$r"; val w = s"w$r"
+    s""", p$r AS (
+       |  SELECT s[i] AS p1, s[i + 1] AS p2,
+       |    CAST(SUM(cnt) AS BIGINT) AS n
+       |  FROM $wPrev, UNNEST(range(1, len(s))) AS rr(i)
+       |  WHERE len(s) >= 2
+       |  GROUP BY 1, 2
+       |), $b AS (
+       |  SELECT p1, p2, n FROM p$r ORDER BY n DESC, p1, p2 LIMIT 1
+       |), $mw AS (
+       |  SELECT s, cnt, 1 AS pos, CAST([] AS VARCHAR[]) AS out
+       |  FROM $wPrev
+       |  UNION ALL
+       |  SELECT s, cnt,
+       |    CASE WHEN pos < len(s) AND s[pos] = (SELECT p1 FROM $b)
+       |        AND s[pos + 1] = (SELECT p2 FROM $b)
+       |      THEN pos + 2 ELSE pos + 1 END,
+       |    CASE WHEN pos < len(s) AND s[pos] = (SELECT p1 FROM $b)
+       |        AND s[pos + 1] = (SELECT p2 FROM $b)
+       |      THEN list_append(out,
+       |        (SELECT p1 FROM $b) || (SELECT p2 FROM $b))
+       |      ELSE list_append(out, s[pos]) END
+       |  FROM $mw WHERE pos <= len(s)
+       |), $w AS (
+       |  SELECT out AS s, cnt FROM $mw WHERE pos = len(s) + 1
+       |)""".stripMargin
+  }
 
   private val uniquenessSql: String =
     uniquenessEntities.map { case (label, table, keys) =>
@@ -1041,5 +1194,44 @@ object Ext14Queries {
         |  CAST((hapax * 1000000) // vocab AS BIGINT) AS hapax_micro,
         |  CAST((max_f * 1000000) // n_tokens AS BIGINT)
         |    AS top_share_micro
-        |FROM g ORDER BY source""".stripMargin)
+        |FROM g ORDER BY source""".stripMargin,
+    "tok_bpe_train3" ->
+      ("""WITH RECURSIVE words AS (
+        |  SELECT w AS word, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+        |      AS w
+        |    FROM documents)
+        |  WHERE len(w) >= 2 GROUP BY w
+        |), w0 AS (
+        |  SELECT string_split(word, '') AS s, cnt FROM words
+        |)""".stripMargin +
+        bpeRoundSql(1, "w0") + bpeRoundSql(2, "w1") +
+        bpeRoundSql(3, "w2") +
+      """
+        |SELECT CAST(1 AS BIGINT) AS round, p1 || '|' || p2 AS pair, n
+        |FROM b1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), p1 || '|' || p2, n FROM b2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), p1 || '|' || p2, n FROM b3
+        |ORDER BY round""".stripMargin),
+    "embed_outliers" ->
+      (ExtQueries.ivfFitAssignSql(16, 2, 2, mat = true) +
+      """, own AS (
+        |  SELECT vec_id, cell, sim FROM (
+        |    SELECT d.vec_id, d.cell,
+        |      ROUND(d.dot / (nv.nrm * cc.cnrm), 6) AS sim,
+        |      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+        |        ROUND(d.dot / (nv.nrm * cc.cnrm), 6) DESC, d.cell)
+        |        AS rn
+        |    FROM cdF d
+        |    JOIN norms nv ON nv.vec_id = d.vec_id
+        |    JOIN cnF cc ON cc.cell = d.cell) z
+        |  WHERE rn = 1)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim, vec_id) AS INT)
+        |    AS "rank",
+        |  vec_id, cell, sim
+        |FROM own
+        |QUALIFY "rank" <= 20
+        |ORDER BY "rank"""".stripMargin))
 }

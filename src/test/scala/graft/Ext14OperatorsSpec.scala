@@ -312,6 +312,59 @@ class Ext14OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq === expected)
   }
 
+  test("bpe training matches a full driver replay of three rounds") {
+    val got = Ext14Queries.queries("tok_bpe_train3")(spark,
+      TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // driver replay: same vocabulary, same selection rule, same
+    // left-to-right non-overlapping merge
+    var vocab: Seq[(List[String], Long)] =
+      Tables.t(spark, TestSpark.sfDir, "documents")
+        .select(col("text")).collect()
+        .flatMap(_.getString(0).toLowerCase.split("[^a-z]+"))
+        .filter(_.length >= 2)
+        .groupBy(identity[String]).map { case (w, xs) =>
+          (w.toList.map(_.toString), xs.size.toLong)
+        }.toSeq
+    def bestPair(v: Seq[(List[String], Long)]): (String, String, Long) =
+      v.flatMap { case (s, c) =>
+        s.zip(s.drop(1)).map(p => (p, c))
+      }.groupBy(_._1).map { case ((a, b), xs) =>
+        (a, b, xs.map(_._2).sum)
+      }.toSeq.minBy { case (a, b, n) => (-n, a, b) }
+    def applyMerge(s: List[String], a: String,
+        b: String): List[String] = s match {
+      case x :: y :: rest if x == a && y == b =>
+        (x + y) :: applyMerge(rest, a, b)
+      case x :: rest => x :: applyMerge(rest, a, b)
+      case Nil => Nil
+    }
+    val expected = (1 to 3).map { r =>
+      val (a, b, n) = bestPair(vocab)
+      vocab = vocab.map { case (s, c) => (applyMerge(s, a, b), c) }
+      (r.toLong, s"$a|$b", n)
+    }
+    assert(got === expected)
+  }
+
+  test("embedding outliers: rank contract + shared-fit assignment") {
+    val out = Ext14Queries.embedOutliers(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.length === 20)
+    assert(out.map(_._1).toSeq === (1 to 20))
+    assert(out.map(_._4).toSeq === out.map(_._4).toSeq.sorted)
+    // the outliers' cells agree with the independently-declared
+    // whole-corpus assignment (same quantizer fit)
+    val cells = graft.operators.ExtQueries
+      .queries("embed_kmeans_clusters")(spark, TestSpark.sfDir)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (_, id, cell, _) =>
+      assert(cells(id) === cell)
+    }
+  }
+
   test("theil-sen matches the exact pairwise-slope median") {
     val out = Ext14Queries.theilSen(spark, TestSpark.sfDir)
       .collect().head
