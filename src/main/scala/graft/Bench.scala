@@ -195,7 +195,9 @@ object Bench {
       "graph_clustering_coeff", "graph_link_predict", "eval_mrr_ndcg",
       "cdc_snapshot_at", "cdc_ivm_distinct", "mm_shot_boundaries",
       "ev_gini", "ts_theil_sen", "ev_markov_entropy", "ts_burst_days",
-      "dq_uniqueness", "dq_reconciliation")
+      "dq_uniqueness", "dq_reconciliation", "sim_query_routing",
+      "ts_mann_kendall", "text_diversity", "tok_bpe_train3",
+      "embed_outliers")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()
