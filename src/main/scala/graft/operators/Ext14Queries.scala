@@ -749,6 +749,135 @@ object Ext14Queries {
   }
 
   // ---------------------------------------------------------------
+  // eval_ivf_recall
+  // ---------------------------------------------------------------
+
+  /** Recall@5 of IVF search at nprobe ∈ {1, 2} against the exact
+    * cosine top-5 — THE tuning curve for an IVF deployment (how much
+    * recall does each extra probed cell buy?). One broadcast
+    * probe×corpus similarity pass (8 probes — eval-sized, the
+    * eval_ann_recall shape) is shared by the exact leg and both IVF
+    * legs; the IVF legs differ only in how deep into the query's
+    * cell ranking a corpus vector's cell may sit (probe_rn ≤ nprobe).
+    */
+  def ivfRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val centArr = Similarity.fitCentArr(emb, "vec_id", "embedding",
+      nCells = 16, iters = 2, fitSampleMod = 2)
+    val centsLit = typedlit(centArr.toSeq.map { case (cell, cv) =>
+      (cell, cv.toSeq, Similarity.centNorm(cv))
+    })
+    val corpusCells = emb
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      .withColumn("n_nrm", Similarity.norm(col("n_vec")))
+      .withColumn("nd", Similarity.normD(col("n_vec")))
+      .withColumn("cell",
+        Similarity.cellExpr(col("n_vec"), col("nd"), centArr))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("q_nrm", Similarity.norm(col("q_vec")))
+    // one probe×corpus sim pass, shared by all legs (plan-keyed cache)
+    val sims = corpusCells
+      .join(broadcast(probes), col("n_id") =!= col("q_id"))
+      .withColumn("sim", round(Similarity.dot(col("q_vec"),
+        col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
+      .select("q_id", "n_id", "cell", "sim")
+      .cache()
+    val exact = sims
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rk") <= 5).select("q_id", "n_id")
+    // full cell ranking per probe (sim_query_routing's rule)
+    val qr = probes
+      .withColumn("nrm_d", Similarity.normD(col("q_vec")))
+      .select(col("q_id"), col("q_vec"), col("nrm_d"),
+        explode(centsLit).as("c"))
+      .select(col("q_id"), col("c._1").as("cell"),
+        round(Similarity.dotD(col("q_vec"), col("c._2"))
+          / (col("nrm_d") * col("c._3")), 6).as("csim"))
+      .withColumn("probe_rn", row_number().over(Window
+        .partitionBy("q_id").orderBy(col("csim").desc, col("cell"))))
+      .select("q_id", "cell", "probe_rn")
+    val np = Seq(1L, 2L).toDF("nprobe")
+    val hits = sims.join(qr, Seq("q_id", "cell"))
+      .join(broadcast(np), col("probe_rn") <= col("nprobe"))
+      .withColumn("rk", row_number().over(Window
+        .partitionBy("q_id", "nprobe")
+        .orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rk") <= 5)
+      .join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id", "nprobe").agg(count(lit(1)).as("hits"))
+    probes.select("q_id").crossJoin(broadcast(np))
+      .join(hits, Seq("q_id", "nprobe"), "left")
+      .na.fill(0L, Seq("hits"))
+      .withColumn("recall_micro", expr("(hits * 1000000) div 5"))
+      .orderBy("q_id", "nprobe")
+  }
+
+  // ---------------------------------------------------------------
+  // q67_interval_union
+  // ---------------------------------------------------------------
+
+  /** Interval-union coverage per user: events carry a synthetic
+    * duration (value-derived, deterministic), overlapping intervals
+    * merge into islands by the running-max-end rule, and the report
+    * is per-user covered time vs span — the distinct-coverage shape
+    * (machine uptime, ad exposure, speech activity) that a plain
+    * SUM(duration) double-counts. Two per-user windows on the
+    * event-partitioned sort; everything in exact BIGINT microseconds.
+    */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("s"),
+        expr("ts div 1000 + cast(round(value * 1000) as bigint) * 1000")
+          .as("e"))
+      .withColumn("runmax", max("e").over(prior))
+      .withColumn("new_island",
+        (col("runmax").isNull || col("s") > col("runmax")).cast("long"))
+      .withColumn("island", sum("new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_iv"), min("s").as("is_"),
+        max("e").as("ie"))
+      .groupBy("user_id")
+      .agg(sum("n_iv").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(expr("ie - is_")).as("covered_us"),
+        (max("ie") - min("is_")).as("span_us"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------
+  // ev_new_vs_returning
+  // ---------------------------------------------------------------
+
+  /** Daily new-vs-returning user split: a user's first-seen day via
+    * one per-user aggregate, then per-day active counts classified
+    * against it — the simplest growth-accounting report, with the
+    * scale-right shape (two hash aggregates + one day-level join;
+    * the corpus is never windowed).
+    */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = t(spark, dir, "events")
+      .select(col("user_id"),
+        expr("datediff(timestamp_micros(ts div 1000), date'2024-01-01')")
+          .as("day"))
+      .distinct()
+    val first = byDay.groupBy("user_id").agg(min("day").as("first_day"))
+    byDay.join(first, "user_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("new_users"))
+      .withColumn("returning", col("active") - col("new_users"))
+      .orderBy("day")
+  }
+
+  // ---------------------------------------------------------------
   // catalog
   // ---------------------------------------------------------------
 
@@ -768,7 +897,10 @@ object Ext14Queries {
     "ts_mann_kendall" -> mannKendall _,
     "text_diversity" -> textDiversity _,
     "tok_bpe_train3" -> bpeTrain3 _,
-    "embed_outliers" -> embedOutliers _)
+    "embed_outliers" -> embedOutliers _,
+    "eval_ivf_recall" -> ivfRecallCurve _,
+    "q67_interval_union" -> intervalUnion _,
+    "ev_new_vs_returning" -> newVsReturning _)
 
   /** One BPE round in the oracle: pair-count over the current
     * vocabulary CTE `wPrev`, 1-row argmax `bR`, then the recursive
@@ -1233,5 +1365,111 @@ object Ext14Queries {
         |  vec_id, cell, sim
         |FROM own
         |QUALIFY "rank" <= 20
-        |ORDER BY "rank"""".stripMargin))
+        |ORDER BY "rank"""".stripMargin),
+    "eval_ivf_recall" ->
+      (ExtQueries.ivfFitAssignSql(16, 2, 2, mat = true) +
+      """, dots AS MATERIALIZED (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    SUM(q.x * e.x) AS dot
+        |  FROM ee q JOIN ee e ON q.i = e.i AND q.vec_id <> e.vec_id
+        |  WHERE q.vec_id < 8
+        |  GROUP BY q.vec_id, e.vec_id
+        |), sims AS MATERIALIZED (
+        |  SELECT d.q_id, d.n_id,
+        |    ROUND(d.dot / (nq.nrm * ne.nrm), 6) AS sim
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.q_id
+        |  JOIN norms ne ON ne.vec_id = d.n_id
+        |), exact AS MATERIALIZED (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, n_id) AS rk
+        |    FROM sims) z
+        |  WHERE rk <= 5
+        |), qd AS (
+        |  SELECT q.vec_id AS q_id, c.cell, SUM(q.x * c.m) AS dot
+        |  FROM ee q JOIN cent2 c ON q.i = c.i
+        |  WHERE q.vec_id < 8
+        |  GROUP BY q.vec_id, c.cell
+        |), qr AS MATERIALIZED (
+        |  SELECT qd.q_id, qd.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY qd.q_id ORDER BY
+        |      ROUND(qd.dot / (nq.nrm * cc.cnrm), 6) DESC, qd.cell)
+        |      AS probe_rn
+        |  FROM qd
+        |  JOIN norms nq ON nq.vec_id = qd.q_id
+        |  JOIN cnF cc ON cc.cell = qd.cell
+        |), np AS (SELECT CAST(nprobe AS BIGINT) AS nprobe
+        |          FROM (VALUES (1), (2)) t(nprobe)
+        |), ranked AS (
+        |  SELECT s.q_id, n.nprobe, s.n_id,
+        |    ROW_NUMBER() OVER (PARTITION BY s.q_id, n.nprobe
+        |      ORDER BY s.sim DESC, s.n_id) AS rk
+        |  FROM sims s
+        |  JOIN assign an ON an.vec_id = s.n_id
+        |  JOIN qr ON qr.q_id = s.q_id AND qr.cell = an.cell
+        |  JOIN np n ON qr.probe_rn <= n.nprobe
+        |), hits AS (
+        |  SELECT r.q_id, r.nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM ranked r
+        |  WHERE r.rk <= 5 AND EXISTS (SELECT 1 FROM exact e
+        |    WHERE e.q_id = r.q_id AND e.n_id = r.n_id)
+        |  GROUP BY r.q_id, r.nprobe)
+        |SELECT q.q_id, n.nprobe, COALESCE(h.hits, 0) AS hits,
+        |  CAST((COALESCE(h.hits, 0) * 1000000) // 5 AS BIGINT)
+        |    AS recall_micro
+        |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 8) q
+        |CROSS JOIN np n
+        |LEFT JOIN hits h ON h.q_id = q.q_id AND h.nprobe = n.nprobe
+        |ORDER BY q.q_id, n.nprobe""".stripMargin),
+    "q67_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(round(value * 1000) AS BIGINT) * 1000
+        |      AS e
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS runmax
+        |  FROM iv
+        |), f AS (
+        |  SELECT user_id, event_id, s, e,
+        |    CASE WHEN runmax IS NULL OR s > runmax THEN 1 ELSE 0 END
+        |      AS new_island
+        |  FROM m
+        |), isl AS (
+        |  SELECT user_id, s, e,
+        |    SUM(new_island) OVER (PARTITION BY user_id
+        |      ORDER BY s, e, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS island
+        |  FROM f
+        |), g AS (
+        |  SELECT user_id, island, COUNT(*) AS n_iv,
+        |    MIN(s) AS is_, MAX(e) AS ie
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id,
+        |  CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(ie - is_) AS BIGINT) AS covered_us,
+        |  CAST(MAX(ie) - MIN(is_) AS BIGINT) AS span_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_new_vs_returning" ->
+      """WITH byday AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS day
+        |  FROM events
+        |), fst AS (
+        |  SELECT user_id, MIN(day) AS first_day FROM byday
+        |  GROUP BY user_id)
+        |SELECT b.day, CAST(COUNT(*) AS BIGINT) AS active,
+        |  CAST(SUM(CASE WHEN b.day = f.first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS new_users,
+        |  CAST(COUNT(*) - SUM(CASE WHEN b.day = f.first_day
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS returning
+        |FROM byday b JOIN fst f ON f.user_id = b.user_id
+        |GROUP BY b.day ORDER BY b.day""".stripMargin)
 }

@@ -365,6 +365,77 @@ class Ext14OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf recall curve: monotone in nprobe, np=1 equals sim_ann_ivf") {
+    val out = Ext14Queries.ivfRecallCurve(spark, TestSpark.sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size === 16)
+    (0L to 7L).foreach { q =>
+      val (h1, r1) = out((q, 1L))
+      val (h2, r2) = out((q, 2L))
+      assert(h1 <= 5 && h2 <= 5)
+      assert(h2 >= h1, s"probe $q: recall must be monotone in nprobe")
+      assert(r1 === h1 * 200000L && r2 === h2 * 200000L)
+    }
+    // the nprobe=1 leg must agree with the independently-declared
+    // sim_ann_ivf top-5 intersected with the exact cosine top-5
+    val ivf1 = graft.operators.ExtQueries
+      .queries("sim_ann_ivf")(spark, TestSpark.sfDir)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.operators.ExtQueries
+      .queries("sim_cosine_topk")(spark, TestSpark.sfDir)
+      .filter(col("rank") <= 5).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L to 7L).foreach { q =>
+      val expectHits = (ivf1 & exact).count(_._1 == q).toLong
+      assert(out((q, 1L))._1 === expectHits,
+        s"probe $q: np=1 hits disagree with sim_ann_ivf ∩ exact")
+    }
+  }
+
+  test("interval union matches an exact per-user driver replay") {
+    val got = Ext14Queries.intervalUnion(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val iv = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000"),
+        expr("ts div 1000 + cast(round(value * 1000) as bigint) * 1000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expected = iv.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(t0 => (t0._3, t0._4, t0._2))
+      var islands = List.empty[(Long, Long)] // (start, maxEnd), rev
+      sorted.foreach { case (_, _, s, e) =>
+        islands match {
+          case (is0, ie0) :: rest if s <= ie0 =>
+            islands = (is0, math.max(ie0, e)) :: rest
+          case _ => islands = (s, e) :: islands
+        }
+      }
+      val covered = islands.map { case (a, b) => b - a }.sum
+      (u, rows.size.toLong, islands.size.toLong, covered,
+        sorted.map(_._4).max - sorted.map(_._3).min)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === expected)
+  }
+
+  test("new vs returning: conservation laws") {
+    val rows = Ext14Queries.newVsReturning(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val users = Tables.t(spark, TestSpark.sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === users,
+      "every user is new exactly once")
+    rows.foreach { case (_, active, nw, ret) =>
+      assert(active === nw + ret && nw >= 0 && ret >= 0)
+    }
+    // the first day has no returning users
+    assert(rows.minBy(_._1)._4 === 0L)
+  }
+
   test("theil-sen matches the exact pairwise-slope median") {
     val out = Ext14Queries.theilSen(spark, TestSpark.sfDir)
       .collect().head

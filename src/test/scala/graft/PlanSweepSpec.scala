@@ -60,9 +60,12 @@ class PlanSweepSpec extends AnyFunSuite {
   //    denominator to the 8-row probe report
   //  - tok_bpe_train3: each round's 1-row argmax merge pair rides as
   //    a broadcast into the vocabulary-sized merge application
+  //  - eval_ivf_recall: broadcast-anchor probe×corpus sim pass (the
+  //    eval_ann_recall shape) + tiny nprobe-spine non-equi joins
   private val allowCross = Set(
     "eval_mrr_ndcg", "cdc_snapshot_at", "ts_theil_sen",
     "ts_mann_kendall", "sim_query_routing", "tok_bpe_train3",
+    "eval_ivf_recall",
     "q64_rollup_share",
     "sim_mips_topk", "dq_drift_windows", "sim_range_search",
     "text_pmi_collocations", "ev_active_users_7d",
