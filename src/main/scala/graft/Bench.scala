@@ -197,7 +197,8 @@ object Bench {
       "ev_gini", "ts_theil_sen", "ev_markov_entropy", "ts_burst_days",
       "dq_uniqueness", "dq_reconciliation", "sim_query_routing",
       "ts_mann_kendall", "text_diversity", "tok_bpe_train3",
-      "embed_outliers")
+      "embed_outliers", "eval_ivf_recall", "q67_interval_union",
+      "ev_new_vs_returning")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

@@ -878,6 +878,107 @@ object Ext14Queries {
   }
 
   // ---------------------------------------------------------------
+  // graph_modularity
+  // ---------------------------------------------------------------
+
+  /** Per-community modularity contribution of the connected-component
+    * partition over the MinHash-LSH near-dup graph (same pair set and
+    * labeling as dedup_clusters): q_c = (4m·e_c − d_c²) / (4m²) on
+    * the 1e-6 lattice. Because CC components close over their edges,
+    * e_c counts the whole community's edges and d_c = 2·e_c, so
+    * q_c = 4e_c(m − e_c)/(4m²) ≥ 0 — a mega-community with most of
+    * the graph's edges scores NEAR ZERO (m ≈ e_c), which is exactly
+    * the over-merge signal this audit exists to raise before a
+    * transitive collapse deletes half the corpus. Edge list cached
+    * once plan-keyed (feeds degrees, labels, per-community counts and
+    * the 1-row m broadcast).
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(t(spark, dir, "documents"),
+        "doc_id", "text", numHashes = 16, bands = 4, minJ = 0.1)
+      .select("id_a", "id_b").cache()
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("id"), col("cluster"))
+    val deg = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val dcs = labels.join(deg, "id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("d_c"))
+    val ec = pairs
+      .join(labels.select(col("id").as("id_a"), col("cluster")),
+        "id_a")
+      .groupBy("cluster").agg(count(lit(1)).as("e_c"))
+    dcs.join(ec, "cluster")
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("m"))))
+      .withColumn("q_contrib_micro", expr(
+        "((4 * m * e_c - d_c * d_c) * 1000000) div (4 * m * m)"))
+      .select("cluster", "n_nodes", "e_c", "d_c", "q_contrib_micro")
+      .orderBy("cluster")
+  }
+
+  // ---------------------------------------------------------------
+  // sim_mmr_rerank
+  // ---------------------------------------------------------------
+
+  /** Maximal-Marginal-Relevance diversified rerank (λ = 0.5) of probe
+    * 0's exact cosine top-10 shortlist down to 5: round 1 takes the
+    * highest query similarity; each later round takes
+    * argmax(simq − max_{j∈chosen} sim(i, j)) — at λ = ½ that
+    * difference IS the MMR objective up to the constant ½, so the
+    * selection order is identical and stays on the exact 1e-6 integer
+    * lattice (sims quantized once). Candidate cost is shortlist² =
+    * 100 pair sims regardless of corpus size — the standard two-stage
+    * retrieve-then-diversify shape. Every 1-row chosen frame is
+    * cached (the unrolled-round lineage rule).
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+    val short = Similarity.cosineTopK(emb, probe, "vec_id",
+        "embedding", k = 10)
+      .select(col("n_id"),
+        expr("cast(round(sim * 1000000) as bigint)").as("simq"))
+      .cache()
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .join(short.select(col("n_id").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+    val a = vecs.select(col("vec_id").as("i"), col("v").as("vi"),
+      col("nrm").as("ni"))
+    val b = vecs.select(col("vec_id").as("j"), col("v").as("vj"),
+      col("nrm").as("nj"))
+    val cpairs = a.join(broadcast(b), col("i") =!= col("j"))
+      // the exact round-6 cosine (cosineTopK's formula), re-quantized
+      // once onto the micro lattice
+      .withColumn("pm",
+        round(round(Similarity.dot(col("vi"), col("vj"))
+          / (col("ni") * col("nj")), 6) * 1000000).cast("long"))
+      .select("i", "j", "pm")
+      .cache()
+    var chosen = short
+      .orderBy(col("simq").desc, col("n_id")).limit(1)
+      .select(col("n_id").as("c"), col("simq").as("score"))
+      .withColumn("rank", lit(1L)).cache()
+    for (r <- 2 to 5) {
+      val pen = cpairs
+        .join(chosen.select(col("c").as("j")), "j")
+        .groupBy(col("i")).agg(max("pm").as("pen"))
+      val next = short
+        .join(chosen.select(col("c").as("n_id")), Seq("n_id"),
+          "left_anti")
+        .join(pen.withColumnRenamed("i", "n_id"), "n_id")
+        .select(col("n_id"), (col("simq") - col("pen")).as("score"))
+        .orderBy(col("score").desc, col("n_id")).limit(1)
+        .select(col("n_id").as("c"), col("score"))
+        .withColumn("rank", lit(r.toLong))
+      chosen = chosen.unionByName(next).cache()
+    }
+    chosen.select(col("rank"), col("c").as("n_id"), col("score"))
+      .orderBy("rank")
+  }
+
+  // ---------------------------------------------------------------
   // catalog
   // ---------------------------------------------------------------
 
@@ -900,7 +1001,73 @@ object Ext14Queries {
     "embed_outliers" -> embedOutliers _,
     "eval_ivf_recall" -> ivfRecallCurve _,
     "q67_interval_union" -> intervalUnion _,
-    "ev_new_vs_returning" -> newVsReturning _)
+    "ev_new_vs_returning" -> newVsReturning _,
+    "graph_modularity" -> modularity _,
+    "sim_mmr_rerank" -> mmrRerank _)
+
+  /** MMR oracle: shortlist + candidate-pair sims once, then one
+    * (chosen-union, penalty, argmax) CTE triple per unrolled round —
+    * the identical selection rule as mmrRerank.
+    */
+  private val mmrSql: String = {
+    val head =
+      """WITH ee AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), norms AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ee
+        |  GROUP BY vec_id
+        |), qd AS (
+        |  SELECT e.vec_id AS n_id, SUM(q.x * e.x) AS dot
+        |  FROM ee q JOIN ee e ON q.i = e.i AND e.vec_id <> 0
+        |  WHERE q.vec_id = 0
+        |  GROUP BY e.vec_id
+        |), short AS MATERIALIZED (
+        |  SELECT qd.n_id,
+        |    CAST(round(ROUND(qd.dot / (nq.nrm * ne.nrm), 6) * 1000000)
+        |      AS BIGINT) AS simq
+        |  FROM qd
+        |  JOIN norms nq ON nq.vec_id = 0
+        |  JOIN norms ne ON ne.vec_id = qd.n_id
+        |  ORDER BY simq DESC, qd.n_id LIMIT 10
+        |), cp AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j, SUM(a.x * b.x) AS dot
+        |  FROM ee a JOIN ee b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id IN (SELECT n_id FROM short)
+        |    AND b.vec_id IN (SELECT n_id FROM short)
+        |  GROUP BY 1, 2
+        |), cpairs AS MATERIALIZED (
+        |  SELECT cp.i, cp.j,
+        |    CAST(round(ROUND(cp.dot / (ni.nrm * nj.nrm), 6) * 1000000)
+        |      AS BIGINT) AS pm
+        |  FROM cp
+        |  JOIN norms ni ON ni.vec_id = cp.i
+        |  JOIN norms nj ON nj.vec_id = cp.j
+        |), c1 AS MATERIALIZED (
+        |  SELECT n_id AS c, simq AS score, CAST(1 AS BIGINT) AS rnk
+        |  FROM short ORDER BY simq DESC, n_id LIMIT 1
+        |)""".stripMargin
+    val rounds = (2 to 5).map { r =>
+      val prev = (1 until r).map(k => s"SELECT c FROM c$k")
+        .mkString(" UNION ALL ")
+      s""", ch$r AS ($prev
+         |), pen$r AS (
+         |  SELECT p.i, MAX(p.pm) AS pen FROM cpairs p
+         |  WHERE p.j IN (SELECT c FROM ch$r) GROUP BY p.i
+         |), c$r AS MATERIALIZED (
+         |  SELECT s.n_id AS c, s.simq - pen$r.pen AS score,
+         |    CAST($r AS BIGINT) AS rnk
+         |  FROM short s JOIN pen$r ON pen$r.i = s.n_id
+         |  WHERE s.n_id NOT IN (SELECT c FROM ch$r)
+         |  ORDER BY score DESC, c LIMIT 1
+         |)""".stripMargin
+    }.mkString
+    val tail = (1 to 5).map(r =>
+      s"""SELECT rnk AS "rank", c AS n_id, score FROM c$r""")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY \"rank\"")
+    head + rounds + tail
+  }
 
   /** One BPE round in the oracle: pair-count over the current
     * vocabulary CTE `wPrev`, 1-row argmax `bR`, then the recursive
@@ -1471,5 +1638,37 @@ object Ext14Queries {
         |  CAST(COUNT(*) - SUM(CASE WHEN b.day = f.first_day
         |    THEN 1 ELSE 0 END) AS BIGINT) AS returning
         |FROM byday b JOIN fst f ON f.user_id = b.user_id
-        |GROUP BY b.day ORDER BY b.day""".stripMargin)
+        |GROUP BY b.day ORDER BY b.day""".stripMargin,
+    // composes the dedup_minhash_lsh pair oracle and the
+    // dedup_clusters labeling oracle verbatim, so the modularity
+    // report can never drift from the edges or the partition
+    "graph_modularity" ->
+      (s"""WITH ed AS (
+         |  SELECT id_a, id_b FROM (
+         |${ExtQueries.oracle("dedup_minhash_lsh")}
+         |) z_ed
+         |), cc AS (
+         |  SELECT id, cluster FROM (
+         |${ExtQueries.oracle("dedup_clusters")}
+         |) z_cc
+         |)""".stripMargin +
+      """, mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ed
+        |), deg AS (
+        |  SELECT id, COUNT(*) AS d FROM (
+        |    SELECT id_a AS id FROM ed UNION ALL
+        |    SELECT id_b FROM ed) u
+        |  GROUP BY id
+        |), dcs AS (
+        |  SELECT c.cluster, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(g.d) AS BIGINT) AS d_c
+        |  FROM cc c JOIN deg g ON g.id = c.id GROUP BY c.cluster
+        |), ec AS (
+        |  SELECT c.cluster, CAST(COUNT(*) AS BIGINT) AS e_c
+        |  FROM ed e JOIN cc c ON c.id = e.id_a GROUP BY c.cluster)
+        |SELECT d.cluster, d.n_nodes, ec.e_c, d.d_c,
+        |  CAST(((4 * mm.m * ec.e_c - d.d_c * d.d_c) * 1000000)
+        |    // (4 * mm.m * mm.m) AS BIGINT) AS q_contrib_micro
+        |FROM dcs d JOIN ec ON ec.cluster = d.cluster, mm
+        |ORDER BY d.cluster""".stripMargin),
+    "sim_mmr_rerank" -> mmrSql)
 }

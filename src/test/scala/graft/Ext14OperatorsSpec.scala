@@ -436,6 +436,72 @@ class Ext14OperatorsSpec extends AnyFunSuite {
     assert(rows.minBy(_._1)._4 === 0L)
   }
 
+  test("modularity: edge conservation, d_c = 2e_c, label agreement") {
+    val rows = Ext14Queries.modularity(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // CC components close over their edges: every edge is internal
+    rows.foreach { case (_, n, eC, dC, q) =>
+      assert(dC === 2 * eC, "component degree sum must be 2·e_c")
+      assert(q >= 0)
+      assert(n >= 2)
+    }
+    // Σ e_c over communities = m (every edge is in exactly one)
+    val labels = graft.operators.ExtQueries
+      .queries("dedup_clusters")(spark, TestSpark.sfDir)
+      .select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = graft.operators.ExtQueries
+      .queries("dedup_minhash_lsh")(spark, TestSpark.sfDir).count()
+    assert(rows.map(_._3).sum === m)
+    // community node counts agree with the declared labeling
+    val sizes = labels.values.groupBy(identity[Long])
+      .map { case (c, xs) => (c, xs.size.toLong) }
+    assert(rows.map(r => (r._1, r._2)).toMap === sizes)
+  }
+
+  test("mmr rerank: greedy-selection replay and diversity effect") {
+    val got = Ext14Queries.mmrRerank(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === (1L to 5L))
+    assert(got.map(_._2).distinct.length === 5)
+    // replay: shortlist from the declared exact top-k machinery
+    val emb = Tables.t(spark, TestSpark.sfDir, "embeddings")
+    val short = graft.operators.Similarity
+      .cosineTopK(emb, emb.filter(col("vec_id") === 0), "vec_id",
+        "embedding", k = 10)
+      .select(col("n_id"),
+        expr("cast(round(sim * 1000000) as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = short.map(_._1).toSet
+    val pairSim = graft.operators.Similarity
+      .cosineTopK(emb.filter(col("vec_id").isin(ids.toSeq: _*)),
+        emb.filter(col("vec_id").isin(ids.toSeq: _*)), "vec_id",
+        "embedding", k = 9)
+      .select(col("q_id"), col("n_id"),
+        expr("cast(round(sim * 1000000) as bigint)"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    var chosen = List.empty[(Long, Long)]
+    (1 to 5).foreach { r =>
+      val cand = short.filterNot(s => chosen.exists(_._1 == s._1))
+      val scored = cand.map { case (id, simq) =>
+        val pen = if (chosen.isEmpty) 0L
+          else chosen.map(c => pairSim((id, c._1))).max
+        (id, simq - pen)
+      }
+      val best = scored.minBy { case (id, sc) => (-sc, id) }
+      chosen = chosen :+ best
+    }
+    assert(got.map(t => (t._2, t._3)).toSeq === chosen)
+    // diversity must have reordered or replaced somebody relative to
+    // the plain similarity ranking (otherwise the op is a no-op)
+    val plain = short.sortBy { case (id, s) => (-s, id) }
+      .take(5).map(_._1).toSeq
+    assert(got.map(_._2).toSeq !== plain)
+  }
+
   test("theil-sen matches the exact pairwise-slope median") {
     val out = Ext14Queries.theilSen(spark, TestSpark.sfDir)
       .collect().head
