@@ -135,6 +135,52 @@ object CdcQueries {
       t(spark, dir, "events").agg(
         expr("max(event_id) div 2").as("cut")))
 
+  /** Tombstone-GC audit: erase markers whose key saw NO later update
+    * are LIVE tombstones (they still suppress their key on replay);
+    * those older than the retention cutoff (mid-corpus seq, the
+    * snapshotAt convention) are GC-eligible — the compaction decision
+    * a keyed sink makes before dropping delete markers (the classic
+    * log-compaction tombstone-retention rule). One per-key aggregate
+    * over the parsed changelog; the cutoff rides as a 1-row
+    * broadcast.
+    */
+  def tombstoneGc(spark: SparkSession, dir: String): DataFrame = {
+    val p = parsed(spark, dir)
+      .filter(col("op") =!= CdcParse.OpDrop)
+    val perKey = p.groupBy("user_id").agg(
+      max(when(col("op") === CdcParse.OpErase, col("event_id")))
+        .as("tomb_seq"),
+      max(when(col("op") =!= CdcParse.OpErase, col("event_id")))
+        .as("upd_seq"))
+    perKey
+      .filter(col("tomb_seq").isNotNull &&
+        (col("upd_seq").isNull || col("tomb_seq") > col("upd_seq")))
+      .crossJoin(broadcast(t(spark, dir, "events")
+        .agg(expr("max(event_id) div 2").as("cut"))))
+      .select(col("user_id"), col("tomb_seq"),
+        (col("tomb_seq") <= col("cut")).as("gc_eligible"))
+      .orderBy("user_id")
+  }
+
+  /** Per-partition changelog lag monitor: messages, high-water seq
+    * and the lag to the global high-water mark per topic partition
+    * (key-hash partitioning, 8 partitions) — the per-reader freshness
+    * view the reference surfaces as lastReaded/lastWrited
+    * (WebController.java:62-83), generalized per partition. One hash
+    * aggregate; the global max joins back over the 8-row result.
+    */
+  def partitionLag(spark: SparkSession, dir: String): DataFrame = {
+    val byPart = parsed(spark, dir)
+      .filter(col("op") =!= CdcParse.OpDrop)
+      .groupBy(pmod(col("user_id"), lit(8L)).as("partition"))
+      .agg(count(lit(1)).as("n_msgs"), max("event_id").as("hwm"))
+    byPart
+      .withColumn("lag",
+        max("hwm").over(org.apache.spark.sql.expressions.Window
+          .partitionBy()) - col("hwm"))
+      .orderBy("partition")
+  }
+
   /** snapshotAt with an explicit 1-row (cut BIGINT) cutoff frame —
     * the spec drives this with cut = max and cut = -1 to prove the
     * endpoints collapse to apply-all and state0.
@@ -313,6 +359,8 @@ object CdcQueries {
     "cdc_lww_dedup" -> lwwDedup _,
     "cdc_apply_upsert" -> applyUpsert _,
     "cdc_snapshot_at" -> snapshotAt _,
+    "cdc_tombstone_gc" -> tombstoneGc _,
+    "cdc_partition_lag" -> partitionLag _,
     "cdc_apply_insert" -> applyInsert _,
     "cdc_apply_update_on" -> applyUpdateOn _,
     "cdc_apply_delete" -> applyDelete _,
@@ -504,6 +552,27 @@ object CdcQueries {
         |  UNION ALL
         |  SELECT user_id, event_type, value_milli FROM odd_lww_cut WHERE op <> 'erase') f
         |ORDER BY user_id""".stripMargin),
+    "cdc_tombstone_gc" -> (baseCte +
+      """, perkey AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN op = 'erase' THEN event_id END) AS tomb_seq,
+        |    MAX(CASE WHEN op <> 'erase' THEN event_id END) AS upd_seq
+        |  FROM typed WHERE op <> 'drop' GROUP BY user_id
+        |), cut AS (SELECT MAX(event_id) // 2 AS cut FROM events)
+        |SELECT user_id, tomb_seq, tomb_seq <= c.cut AS gc_eligible
+        |FROM perkey, cut c
+        |WHERE tomb_seq IS NOT NULL
+        |  AND (upd_seq IS NULL OR tomb_seq > upd_seq)
+        |ORDER BY user_id""".stripMargin),
+    "cdc_partition_lag" -> (baseCte +
+      """, bypart AS (
+        |  SELECT user_id % 8 AS partition,
+        |    CAST(COUNT(*) AS BIGINT) AS n_msgs,
+        |    MAX(event_id) AS hwm
+        |  FROM typed WHERE op <> 'drop' GROUP BY 1)
+        |SELECT partition, n_msgs, hwm,
+        |  CAST(MAX(hwm) OVER () - hwm AS BIGINT) AS lag
+        |FROM bypart ORDER BY partition""".stripMargin),
     "cdc_apply_insert" -> (baseCte +
       """
         |SELECT user_id, event_type, value_milli FROM (

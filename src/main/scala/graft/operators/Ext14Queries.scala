@@ -979,6 +979,62 @@ object Ext14Queries {
   }
 
   // ---------------------------------------------------------------
+  // mm_tile_grid
+  // ---------------------------------------------------------------
+
+  /** 2-D patch grid over the binary media payload — the ViT-patch
+    * plumbing: the payload is treated as a row-major image of
+    * 64-byte scan lines, each line split into four 16-byte tiles, and
+    * every (row, col) patch reports its checksum and non-blank byte
+    * count. The tile slicing is pure narrow projection (two bounded
+    * explodes); schema/partitioning/batch shape is exactly what a
+    * real patch-embedder consumes, with the codec stubbed per the
+    * Multimodal contract.
+    */
+  def tileGrid(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachMedia(
+      t(spark, dir, "documents"), "doc_id", "text")
+    media
+      .select(col("media_id"), col("media.payload").as("payload"),
+        col("media.meta.n_bytes").as("n_bytes"))
+      .withColumn("row", explode(sequence(lit(0),
+        greatest(ceil(col("n_bytes") / 64.0).cast("int") - 1, lit(0)))))
+      .withColumn("col", explode(sequence(lit(0), lit(3))))
+      .withColumn("tile", col("payload")
+        .substr(col("row") * 64 + col("col") * 16 + 1, lit(16))
+        .cast("string"))
+      .filter(length(col("tile")) > 0)
+      .select(col("media_id"), col("row").cast("long").as("row"),
+        col("col").cast("long").as("col"),
+        md5(col("tile")).as("tile_hash"),
+        expr("length(regexp_replace(tile, '\\\\s', ''))")
+          .cast("long").as("n_ink"))
+      .orderBy("media_id", "row", "col")
+  }
+
+  // ---------------------------------------------------------------
+  // text_prefix_families
+  // ---------------------------------------------------------------
+
+  /** Boilerplate-prefix families: documents grouped by the md5 of
+    * their first two tokens; families with ≥ 3 members are the
+    * repeated-header signal (the cheap precursor to substring dedup —
+    * at 100 TB this one hash aggregate triages which prefixes deserve
+    * the expensive suffix-array pass). Reports family size and the
+    * canonical (minimum) doc id.
+    */
+  def prefixFamilies(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          expr("slice(split(trim(text), '\\\\s+'), 1, 2)")))
+          .as("prefix_hash"))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+      .filter(col("n_docs") >= 3)
+      .orderBy("prefix_hash")
+
+  // ---------------------------------------------------------------
   // catalog
   // ---------------------------------------------------------------
 
@@ -1003,7 +1059,9 @@ object Ext14Queries {
     "q67_interval_union" -> intervalUnion _,
     "ev_new_vs_returning" -> newVsReturning _,
     "graph_modularity" -> modularity _,
-    "sim_mmr_rerank" -> mmrRerank _)
+    "sim_mmr_rerank" -> mmrRerank _,
+    "mm_tile_grid" -> tileGrid _,
+    "text_prefix_families" -> prefixFamilies _)
 
   /** MMR oracle: shortlist + candidate-pair sims once, then one
     * (chosen-union, penalty, argmax) CTE triple per unrolled round —
@@ -1670,5 +1728,39 @@ object Ext14Queries {
         |    // (4 * mm.m * mm.m) AS BIGINT) AS q_contrib_micro
         |FROM dcs d JOIN ec ON ec.cluster = d.cluster, mm
         |ORDER BY d.cluster""".stripMargin),
-    "sim_mmr_rerank" -> mmrSql)
+    "sim_mmr_rerank" -> mmrSql,
+    "mm_tile_grid" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |), rc AS (
+        |  SELECT media_id, text,
+        |    unnest(range(0, greatest(
+        |      CAST(ceil(n_bytes / 64.0) AS BIGINT), 1))) AS row
+        |  FROM m
+        |), tiles AS (
+        |  SELECT media_id, CAST(row AS BIGINT) AS row,
+        |    CAST(col AS BIGINT) AS col,
+        |    substring(text, CAST(row * 64 + col * 16 + 1 AS BIGINT),
+        |      16) AS tile
+        |  FROM rc, UNNEST(range(0, 4)) AS cc(col))
+        |SELECT media_id, row, col, md5(tile) AS tile_hash,
+        |  CAST(strlen(regexp_replace(tile, '\s', '', 'g')) AS BIGINT)
+        |    AS n_ink
+        |FROM tiles
+        |WHERE strlen(tile) > 0
+        |ORDER BY media_id, row, col""".stripMargin,
+    "text_prefix_families" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(
+        |      string_split_regex(trim(text), '\s+')[1:2], ' '))
+        |      AS prefix_hash
+        |  FROM documents)
+        |SELECT prefix_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS keep_id
+        |FROM p GROUP BY prefix_hash
+        |HAVING COUNT(*) >= 3
+        |ORDER BY prefix_hash""".stripMargin)
 }

@@ -502,6 +502,89 @@ class Ext14OperatorsSpec extends AnyFunSuite {
     assert(got.map(_._2).toSeq !== plain)
   }
 
+  test("tombstone gc: replay from the envelope routing rule") {
+    val dir = TestSpark.sfDir
+    val got = CdcQueries.queries("cdc_tombstone_gc")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq
+    val ev = Tables.t(spark, dir, "events")
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cut = ev.map(_._1).max / 2
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (u, rows) =>
+      // env rule: %10==0 erase, %10==3 dropped, everything else update
+      val tombs = rows.map(_._1).filter(_ % 10 == 0)
+      val upds = rows.map(_._1).filter(e => e % 10 != 0 && e % 10 != 3)
+      if (tombs.nonEmpty &&
+        (upds.isEmpty || tombs.max > upds.max))
+        Some((u, tombs.max, tombs.max <= cut))
+      else None
+    }.sortBy(_._1)
+    assert(got === expected)
+  }
+
+  test("partition lag: conservation and zero-lag high-water holder") {
+    val rows = CdcQueries.queries("cdc_partition_lag")(spark,
+      TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (0L to 7L))
+    val nondrop = Tables.t(spark, TestSpark.sfDir, "events")
+      .filter(expr("event_id % 10 != 3")).count()
+    assert(rows.map(_._2).sum === nondrop)
+    assert(rows.filter(_._4 == 0L).nonEmpty)
+    val hwm = rows.map(_._3).max
+    rows.foreach { case (_, _, h, lag) => assert(lag === hwm - h) }
+  }
+
+  test("tile grid: per-media replay of slicing, hashing, ink count") {
+    val grid = Ext14Queries.tileGrid(spark, TestSpark.sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getString(3), r.getLong(4))))
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(5)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val gm = grid.toMap
+    docs.foreach { case (id, text) =>
+      val nRows = math.max((text.length + 63) / 64, 1)
+      for (row <- 0 until nRows; c <- 0 until 4) {
+        val from = row * 64 + c * 16
+        val tile = if (from >= text.length) ""
+          else text.substring(from,
+            math.min(from + 16, text.length))
+        if (tile.nonEmpty) {
+          val (h, ink) = gm((id, row.toLong, c.toLong))
+          assert(h === md5hex(tile))
+          assert(ink === tile.count(ch => !ch.isWhitespace).toLong)
+        } else assert(!gm.contains((id, row.toLong, c.toLong)))
+      }
+    }
+  }
+
+  test("prefix families: exact replay") {
+    val got = Ext14Queries.prefixFamilies(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        md5hex(r.getString(1).trim.split("\\s+").take(2)
+          .mkString(" "))))
+      .groupBy(_._2).map { case (h, xs) =>
+        (h, xs.size.toLong, xs.map(_._1).min)
+      }.filter(_._2 >= 3).toSeq.sortBy(_._1)
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("theil-sen matches the exact pairwise-slope median") {
     val out = Ext14Queries.theilSen(spark, TestSpark.sfDir)
       .collect().head

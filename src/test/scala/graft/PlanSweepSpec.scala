@@ -66,6 +66,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "eval_mrr_ndcg", "cdc_snapshot_at", "ts_theil_sen",
     "ts_mann_kendall", "sim_query_routing", "tok_bpe_train3",
     "eval_ivf_recall", "graph_modularity", "sim_mmr_rerank",
+    "cdc_tombstone_gc",
     "q64_rollup_share",
     "sim_mips_topk", "dq_drift_windows", "sim_range_search",
     "text_pmi_collocations", "ev_active_users_7d",
