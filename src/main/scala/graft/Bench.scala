@@ -198,7 +198,9 @@ object Bench {
       "dq_uniqueness", "dq_reconciliation", "sim_query_routing",
       "ts_mann_kendall", "text_diversity", "tok_bpe_train3",
       "embed_outliers", "eval_ivf_recall", "q67_interval_union",
-      "ev_new_vs_returning", "graph_modularity", "sim_mmr_rerank")
+      "ev_new_vs_returning", "graph_modularity", "sim_mmr_rerank",
+      "cdc_tombstone_gc", "cdc_partition_lag", "mm_tile_grid",
+      "text_prefix_families")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()
