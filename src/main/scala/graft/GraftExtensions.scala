@@ -42,7 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "morton(a, b) - z-order interleave of the low 16 bits"),
       (exprs: Seq[Expression]) =>
         GraftFunctions.mortonExpr(exprs.head, exprs(1))))
-    // whole-operator extension: planned sort-merge as-of join
+    // whole-operator extensions: planned sort-merge as-of join and
+    // sort-free grouped top-k
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -1035,6 +1035,31 @@ object Ext14Queries {
       .orderBy("prefix_hash")
 
   // ---------------------------------------------------------------
+  // q68_topk_planned
+  // ---------------------------------------------------------------
+
+  /** Top-3 orders per customer through the PLANNED grouped top-k
+    * operator (plans/GroupedTopKPlan.scala): hash-partitioned
+    * bounded-heap selection, no sort anywhere below the presentation
+    * ORDER BY — the row-preserving sibling of q26's TopKBy aggregate
+    * and the planned counterpart of the window formulation the oracle
+    * uses. Tiebreak o_orderkey is a verified-unique key
+    * (dq_uniqueness), so the k-boundary is deterministic.
+    */
+  def topkPlanned(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.PlannedTopK.topKPerKey(
+        t(spark, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice")),
+        keys = Seq("o_custkey"), score = "o_totalprice",
+        tiebreak = Seq("o_orderkey"), k = 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+          .as("total_cents"),
+        col("rank"))
+      .orderBy("o_custkey", "rank")
+
+  // ---------------------------------------------------------------
   // catalog
   // ---------------------------------------------------------------
 
@@ -1061,7 +1086,8 @@ object Ext14Queries {
     "graph_modularity" -> modularity _,
     "sim_mmr_rerank" -> mmrRerank _,
     "mm_tile_grid" -> tileGrid _,
-    "text_prefix_families" -> prefixFamilies _)
+    "text_prefix_families" -> prefixFamilies _,
+    "q68_topk_planned" -> topkPlanned _)
 
   /** MMR oracle: shortlist + candidate-pair sims once, then one
     * (chosen-union, penalty, argmax) CTE triple per unrolled round —
@@ -1762,5 +1788,18 @@ object Ext14Queries {
         |  MIN(doc_id) AS keep_id
         |FROM p GROUP BY prefix_hash
         |HAVING COUNT(*) >= 3
-        |ORDER BY prefix_hash""".stripMargin)
+        |ORDER BY prefix_hash""".stripMargin,
+    "q68_topk_planned" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS total_cents,
+        |  "rank"
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+        |      AS "rank"
+        |  FROM orders) z
+        |WHERE "rank" <= 3
+        |ORDER BY o_custkey, "rank"""".stripMargin)
 }
