@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.t
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1060,6 +1060,104 @@ object Ext14Queries {
       .orderBy("o_custkey", "rank")
 
   // ---------------------------------------------------------------
+  // dq_referential
+  // ---------------------------------------------------------------
+
+  /** (edge label, child table, child FK, parent table, parent key) —
+    * the full referential graph of the star schema, shared by the
+    * Spark plan and the oracle generator (the dq_uniqueness pattern).
+    */
+  private val fkEdges: Seq[(String, String, String, String, String)] =
+    Seq(
+      ("customer.nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      ("lineitem.orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      ("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      ("nation.region", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+      ("orders.customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      ("supplier.nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"))
+
+  /** Referential-integrity audit over every FK edge of the schema:
+    * child rows, orphan rows (left-anti against the parent key) and
+    * distinct orphan keys — dq_uniqueness' sibling, completing the
+    * constraint-audit pair. Each edge is one anti-join against a
+    * (broadcastable) parent key projection; the report is
+    * |edges| rows.
+    */
+  def referential(spark: SparkSession, dir: String): DataFrame =
+    fkEdges.map { case (label, ct, ck, pt, pk) =>
+      // one outer join + one aggregate per edge (parents are unique-
+      // key dims, so the join cannot fan out); orphan = no parent hit
+      t(spark, dir, ct).select(col(ck))
+        .join(t(spark, dir, pt)
+          .select(col(pk).as(ck), lit(1).as("hit")), Seq(ck), "left")
+        .agg(count(lit(1)).as("n_child_rows"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L))
+            .as("n_orphans"),
+          countDistinct(when(col("hit").isNull, col(ck)))
+            .as("n_orphan_keys"))
+        .select(lit(label).as("edge"), col("n_child_rows"),
+          col("n_orphans"), col("n_orphan_keys"))
+    }.reduce(_ unionByName _).orderBy("edge")
+
+  private val referentialSql: String =
+    fkEdges.map { case (label, ct, ck, pt, pk) =>
+      s"""SELECT '$label' AS edge,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $ct)
+         |    AS n_child_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orphans,
+         |  CAST(COUNT(DISTINCT $ck) AS BIGINT) AS n_orphan_keys
+         |FROM $ct c WHERE NOT EXISTS
+         |  (SELECT 1 FROM $pt p WHERE p.$pk = c.$ck)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+
+  // ---------------------------------------------------------------
+  // embed_pq_distortion
+  // ---------------------------------------------------------------
+
+  /** PQ quantization-error report over the SHARED sim_ann_pq codebook
+    * fit: per (subspace, codeword), member count plus mean and max
+    * squared distortion in integer micro-units — the codebook-health
+    * audit (a subspace whose distortion dwarfs the others needs more
+    * cells or a rotation; embed_cluster_radius' sibling for the PQ
+    * stack). Encoding is the same literal-codebook argmin projection
+    * the search path uses; the report is nSub×k rows.
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val books = Pq.fitCodebooksFromSample(
+      Similarity.fitSample(emb, "vec_id", "embedding", 2),
+      nSub = 4, k = 8, iters = 1)
+    val subDim = books(0)(0).length
+    def sub(vec: Column, m: Int): Column =
+      slice(transform(vec, x => x.cast("double")),
+        m * subDim + 1, subDim)
+    (0 until 4).map { m =>
+      emb.select(
+          array_min(array(books(m).zipWithIndex.map { case (cv, c) =>
+            struct(
+              Pq.microExpr(sub(col("embedding"), m), cv.toSeq)
+                .as("dm"),
+              lit(c).as("cell"))
+          }: _*)).as("best"))
+        .select(lit(m.toLong).as("m"),
+          col("best.cell").cast("long").as("cell"),
+          col("best.dm").as("dm"))
+    }.reduce(_ unionByName _)
+      .groupBy("m", "cell")
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(dm) div count(1)").as("mean_d2_micro"),
+        max("dm").as("max_d2_micro"))
+      .orderBy("m", "cell")
+  }
+
+  // ---------------------------------------------------------------
   // catalog
   // ---------------------------------------------------------------
 
@@ -1087,7 +1185,9 @@ object Ext14Queries {
     "sim_mmr_rerank" -> mmrRerank _,
     "mm_tile_grid" -> tileGrid _,
     "text_prefix_families" -> prefixFamilies _,
-    "q68_topk_planned" -> topkPlanned _)
+    "q68_topk_planned" -> topkPlanned _,
+    "dq_referential" -> referential _,
+    "embed_pq_distortion" -> pqDistortion _)
 
   /** MMR oracle: shortlist + candidate-pair sims once, then one
     * (chosen-union, penalty, argmax) CTE triple per unrolled round —
@@ -1801,5 +1901,20 @@ object Ext14Queries {
         |      AS "rank"
         |  FROM orders) z
         |WHERE "rank" <= 3
-        |ORDER BY o_custkey, "rank"""".stripMargin)
+        |ORDER BY o_custkey, "rank"""".stripMargin,
+    "dq_referential" -> referentialSql,
+    // extends the shared PQ fit/encode replica: a code's own
+    // micro-distance IS its quantization distortion
+    "embed_pq_distortion" -> (Pq.oracleBase +
+      """, dist AS (
+        |  SELECT c.m, c.cell, d.dm
+        |  FROM codes c
+        |  JOIN dall d ON d.vec_id = c.vec_id AND d.m = c.m
+        |    AND d.cell = c.cell)
+        |SELECT CAST(m AS BIGINT) AS m, CAST(cell AS BIGINT) AS cell,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(dm) // COUNT(*) AS BIGINT) AS mean_d2_micro,
+        |  CAST(MAX(dm) AS BIGINT) AS max_d2_micro
+        |FROM dist GROUP BY m, cell
+        |ORDER BY m, cell""".stripMargin))
 }

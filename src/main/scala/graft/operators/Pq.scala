@@ -217,7 +217,7 @@ object Pq {
     * the same integer micro-units. The CTE base through `approx` is
     * shared by the plain ADC query and the re-ranked variant.
     */
-  private val oracleBase: String =
+  private[operators] val oracleBase: String =
     """WITH ee AS (
         |  SELECT vec_id, (i - 1) // 16 AS m, (i - 1) % 16 AS j, x
         |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -585,6 +585,44 @@ class Ext14OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("referential audit: counts and an independent orphan check") {
+    val rows = Ext14Queries.referential(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.size === 7)
+    // child row counts are the raw table counts
+    assert(rows("lineitem.orders")._1 ===
+      Tables.t(spark, TestSpark.sfDir, "lineitem").count())
+    assert(rows("orders.customer")._1 ===
+      Tables.t(spark, TestSpark.sfDir, "orders").count())
+    // independent orphan computation for one edge via except
+    val orphanKeys = Tables.t(spark, TestSpark.sfDir, "lineitem")
+      .select(col("l_suppkey")).except(
+        Tables.t(spark, TestSpark.sfDir, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"))).count()
+    assert(rows("lineitem.supplier")._3 === orphanKeys)
+    rows.values.foreach { case (n, orph, keys) =>
+      assert(orph >= keys && orph <= n)
+    }
+  }
+
+  test("pq distortion: partition of the corpus, mean <= max") {
+    val rows = Ext14Queries.pqDistortion(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val n = Tables.t(spark, TestSpark.sfDir, "embeddings").count()
+    (0L to 3L).foreach { m =>
+      val sub = rows.filter(_._1 == m)
+      assert(sub.map(_._3).sum === n,
+        s"subspace $m: codes must partition the corpus")
+      assert(sub.map(_._2).distinct.length === sub.length)
+      sub.foreach { case (_, cell, _, mean, mx) =>
+        assert(cell >= 0 && cell < 8)
+        assert(mean >= 0 && mean <= mx)
+      }
+    }
+  }
+
   test("theil-sen matches the exact pairwise-slope median") {
     val out = Ext14Queries.theilSen(spark, TestSpark.sfDir)
       .collect().head
