@@ -200,7 +200,8 @@ object Bench {
       "embed_outliers", "eval_ivf_recall", "q67_interval_union",
       "ev_new_vs_returning", "graph_modularity", "sim_mmr_rerank",
       "cdc_tombstone_gc", "cdc_partition_lag", "mm_tile_grid",
-      "text_prefix_families", "q68_topk_planned")
+      "text_prefix_families", "q68_topk_planned", "dq_referential",
+      "embed_pq_distortion")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()
