@@ -1158,6 +1158,84 @@ object Ext14Queries {
   }
 
   // ---------------------------------------------------------------
+  // ev_audience_overlap
+  // ---------------------------------------------------------------
+
+  /** Audience-overlap matrix: for every event-type pair, the distinct
+    * user sets' intersection and Jaccard on the micro lattice — the
+    * segment-overlap report behind audience planning and feature
+    * dedup. One distinct collapse, then a self-join keyed on user
+    * whose fan-out is |types-per-user|² (bounded by the tiny type
+    * vocabulary), then a |types|²-bounded aggregate.
+    */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sets = t(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = sets.groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    val both = sets.select(col("event_type").as("type_a"),
+        col("user_id"))
+      .join(sets.select(col("event_type").as("type_b"),
+        col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b")), "type_b")
+      .withColumn("jaccard_micro",
+        expr("(n_both * 1000000) div (n_a + n_b - n_both)"))
+      .select("type_a", "type_b", "n_a", "n_b", "n_both",
+        "jaccard_micro")
+      .orderBy("type_a", "type_b")
+  }
+
+  // ---------------------------------------------------------------
+  // layout_curve_compare
+  // ---------------------------------------------------------------
+
+  /** Space-filling-curve shootout on one (custkey, day) point set:
+    * bucket by the high bits of the morton (z-order) and hilbert
+    * indices — both codegen'd graft expressions — and report each
+    * scheme's bucket count and mean/max bounding-box AREA (the
+    * file-skipping currency: smaller boxes ⇒ tighter parquet min/max
+    * stats ⇒ more pruned files). The quantified version of the
+    * layout_zorder / layout_hilbert trade; the oracle replays morton
+    * as the 16-term interleave and hilbert as the recursive quadrant
+    * fold. On a DENSELY-filled grid (this synthetic corpus) both
+    * curves tile into equal fixed-size blocks and the report shows a
+    * principled tie — the schemes separate exactly when the point set
+    * is sparse/skewed, which is what running the audit on real data
+    * is for.
+    */
+  def curveCompare(spark: SparkSession, dir: String): DataFrame = {
+    val day = "datediff(o_orderdate, date'1992-01-01')"
+    val pts = t(spark, dir, "orders")
+      .select(expr("o_custkey & 65535").as("cust"),
+        expr(s"($day) & 65535").as("day"))
+    def stats(scheme: String, bucket: Column): DataFrame =
+      pts.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          ((max("cust") - min("cust") + 1)
+            * (max("day") - min("day") + 1)).as("area"))
+        .agg(count(lit(1)).as("n_buckets"), sum("n").as("n_rows"),
+          expr("sum(area) div count(1)").as("mean_area"),
+          max("area").as("max_area"))
+        .select(lit(scheme).as("scheme"), col("n_buckets"),
+          col("n_rows"), col("mean_area"), col("max_area"))
+    val h = graft.functions.GraftFunctions.hilbert(col("cust"),
+      col("day"))
+    val z = graft.functions.GraftFunctions.morton(col("cust"),
+      col("day"))
+    stats("hilbert", shiftright(h, 16))
+      .unionByName(stats("morton", shiftright(z, 16)))
+      .orderBy("scheme")
+  }
+
+  // ---------------------------------------------------------------
   // catalog
   // ---------------------------------------------------------------
 
@@ -1187,7 +1265,9 @@ object Ext14Queries {
     "text_prefix_families" -> prefixFamilies _,
     "q68_topk_planned" -> topkPlanned _,
     "dq_referential" -> referential _,
-    "embed_pq_distortion" -> pqDistortion _)
+    "embed_pq_distortion" -> pqDistortion _,
+    "ev_audience_overlap" -> audienceOverlap _,
+    "layout_curve_compare" -> curveCompare _)
 
   /** MMR oracle: shortlist + candidate-pair sims once, then one
     * (chosen-union, penalty, argmax) CTE triple per unrolled round —
@@ -1916,5 +1996,75 @@ object Ext14Queries {
         |  CAST(SUM(dm) // COUNT(*) AS BIGINT) AS mean_d2_micro,
         |  CAST(MAX(dm) AS BIGINT) AS max_d2_micro
         |FROM dist GROUP BY m, cell
-        |ORDER BY m, cell""".stripMargin))
+        |ORDER BY m, cell""".stripMargin),
+    "ev_audience_overlap" ->
+      """WITH sets AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |), sizes AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM sets GROUP BY event_type
+        |), both_ AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM sets a JOIN sets b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT w.type_a, w.type_b, sa.n AS n_a, sb.n AS n_b,
+        |  w.n_both,
+        |  CAST((w.n_both * 1000000) // (sa.n + sb.n - w.n_both)
+        |    AS BIGINT) AS jaccard_micro
+        |FROM both_ w
+        |JOIN sizes sa ON sa.event_type = w.type_a
+        |JOIN sizes sb ON sb.event_type = w.type_b
+        |ORDER BY w.type_a, w.type_b""".stripMargin,
+    "layout_curve_compare" ->
+      (s"""WITH RECURSIVE pts AS (
+         |  SELECT CAST(o_custkey & 65535 AS BIGINT) AS cust,
+         |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+         |      & 65535 AS BIGINT) AS day
+         |  FROM orders
+         |), dpts AS (
+         |  SELECT DISTINCT cust AS x0, day AS y0 FROM pts
+         |), hil AS (
+         |  SELECT x0, y0, x0 AS x, y0 AS y,
+         |    CAST(32768 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+         |  FROM dpts
+         |  UNION ALL
+         |  SELECT x0, y0,
+         |    CASE WHEN ry = 0 THEN
+         |      (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END)
+         |    ELSE x END AS x,
+         |    CASE WHEN ry = 0 THEN
+         |      (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END)
+         |    ELSE y END AS y,
+         |    s // 2 AS s,
+         |    d + s * s * xor(3 * rx, ry) AS d
+         |  FROM (
+         |    SELECT x0, y0, x, y, s, d,
+         |      CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM hil WHERE s > 0)
+         |), hd AS (
+         |  SELECT x0, y0, d FROM hil WHERE s = 0
+         |), hb AS (
+         |  SELECT hd.d >> 16 AS bucket, p.cust, p.day
+         |  FROM pts p JOIN hd ON hd.x0 = p.cust AND hd.y0 = p.day
+         |), zb AS (
+         |  SELECT (${Ext6Queries.zSql("cust", "day")}) >> 16 AS bucket,
+         |    cust, day
+         |  FROM pts
+         |), perb AS (
+         |  SELECT 'hilbert' AS scheme, bucket, COUNT(*) AS n,
+         |    (MAX(cust) - MIN(cust) + 1) * (MAX(day) - MIN(day) + 1)
+         |      AS area
+         |  FROM hb GROUP BY bucket
+         |  UNION ALL
+         |  SELECT 'morton', bucket, COUNT(*),
+         |    (MAX(cust) - MIN(cust) + 1) * (MAX(day) - MIN(day) + 1)
+         |  FROM zb GROUP BY bucket)
+         |SELECT scheme, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(n) AS BIGINT) AS n_rows,
+         |  CAST(SUM(area) // COUNT(*) AS BIGINT) AS mean_area,
+         |  CAST(MAX(area) AS BIGINT) AS max_area
+         |FROM perb GROUP BY scheme ORDER BY scheme""".stripMargin))
 }

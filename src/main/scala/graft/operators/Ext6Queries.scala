@@ -184,7 +184,7 @@ object Ext6Queries {
     "layout_zorder" -> zorderLayout _,
     "q47_asof_planned" -> asofPlanned _)
 
-  private def zSql(a: String, b: String): String =
+  private[operators] def zSql(a: String, b: String): String =
     (0 until 16).map(i =>
       s"(((($a) >> $i) & 1) << ${2 * i}) | (((($b) >> $i) & 1) << ${2 * i + 1})")
       .mkString(" | ")

@@ -623,6 +623,41 @@ class Ext14OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("audience overlap: replay from distinct user sets") {
+    val got = Ext14Queries.audienceOverlap(spark, TestSpark.sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val sets = Tables.t(spark, TestSpark.sfDir, "events")
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t0, xs) => (t0, xs.map(_._2).toSet) }
+    val types = sets.keys.toSeq.sorted
+    val expected = (for {
+      a <- types; b <- types if a < b
+    } yield {
+      val (sa, sb) = (sets(a), sets(b))
+      val nb = (sa & sb).size.toLong
+      ((a, b), (sa.size.toLong, sb.size.toLong, nb,
+        nb * 1000000L / (sa.size + sb.size - nb)))
+    }).filter(_._2._3 > 0).toMap
+    assert(got === expected)
+  }
+
+  test("curve compare: row conservation, equal-block dense-grid tie") {
+    val rows = Ext14Queries.curveCompare(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq("hilbert", "morton"))
+    val n = Tables.t(spark, TestSpark.sfDir, "orders").count()
+    rows.foreach { case (_, nBuckets, nRows, mean, mx) =>
+      assert(nRows === n)
+      assert(nBuckets >= 1 && mean <= mx)
+      // 2^16 index range per bucket covers at most a 256x256 block
+      assert(mx <= 65536L)
+    }
+  }
+
   test("theil-sen matches the exact pairwise-slope median") {
     val out = Ext14Queries.theilSen(spark, TestSpark.sfDir)
       .collect().head
