@@ -201,7 +201,8 @@ object Bench {
       "ev_new_vs_returning", "graph_modularity", "sim_mmr_rerank",
       "cdc_tombstone_gc", "cdc_partition_lag", "mm_tile_grid",
       "text_prefix_families", "q68_topk_planned", "dq_referential",
-      "embed_pq_distortion")
+      "embed_pq_distortion", "ev_audience_overlap",
+      "layout_curve_compare")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()
