@@ -202,7 +202,10 @@ object Bench {
       "cdc_tombstone_gc", "cdc_partition_lag", "mm_tile_grid",
       "text_prefix_families", "q68_topk_planned", "dq_referential",
       "embed_pq_distortion", "ev_audience_overlap",
-      "layout_curve_compare")
+      "layout_curve_compare",
+      // round-6 batch-1: size-table skyline, MAX-IVM refetch branch,
+      // seeded pagerank iterations, segment-lattice SAX windows
+      "q69_skyline", "cdc_ivm_minmax", "graph_ppr", "ts_paa_sax")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

@@ -33,6 +33,7 @@ object SparkEntry {
       operators.Ext12Queries.queries ++
       operators.Ext13Queries.queries ++
       operators.Ext14Queries.queries ++
+      operators.Ext15Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       operators.Ext12Queries.oracle ++
       operators.Ext13Queries.oracle ++
       operators.Ext14Queries.oracle ++
+      operators.Ext15Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

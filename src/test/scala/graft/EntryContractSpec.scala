@@ -39,6 +39,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext13Queries.oracle),
       ("Ext14Queries", operators.Ext14Queries.queries,
         operators.Ext14Queries.oracle),
+      ("Ext15Queries", operators.Ext15Queries.queries,
+        operators.Ext15Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
