@@ -205,7 +205,10 @@ object Bench {
       "layout_curve_compare",
       // round-6 batch-1: size-table skyline, MAX-IVM refetch branch,
       // seeded pagerank iterations, segment-lattice SAX windows
-      "q69_skyline", "cdc_ivm_minmax", "graph_ppr", "ts_paa_sax")
+      "q69_skyline", "cdc_ivm_minmax", "graph_ppr", "ts_paa_sax",
+      // round-6 batch-2: basket pair fan-out, 3-ball ring expansion,
+      // narrow JSON classification
+      "ev_assoc_rules", "graph_harmonic3", "cdc_dead_letter")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

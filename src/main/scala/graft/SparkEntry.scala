@@ -34,6 +34,7 @@ object SparkEntry {
       operators.Ext13Queries.queries ++
       operators.Ext14Queries.queries ++
       operators.Ext15Queries.queries ++
+      operators.Ext16Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -61,6 +62,7 @@ object SparkEntry {
       operators.Ext13Queries.oracle ++
       operators.Ext14Queries.oracle ++
       operators.Ext15Queries.oracle ++
+      operators.Ext16Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

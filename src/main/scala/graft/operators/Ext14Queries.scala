@@ -1382,7 +1382,7 @@ object Ext14Queries {
   /** Shared CTE: the simhash maxHamming=5 pair list, verbatim from
     * the graph_triangles oracle so both audits describe one graph.
     */
-  private val simhashPairsCte: String =
+  private[operators] val simhashPairsCte: String =
     """WITH tokrows AS (
       |  SELECT doc_id AS id,
       |    md5(unnest(string_split_regex(trim(text), '\s+'))) AS h

@@ -41,6 +41,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext14Queries.oracle),
       ("Ext15Queries", operators.Ext15Queries.queries,
         operators.Ext15Queries.oracle),
+      ("Ext16Queries", operators.Ext16Queries.queries,
+        operators.Ext16Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
