@@ -208,7 +208,9 @@ object Bench {
       "q69_skyline", "cdc_ivm_minmax", "graph_ppr", "ts_paa_sax",
       // round-6 batch-2: basket pair fan-out, 3-ball ring expansion,
       // narrow JSON classification
-      "ev_assoc_rules", "graph_harmonic3", "cdc_dead_letter")
+      "ev_assoc_rules", "graph_harmonic3", "cdc_dead_letter",
+      // planned band join: merge sweep, buffer bounded by occupancy
+      "q70_band_planned")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

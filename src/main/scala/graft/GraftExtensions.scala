@@ -46,5 +46,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sort-free grouped top-k
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
   }
 }

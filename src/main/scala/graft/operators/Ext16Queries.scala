@@ -193,13 +193,57 @@ object Ext16Queries {
       .orderBy("reason")
   }
 
+  // ---------------------------------------------------------------
+  // q70_band_planned
+  // ---------------------------------------------------------------
+
+  /** The planned interval (band) join on an ASYMMETRIC band: for each
+    * event, every other event of the same user in [t − 120 s,
+    * t + 300 s] — the window a click-attribution pass actually wants
+    * (short lookback, longer lookforward), which the symmetric
+    * bucket-explode composition (q22) cannot express without
+    * widening to the larger bound and re-filtering. Runs on
+    * `plans/BandJoinPlan.scala`: declared ClusteredDistribution +
+    * (key, time) ordering, single merge sweep, sliding buffer bounded
+    * by band occupancy. Self pairs are excluded HERE (id filter) —
+    * the operator joins the band exactly and leaves row identity to
+    * the query.
+    */
+  def bandPlanned(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(graft.Tables.eventsTsMicros).as("tsec"))
+    val r = ev.select(col("user_id"), col("tsec").as("rtsec"),
+      col("event_id").as("rid"))
+    graft.plans.PlannedBandJoin.bandJoin(ev, r, Seq("user_id"),
+        "tsec", "rtsec", before = 120L, after = 300L,
+        payload = Seq("rid", "rtsec"))
+      .filter(col("event_id") =!= col("rid"))
+      .select(col("user_id"), col("event_id").as("id_a"),
+        col("rid").as("id_b"),
+        (col("rtsec") - col("tsec")).as("dt_sec"))
+      .orderBy("user_id", "id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_assoc_rules" -> assocRules _,
     "graph_harmonic3" -> harmonic3 _,
     "cdc_dead_letter" -> deadLetter _,
+    "q70_band_planned" -> bandPlanned _,
   )
 
   def oracle: Map[String, String] = Map(
+    "q70_band_planned" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events)
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  b.tsec - a.tsec AS dt_sec
+        |FROM ev a JOIN ev b
+        |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        |  AND b.tsec BETWEEN a.tsec - 120 AND a.tsec + 300
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
     "ev_assoc_rules" ->
       """WITH ut AS (
         |  SELECT DISTINCT user_id, event_type FROM events

@@ -1,0 +1,285 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.types.LongType
+
+/** Planned INTERVAL (band) join — the second whole-operator extension
+  * (SURVEY.md §7.4 path (c)), companion to [[AsOfJoinNode]]: for each
+  * left row, every right row with the same key tuple and
+  * `rightTime ∈ [leftTime − before, leftTime + after]` (inclusive).
+  * Flink calls this the interval join; it is the general form behind
+  * `RangeJoin.withinInterval`'s bucket-explode composition.
+  *
+  * Contrast with the composed operator: bucketing pays an explode
+  * (×2 right-side rows), an exchange on (key, bucket) for BOTH sides
+  * sized to the bucketed width, a post-filter, and a distinct to kill
+  * duplicate orientations. The planned operator declares
+  * `ClusteredDistribution(keys)` + (keys, time) ordering for both
+  * children, and then a single forward merge sweep holds a sliding
+  * buffer of right rows inside the band — bounded by band OCCUPANCY
+  * (rows per key within before+after), not corpus size. Against
+  * bucketed/pre-sorted inputs EnsureRequirements inserts NO exchange
+  * at all, and there is no explode, no duplicate-kill distinct, and
+  * no post-filter: every emitted pair is already exact.
+  *
+  * Same hard-won conventions as the as-of node: the logical node
+  * carries column NAMES (self-join relation dedup rewrites exprIds),
+  * `references` pins key/time/payload columns through column pruning,
+  * and the strategy resolves names at planning time. Time columns
+  * must be LongType on both sides (epoch seconds/micros — the
+  * caller's choice of lattice); `before`/`after` are in the same
+  * unit and must be ≥ 0.
+  */
+case class BandJoinNode(left: LogicalPlan, right: LogicalPlan,
+    keys: Seq[String], leftTime: String, rightTime: String,
+    before: Long, after: Long, payload: Seq[String])
+  extends BinaryNode {
+
+  private def byName(side: LogicalPlan, n: String): Option[Attribute] = {
+    val exact = side.output.filter(_.name == n)
+    val ci =
+      if (exact.nonEmpty) exact
+      else side.output.filter(_.name.equalsIgnoreCase(n))
+    if (ci.length == 1) ci.headOption else None
+  }
+
+  def leftKeyAttrs: Seq[Attribute] = keys.map(byName(left, _).get)
+  def rightKeyAttrs: Seq[Attribute] = keys.map(byName(right, _).get)
+  def leftTimeAttr: Attribute = byName(left, leftTime).get
+  def rightTimeAttr: Attribute = byName(right, rightTime).get
+  def payloadAttrs: Seq[Attribute] = payload.map(byName(right, _).get)
+
+  override lazy val resolved: Boolean = childrenResolved &&
+    keys.forall(k => byName(left, k).isDefined &&
+      byName(right, k).isDefined) &&
+    byName(left, leftTime).isDefined &&
+    byName(right, rightTime).isDefined &&
+    payload.forall(byName(right, _).isDefined)
+
+  // inner semantics: payload never null on an emitted row
+  override def output: Seq[Attribute] = left.output ++ payloadAttrs
+
+  override def references: AttributeSet = AttributeSet(
+    leftKeyAttrs ++ rightKeyAttrs ++
+      Seq(leftTimeAttr, rightTimeAttr) ++ payloadAttrs)
+
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+      newRight: LogicalPlan): BandJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[BandJoinNode]]; injected via `GraftExtensions` or
+  * installed imperatively by [[PlannedBandJoin.bandJoin]].
+  */
+object BandJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: BandJoinNode =>
+      BandJoinExec(planLater(n.left), planLater(n.right),
+        n.leftKeyAttrs, n.rightKeyAttrs, n.leftTimeAttr,
+        n.rightTimeAttr, n.before, n.after, n.payloadAttrs) :: Nil
+    case _ => Nil
+  }
+
+  def setup(spark: SparkSession): Unit = {
+    val exp = PlanBridge.experimental(spark)
+    if (!exp.extraStrategies.contains(BandJoinStrategy))
+      exp.extraStrategies = BandJoinStrategy +: exp.extraStrategies
+  }
+}
+
+/** Co-partitioned sort-merge band join. Single forward pass per
+  * partition; held state = the right rows inside the band for the
+  * CURRENT key (sliding buffer, evicted from the front as the left
+  * time advances — bounded by per-key band occupancy).
+  *
+  * Safety of the two drops: a right row with key < current left key
+  * can never match later (left keys only grow); a same-key right row
+  * with time < leftTime − before is below every FUTURE left row's
+  * lower bound too (left times only grow within a key). Rows already
+  * buffered always satisfy the upper bound for later left rows of the
+  * same key (they entered under an earlier, smaller leftTime + after),
+  * so after front-eviction the whole buffer matches exactly — no
+  * per-pair re-check needed at emit time.
+  */
+case class BandJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute,
+    before: Long, after: Long, payload: Seq[Attribute])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payload
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys),
+      ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq((leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+      (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "maxBuffered" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext,
+        "buffered right rows (sum of per-task maxima)"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val maxBuffered = longMetric("maxBuffered")
+    val leftOut = left.output
+    val rightOut = right.output
+    val lks = leftKeys.map(e => e: Expression)
+    val rks = rightKeys.map(e => e: Expression)
+    val lt: Expression = leftTime
+    val rt: Expression = rightTime
+    val keyTypes = leftKeys.map(_.dataType)
+    val (bef, aft) = (before, after)
+    val pay = payload
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lkProj = UnsafeProjection.create(lks, leftOut)
+      val rkProj = UnsafeProjection.create(rks, rightOut)
+      val ltProj = UnsafeProjection.create(Seq(lt), leftOut)
+      val rtProj = UnsafeProjection.create(Seq(rt), rightOut)
+      val payProj = UnsafeProjection.create(pay.map(e => e: Expression),
+        rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(
+        outAttrs.map(e => e: Expression), leftOut ++ pay)
+      // right lookahead
+      var rValid = false
+      var rKey: InternalRow = null
+      var rTs = 0L
+      var rRow: InternalRow = null
+      def advanceRight(): Unit = {
+        rValid = false
+        while (!rValid && rIter.hasNext) {
+          val r = rIter.next()
+          val k = rkProj(r)
+          val ts = rtProj(r)
+          if (!k.anyNull && !ts.isNullAt(0)) {
+            rKey = k.copy(); rTs = ts.getLong(0); rRow = r
+            rValid = true
+          }
+        }
+      }
+      advanceRight()
+      // sliding band buffer for the current key
+      val bufTimes = new java.util.ArrayDeque[java.lang.Long]()
+      val bufRows = new java.util.ArrayDeque[UnsafeRow]()
+      var bufKey: InternalRow = null
+      new Iterator[InternalRow] {
+        private var pending: java.util.Iterator[UnsafeRow] =
+          java.util.Collections.emptyIterator()
+        private var curLeft: InternalRow = null
+        private var localMax = 0L
+
+        private def refill(): Unit = {
+          while (!pending.hasNext && lIter.hasNext) {
+            val l = lIter.next()
+            val k = lkProj(l)
+            val ts = ltProj(l)
+            if (!k.anyNull && !ts.isNullAt(0)) {
+              val t = ts.getLong(0)
+              // key changed under the buffer -> stale rows
+              if (bufKey != null && keyOrd.compare(bufKey, k) != 0) {
+                bufTimes.clear(); bufRows.clear(); bufKey = null
+              }
+              // consume right side up to the band's upper edge
+              while (rValid && {
+                val c = keyOrd.compare(rKey, k)
+                c < 0 || (c == 0 && rTs <= t + aft)
+              }) {
+                if (keyOrd.compare(rKey, k) == 0 && rTs >= t - bef) {
+                  bufTimes.addLast(rTs)
+                  bufRows.addLast(payProj(rRow).copy())
+                  bufKey = rKey
+                }
+                advanceRight()
+              }
+              // evict below the band's lower edge
+              while (!bufTimes.isEmpty && bufTimes.peekFirst() < t - bef) {
+                bufTimes.removeFirst(); bufRows.removeFirst()
+              }
+              if (!bufRows.isEmpty) {
+                if (bufRows.size > localMax) {
+                  maxBuffered.add(bufRows.size - localMax)
+                  localMax = bufRows.size
+                }
+                curLeft = l.copy()
+                pending = bufRows.iterator()
+              }
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (!pending.hasNext) refill()
+          pending.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!pending.hasNext) refill()
+          numOutputRows += 1
+          outProj(joined(curLeft, pending.next()))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): BandJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame API over the planned operator. */
+object PlannedBandJoin {
+
+  /** Band join `left` with `right`: same composite key, rightTime in
+    * [leftTime − before, leftTime + after], inclusive. Time columns
+    * must be LongType on both sides; before/after ≥ 0 in the same
+    * unit. Inner semantics — one output row per matching pair.
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, before: Long, after: Long,
+      payload: Seq[String]): DataFrame = {
+    require(before >= 0 && after >= 0,
+      s"band bounds must be >= 0, got before=$before after=$after")
+    val spark = left.sparkSession
+    BandJoinStrategy.setup(spark)
+    val lPlan = PlanBridge.analyzed(left)
+    val rPlan = PlanBridge.analyzed(right)
+    def attr(p: LogicalPlan, n: String): Attribute = {
+      val exact = p.output.filter(_.name == n)
+      val ci = if (exact.nonEmpty) exact
+        else p.output.filter(_.name.equalsIgnoreCase(n))
+      if (ci.length > 1) throw new IllegalArgumentException(
+        s"column $n is ambiguous (${ci.length} matches)")
+      ci.headOption.getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    }
+    keys.foreach { k =>
+      val (la, ra) = (attr(lPlan, k), attr(rPlan, k))
+      require(la.dataType == ra.dataType,
+        s"band key $k type mismatch: ${la.dataType} vs ${ra.dataType}")
+    }
+    require(attr(lPlan, leftTime).dataType == LongType &&
+      attr(rPlan, rightTime).dataType == LongType,
+      "band join time columns must be LongType on both sides")
+    payload.foreach(attr(rPlan, _))
+    PlanBridge.ofRows(spark,
+      BandJoinNode(lPlan, rPlan, keys, leftTime, rightTime,
+        before, after, payload))
+  }
+}
