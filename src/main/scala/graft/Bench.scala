@@ -210,7 +210,11 @@ object Bench {
       // narrow JSON classification
       "ev_assoc_rules", "graph_harmonic3", "cdc_dead_letter",
       // planned band join: merge sweep, buffer bounded by occupancy
-      "q70_band_planned")
+      "q70_band_planned",
+      // round-6 batch-3: step-latency rank windows, marginal-cross
+      // chi-square grid, piggyback compaction report
+      "ev_funnel_latency", "dq_chi2_independence",
+      "cdc_compaction_plan")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

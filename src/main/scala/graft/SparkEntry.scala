@@ -35,6 +35,7 @@ object SparkEntry {
       operators.Ext14Queries.queries ++
       operators.Ext15Queries.queries ++
       operators.Ext16Queries.queries ++
+      operators.Ext17Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       operators.Ext14Queries.oracle ++
       operators.Ext15Queries.oracle ++
       operators.Ext16Queries.oracle ++
+      operators.Ext17Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

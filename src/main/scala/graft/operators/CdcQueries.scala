@@ -88,6 +88,35 @@ object CdcQueries {
       .orderBy("op")
   }
 
+  /** Compaction planner over the changelog: per key-bucket (the
+    * `KeyedTableSink` hash-bucket layout, 16 buckets on user_id),
+    * message volume vs LIVE key count — every message except a key's
+    * surviving last image is rewrite amplification a compactor would
+    * reclaim. amp_micro = messages per live row; buckets with zero
+    * live keys (all erased) report amplification against a floor of
+    * one row so the division stays total. One hash aggregate over the
+    * parsed stream + one LWW window — the same two shuffles the apply
+    * path already pays, so the report is free to piggyback on a
+    * pipeline run.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val p = parsed(spark, dir).filter(col("op") =!= CdcParse.OpDrop)
+      .withColumn("bucket", pmod(col("user_id"), lit(16L)))
+    val m = p.groupBy("bucket")
+      .agg(count(lit(1)).as("n_msgs"),
+        countDistinct(col("user_id")).as("n_keys"))
+    val live = KeyedMerge.lww(p, Seq("user_id"), "event_id")
+      .filter(col("op") =!= CdcParse.OpErase)
+      .groupBy("bucket").agg(count(lit(1)).as("n_live"))
+    m.join(live, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_live"))
+      .select(col("bucket"), col("n_msgs"), col("n_keys"),
+        col("n_live"), (col("n_msgs") - col("n_live")).as("n_dead"),
+        expr("n_msgs * 1000000 div greatest(n_live, 1L)")
+          .as("amp_micro"))
+      .orderBy("bucket")
+  }
+
   def typedAssembly(spark: SparkSession, dir: String): DataFrame =
     parsed(spark, dir).filter(col("op") =!= CdcParse.OpDrop)
       .orderBy("event_id")
@@ -355,6 +384,7 @@ object CdcQueries {
     "cdc_debezium" -> debezium _,
     "cdc_parse_route" -> parseRoute _,
     "cdc_op_mix" -> opMix _,
+    "cdc_compaction_plan" -> compactionPlan _,
     "cdc_typed_assembly" -> typedAssembly _,
     "cdc_lww_dedup" -> lwwDedup _,
     "cdc_apply_upsert" -> applyUpsert _,
@@ -508,6 +538,31 @@ object CdcQueries {
         |ORDER BY user_id, valid_from""".stripMargin),
     "cdc_parse_route" -> (baseCte +
       "\nSELECT event_id, op FROM ops ORDER BY event_id"),
+    "cdc_compaction_plan" -> (baseCte +
+      """
+        |, nb AS (
+        |  SELECT *, ((user_id % 16) + 16) % 16 AS bucket
+        |  FROM typed WHERE op <> 'drop'
+        |), m AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_msgs,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+        |  FROM nb GROUP BY bucket
+        |), lw AS (
+        |  SELECT bucket, op FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM nb) x
+        |  WHERE rn = 1
+        |), lv AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_live
+        |  FROM lw WHERE op <> 'erase' GROUP BY bucket)
+        |SELECT m.bucket, m.n_msgs, m.n_keys,
+        |  COALESCE(lv.n_live, 0) AS n_live,
+        |  m.n_msgs - COALESCE(lv.n_live, 0) AS n_dead,
+        |  (m.n_msgs * 1000000) // GREATEST(COALESCE(lv.n_live, 0), 1)
+        |    AS amp_micro
+        |FROM m LEFT JOIN lv ON lv.bucket = m.bucket
+        |ORDER BY m.bucket""".stripMargin),
     "cdc_op_mix" -> (baseCte +
       """
         |, mix AS (

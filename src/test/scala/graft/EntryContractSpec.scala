@@ -43,6 +43,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext15Queries.oracle),
       ("Ext16Queries", operators.Ext16Queries.queries,
         operators.Ext16Queries.oracle),
+      ("Ext17Queries", operators.Ext17Queries.queries,
+        operators.Ext17Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,

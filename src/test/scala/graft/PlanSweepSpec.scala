@@ -62,7 +62,10 @@ class PlanSweepSpec extends AnyFunSuite {
   //    a broadcast into the vocabulary-sized merge application
   //  - eval_ivf_recall: broadcast-anchor probe×corpus sim pass (the
   //    eval_ann_recall shape) + tiny nprobe-spine non-equi joins
+  //  - dq_chi2_independence: dense grid = |sources| × |langs|
+  //    marginal cross (bounded domains, the dq_t_closeness shape)
   private val allowCross = Set(
+    "dq_chi2_independence",
     "eval_mrr_ndcg", "cdc_snapshot_at", "ts_theil_sen",
     "ts_mann_kendall", "sim_query_routing", "tok_bpe_train3",
     "eval_ivf_recall", "graph_modularity", "sim_mmr_rerank",
