@@ -214,7 +214,10 @@ object Bench {
       // round-6 batch-3: step-latency rank windows, marginal-cross
       // chi-square grid, piggyback compaction report
       "ev_funnel_latency", "dq_chi2_independence",
-      "cdc_compaction_plan")
+      "cdc_compaction_plan",
+      // round-6 batch-4: conditional-aggregate moments, band-join
+      // attribution fan-out, sweep-line prefix sums
+      "ev_ab_ttest", "ev_attrib_touch", "ev_peak_concurrency")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

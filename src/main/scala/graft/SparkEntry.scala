@@ -36,6 +36,7 @@ object SparkEntry {
       operators.Ext15Queries.queries ++
       operators.Ext16Queries.queries ++
       operators.Ext17Queries.queries ++
+      operators.Ext18Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
       operators.Ext15Queries.oracle ++
       operators.Ext16Queries.oracle ++
       operators.Ext17Queries.oracle ++
+      operators.Ext18Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

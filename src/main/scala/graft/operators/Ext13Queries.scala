@@ -177,7 +177,7 @@ object Ext13Queries {
     * pass. Shared by the path-mining and session-stats queries — the
     * downstream windows reuse the same partitioning/sort.
     */
-  private def sessionized(spark: SparkSession, dir: String,
+  private[graft] def sessionized(spark: SparkSession, dir: String,
       extra: Seq[String]): DataFrame = {
     val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapNs = 1800L * 1000000000L

@@ -45,6 +45,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext16Queries.oracle),
       ("Ext17Queries", operators.Ext17Queries.queries,
         operators.Ext17Queries.oracle),
+      ("Ext18Queries", operators.Ext18Queries.queries,
+        operators.Ext18Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
