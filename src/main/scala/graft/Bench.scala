@@ -217,7 +217,8 @@ object Bench {
       "cdc_compaction_plan",
       // round-6 batch-4: conditional-aggregate moments, band-join
       // attribution fan-out, sweep-line prefix sums
-      "ev_ab_ttest", "ev_attrib_touch", "ev_peak_concurrency")
+      "ev_ab_ttest", "ev_attrib_touch", "ev_peak_concurrency",
+      "q71_band_sql")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

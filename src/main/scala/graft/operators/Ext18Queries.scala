@@ -158,13 +158,56 @@ object Ext18Queries {
       .orderBy("day")
   }
 
+  // ---------------------------------------------------------------
+  // q71_band_sql
+  // ---------------------------------------------------------------
+
+  /** The interval join written as UNMODIFIED SQL text — no operator
+    * API at all. With `spark.graft.sql.bandjoin` on, the strategy's
+    * [[graft.plans.BandJoinSqlMatch]] recognizes the equi + abs-band
+    * condition and plans the merge-sweep `BandJoinExec` instead of
+    * the per-key nested loop Spark would pick; the `<>` residual
+    * rides as a post-filter. Once a session enables the flag it stays
+    * on (documented — semantics-preserving for every eligible join).
+    */
+  def bandSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    graft.plans.BandJoinStrategy.setup(spark)
+    spark.conf.set(graft.plans.BandJoinStrategy.SqlFlag, "true")
+    spark.sql(
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts div 1000000000 AS tsec
+        |  FROM events
+        |)
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  b.tsec - a.tsec AS dt_sec
+        |FROM ev a JOIN ev b
+        |  ON a.user_id = b.user_id
+        |  AND abs(a.tsec - b.tsec) <= 180
+        |  AND a.event_id <> b.event_id
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_ab_ttest" -> abTtest _,
     "ev_attrib_touch" -> attribTouch _,
     "ev_peak_concurrency" -> peakConcurrency _,
+    "q71_band_sql" -> bandSql _,
   )
 
   def oracle: Map[String, String] = Map(
+    "q71_band_sql" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events)
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  b.tsec - a.tsec AS dt_sec
+        |FROM ev a JOIN ev b
+        |  ON a.user_id = b.user_id
+        |  AND abs(a.tsec - b.tsec) <= 180
+        |  AND a.event_id <> b.event_id
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
     "ev_ab_ttest" ->
       """WITH ev AS (
         |  SELECT user_id % 2 AS grp,

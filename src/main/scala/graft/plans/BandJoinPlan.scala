@@ -3,10 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Ascending, Attribute, AttributeSet, EqualTo, Expression, GreaterThanOrEqual, JoinedRow, LessThanOrEqual, Literal, RowOrdering, SortOrder, Subtract, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, FilterExec, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.LongType
 
@@ -84,8 +85,31 @@ object BandJoinStrategy extends SparkStrategy {
       BandJoinExec(planLater(n.left), planLater(n.right),
         n.leftKeyAttrs, n.rightKeyAttrs, n.leftTimeAttr,
         n.rightTimeAttr, n.before, n.after, n.payloadAttrs) :: Nil
+    case j @ Join(l, r, Inner, Some(cond), _)
+        if org.apache.spark.sql.internal.SQLConf.get
+          .getConfString(BandJoinStrategy.SqlFlag, "false") == "true" =>
+      BandJoinSqlMatch.matchJoin(l, r, cond) match {
+        case Some((lk, rk, lt, rt, before, after, rest)) =>
+          val exec = BandJoinExec(planLater(l), planLater(r),
+            lk, rk, lt, rt, before, after, r.output)
+          val out =
+            if (rest.isEmpty) exec
+            else FilterExec(rest.reduce(org.apache.spark.sql.catalyst
+              .expressions.And), exec)
+          out :: Nil
+        case None => Nil
+      }
     case _ => Nil
   }
+
+  /** Opt-in flag for the plain-SQL interval-join rewrite
+    * ([[BandJoinSqlMatch]]). Default OFF so installing the strategy
+    * for the explicit API never changes other queries' plans; a
+    * session that turns it on gets merge-sweep planning for every
+    * eligible inner join (semantics-preserving — see the matcher's
+    * doc), which is the production posture.
+    */
+  val SqlFlag = "spark.graft.sql.bandjoin"
 
   def setup(spark: SparkSession): Unit = {
     val exp = PlanBridge.experimental(spark)
@@ -241,6 +265,147 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def withNewChildrenInternal(newLeft: SparkPlan,
       newRight: SparkPlan): BandJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+/** Recognizes plain-SQL interval joins and hands them to
+  * [[BandJoinExec]] — the rule that turns `JOIN ... ON a.k = b.k AND
+  * abs(a.t - b.t) <= w` (or an explicit two-sided bound pair) from
+  * the per-key nested-loop Spark's JoinSelection would produce into
+  * the co-partitioned merge sweep. Installed via the same strategy,
+  * so ANY session with `GraftExtensions` gets interval-join planning
+  * on unmodified SQL text.
+  *
+  * Conservative by construction: fires only on INNER joins whose
+  * condition splits into (≥1 attribute equi key) + (a complete band
+  * on ONE LongType attribute pair) + arbitrary residual conjuncts
+  * (kept as a post-filter — semantics identical because the band
+  * join emits exactly the per-key band matches and both the equi and
+  * band predicates are null-rejecting, as is the exec). Anything
+  * else falls through to Spark's own planner untouched.
+  */
+object BandJoinSqlMatch {
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      splitAnd(a) ++ splitAnd(b)
+    case other => Seq(other)
+  }
+
+  private def longLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Int, _) => Some(v.toLong)
+    case _ => None
+  }
+
+  /** One inequality conjunct normalized to a bound on (lt, rt):
+    * Some((lt, rt, c, isUpper)) meaning `rt <= lt + c` (upper) or
+    * `rt >= lt − c` (lower). `leftSide` decides attribute ownership.
+    */
+  private def asBound(e: Expression, leftSide: AttributeSet,
+      rightSide: AttributeSet): Option[(Attribute, Attribute, Long, Boolean)] = {
+    // canonicalize to (small <= big)
+    val le: Option[(Expression, Expression)] = e match {
+      case LessThanOrEqual(a, b) => Some((a, b))
+      case GreaterThanOrEqual(a, b) => Some((b, a))
+      case _ => None
+    }
+    le.flatMap { case (lo, hi) =>
+      def attrOf(x: Expression): Option[(Attribute, Long)] = x match {
+        case a: Attribute => Some((a, 0L))
+        case Add(a: Attribute, c, _) => longLit(c).map(v => (a, v))
+        case Add(c, a: Attribute, _) => longLit(c).map(v => (a, v))
+        case Subtract(a: Attribute, c, _) => longLit(c).map(v => (a, -v))
+        case _ => None
+      }
+      (attrOf(lo), attrOf(hi)) match {
+        case (Some((la, lc)), Some((ha, hc)))
+            if la.dataType == LongType && ha.dataType == LongType =>
+          // la + lc <= ha + hc
+          if (rightSide.contains(la) && leftSide.contains(ha))
+            // rt <= lt + (hc − lc)  → upper bound
+            Some((ha, la, hc - lc, true))
+          else if (leftSide.contains(la) && rightSide.contains(ha))
+            // lt + lc <= rt + hc → rt >= lt + (lc − hc) = lt − (hc − lc)
+            Some((la, ha, hc - lc, false))
+          else None
+        case _ => None
+      }
+    }
+  }
+
+  /** Returns (leftKeys, rightKeys, leftTime, rightTime, before,
+    * after, residualConjuncts) when the whole condition is an
+    * interval join.
+    */
+  def matchJoin(l: LogicalPlan, r: LogicalPlan, cond: Expression)
+      : Option[(Seq[Attribute], Seq[Attribute], Attribute, Attribute,
+        Long, Long, Seq[Expression])] = {
+    val lset = l.outputSet
+    val rset = r.outputSet
+    val conjuncts = splitAnd(cond)
+    val equi = scala.collection.mutable.ArrayBuffer
+      .empty[(Attribute, Attribute)]
+    val bounds = scala.collection.mutable.ArrayBuffer
+      .empty[(Attribute, Attribute, Long, Boolean)]
+    val rest = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    conjuncts.foreach {
+      case EqualTo(a: Attribute, b: Attribute)
+          if lset.contains(a) && rset.contains(b)
+            && a.dataType == b.dataType =>
+        equi += ((a, b))
+      case EqualTo(a: Attribute, b: Attribute)
+          if rset.contains(a) && lset.contains(b)
+            && a.dataType == b.dataType =>
+        equi += ((b, a))
+      case other => matchOne(other, lset, rset, bounds, rest)
+    }
+    val uppers = bounds.filter(_._4).map(b => (b._1, b._2, b._3))
+    val lowers = bounds.filterNot(_._4).map(b => (b._1, b._2, b._3))
+    (equi.toSeq, uppers.toSeq, lowers.toSeq) match {
+      case (ks, Seq((lt, rt, after)), Seq((lt2, rt2, before)))
+          if ks.nonEmpty && lt == lt2 && rt == rt2 =>
+        // both stored values are already the semantic before/after:
+        // upper `rt <= lt + after`, lower `rt >= lt − before`
+        if (before >= 0 && after >= 0)
+          Some((ks.map(_._1), ks.map(_._2), lt, rt, before, after,
+            rest.toSeq))
+        else None
+      case _ => None
+    }
+  }
+
+  /** Route one non-equi conjunct: symmetric abs-band (either
+    * comparison orientation), one-sided bound, or residual.
+    */
+  private def matchOne(e: Expression, lset: AttributeSet,
+      rset: AttributeSet,
+      bounds: scala.collection.mutable.ArrayBuffer[(Attribute, Attribute, Long, Boolean)],
+      rest: scala.collection.mutable.ArrayBuffer[Expression]): Unit = {
+    val absBand: Option[(Expression, Expression, Expression)] = e match {
+      case LessThanOrEqual(Abs(Subtract(x, y, _), _), c) => Some((x, y, c))
+      case GreaterThanOrEqual(c, Abs(Subtract(x, y, _), _)) => Some((x, y, c))
+      case _ => None
+    }
+    absBand match {
+      case Some((x, y, c)) =>
+        (x, y, longLit(c)) match {
+          case (a: Attribute, b: Attribute, Some(w))
+              if w >= 0 && a.dataType == LongType
+                && b.dataType == LongType
+                && ((lset.contains(a) && rset.contains(b))
+                  || (rset.contains(a) && lset.contains(b))) =>
+            val (lt, rt) = if (lset.contains(a)) (a, b) else (b, a)
+            bounds += ((lt, rt, w, true))
+            bounds += ((lt, rt, w, false))
+          case _ => rest += e
+        }
+      case None =>
+        asBound(e, lset, rset) match {
+          case Some(b) => bounds += b
+          case None => rest += e
+        }
+    }
+  }
 }
 
 /** DataFrame API over the planned operator. */

@@ -102,6 +102,53 @@ class PlannedBandJoinSpec extends AnyFunSuite {
       s"expected only the 2 declared sorts:\n$preStr")
   }
 
+  test("SQL matcher: plain-text interval join plans BandJoinExec, " +
+      "flag-off keeps Spark's plan, results identical") {
+    graft.plans.BandJoinStrategy.setup(spark)
+    Tables.registerAll(spark, TestSpark.sfDir)
+    val sql =
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+        |FROM (SELECT user_id, event_id, ts div 1000000000 AS tsec
+        |      FROM events) a
+        |JOIN (SELECT user_id, event_id, ts div 1000000000 AS tsec
+        |      FROM events) b
+        |  ON a.user_id = b.user_id
+        |  AND abs(a.tsec - b.tsec) <= 120
+        |  AND a.event_id <> b.event_id""".stripMargin
+    spark.conf.set(graft.plans.BandJoinStrategy.SqlFlag, "false")
+    val off = spark.sql(sql)
+    val offPlan = off.queryExecution.executedPlan.toString
+    assert(!offPlan.contains("BandJoin"),
+      s"flag off must leave Spark's own plan:\n$offPlan")
+    val offRows = off.collect().map(_.toSeq).toSet
+    spark.conf.set(graft.plans.BandJoinStrategy.SqlFlag, "true")
+    try {
+      val on = spark.sql(sql)
+      val onPlan = on.queryExecution.executedPlan.toString
+      assert(onPlan.contains("BandJoin"),
+        s"flag on must plan the merge sweep:\n$onPlan")
+      assert(!onPlan.contains("BroadcastNestedLoopJoin") &&
+        !onPlan.contains("CartesianProduct"))
+      val onRows = on.collect().map(_.toSeq).toSet
+      assert(onRows === offRows)
+      assert(onRows.nonEmpty)
+      // explicit two-sided asymmetric bounds also match
+      val asym = spark.sql(
+        """SELECT a.event_id, b.event_id AS rid
+          |FROM (SELECT user_id, event_id, ts div 1000000000 AS t
+          |      FROM events) a
+          |JOIN (SELECT user_id, event_id, ts div 1000000000 AS t
+          |      FROM events) b
+          |  ON a.user_id = b.user_id
+          |  AND b.t >= a.t - 60 AND b.t <= a.t + 300""".stripMargin)
+      assert(asym.queryExecution.executedPlan.toString
+        .contains("BandJoin"))
+      assert(asym.count() > 0)
+    } finally {
+      spark.conf.set(graft.plans.BandJoinStrategy.SqlFlag, "false")
+    }
+  }
+
   test("rejects non-long time columns and negative bounds") {
     val l = Seq((1L, 10)).toDF("k", "t") // Int time
     val r = Seq((1L, 12L, "x")).toDF("k", "rt", "pv")
