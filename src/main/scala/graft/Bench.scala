@@ -218,7 +218,10 @@ object Bench {
       // round-6 batch-4: conditional-aggregate moments, band-join
       // attribution fan-out, sweep-line prefix sums
       "ev_ab_ttest", "ev_attrib_touch", "ev_peak_concurrency",
-      "q71_band_sql")
+      "q71_band_sql",
+      // round-6 batch-5: shifted-key self-join backtest, gap-moment
+      // screening, redelivery union
+      "ts_backtest_snaive", "dq_bot_users", "cdc_redelivery_audit")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

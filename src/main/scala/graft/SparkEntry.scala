@@ -37,6 +37,7 @@ object SparkEntry {
       operators.Ext16Queries.queries ++
       operators.Ext17Queries.queries ++
       operators.Ext18Queries.queries ++
+      operators.Ext19Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
       operators.Ext16Queries.oracle ++
       operators.Ext17Queries.oracle ++
       operators.Ext18Queries.oracle ++
+      operators.Ext19Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

@@ -117,6 +117,27 @@ object CdcQueries {
       .orderBy("bucket")
   }
 
+  /** At-least-once redelivery audit: a deterministic second delivery
+    * of part of the changelog (every 11th envelope) is unioned onto
+    * the stream, and the report measures what redelivery actually
+    * costs per routed op — deliveries vs unique messages and the
+    * duplicate share. The LWW apply path is idempotent under exactly
+    * this redelivery (RetrySpec/kill-and-restart prove it); the audit
+    * is the monitoring-side counterpart an operator watches to see
+    * HOW MUCH replay the at-least-once source is generating.
+    */
+  def redeliveryAudit(spark: SparkSession, dir: String): DataFrame = {
+    val raw = parsed(spark, dir).filter(col("op") =!= CdcParse.OpDrop)
+    raw.unionByName(raw.filter(col("event_id") % 11 === 0))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n_deliveries"),
+        countDistinct(col("event_id")).as("n_unique"))
+      .withColumn("n_dup", col("n_deliveries") - col("n_unique"))
+      .withColumn("dup_share_micro",
+        expr("n_dup * 1000000 div n_deliveries"))
+      .orderBy("op")
+  }
+
   def typedAssembly(spark: SparkSession, dir: String): DataFrame =
     parsed(spark, dir).filter(col("op") =!= CdcParse.OpDrop)
       .orderBy("event_id")
@@ -385,6 +406,7 @@ object CdcQueries {
     "cdc_parse_route" -> parseRoute _,
     "cdc_op_mix" -> opMix _,
     "cdc_compaction_plan" -> compactionPlan _,
+    "cdc_redelivery_audit" -> redeliveryAudit _,
     "cdc_typed_assembly" -> typedAssembly _,
     "cdc_lww_dedup" -> lwwDedup _,
     "cdc_apply_upsert" -> applyUpsert _,
@@ -538,6 +560,22 @@ object CdcQueries {
         |ORDER BY user_id, valid_from""".stripMargin),
     "cdc_parse_route" -> (baseCte +
       "\nSELECT event_id, op FROM ops ORDER BY event_id"),
+    "cdc_redelivery_audit" -> (baseCte +
+      """
+        |, t2 AS (SELECT * FROM typed WHERE op <> 'drop'),
+        |d AS (
+        |  SELECT * FROM t2
+        |  UNION ALL
+        |  SELECT * FROM t2 WHERE event_id % 11 = 0
+        |), agg AS (
+        |  SELECT op, CAST(COUNT(*) AS BIGINT) AS n_deliveries,
+        |    CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+        |  FROM d GROUP BY op)
+        |SELECT op, n_deliveries, n_unique,
+        |  n_deliveries - n_unique AS n_dup,
+        |  ((n_deliveries - n_unique) * 1000000) // n_deliveries
+        |    AS dup_share_micro
+        |FROM agg ORDER BY op""".stripMargin),
     "cdc_compaction_plan" -> (baseCte +
       """
         |, nb AS (

@@ -47,6 +47,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext17Queries.oracle),
       ("Ext18Queries", operators.Ext18Queries.queries,
         operators.Ext18Queries.oracle),
+      ("Ext19Queries", operators.Ext19Queries.queries,
+        operators.Ext19Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
