@@ -221,7 +221,10 @@ object Bench {
       "q71_band_sql",
       // round-6 batch-5: shifted-key self-join backtest, gap-moment
       // screening, redelivery union
-      "ts_backtest_snaive", "dq_bot_users", "cdc_redelivery_audit")
+      "ts_backtest_snaive", "dq_bot_users", "cdc_redelivery_audit",
+      // round-6 batch-6: cohort lattice windows, bin-span explode,
+      // dimension self-audit window
+      "ev_cohort_ltv", "tok_packing_report", "cdc_scd2_audit")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

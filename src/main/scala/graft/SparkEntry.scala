@@ -38,6 +38,7 @@ object SparkEntry {
       operators.Ext17Queries.queries ++
       operators.Ext18Queries.queries ++
       operators.Ext19Queries.queries ++
+      operators.Ext20Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       operators.Ext17Queries.oracle ++
       operators.Ext18Queries.oracle ++
       operators.Ext19Queries.oracle ++
+      operators.Ext20Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

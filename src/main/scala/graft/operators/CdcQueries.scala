@@ -327,6 +327,35 @@ object CdcQueries {
       .orderBy("user_id", "valid_from")
   }
 
+  /** SCD2 self-audit: the invariants a dimension consumer relies on,
+    * measured over the interval set `cdc_scd2` builds — at most ONE
+    * current row per key, no overlapping validity, and the gap count
+    * (erase-created holes) made explicit instead of discovered by a
+    * surprised analyst. One lead() window over the interval table —
+    * the audit costs one pass over the dimension, not the fact table.
+    */
+  def scd2Audit(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from")
+    scd2(spark, dir)
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_intervals"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+        sum(when(col("next_from").isNotNull &&
+          col("valid_to").isNotNull &&
+          col("next_from") < col("valid_to"), 1L).otherwise(0L))
+          .as("n_overlaps"),
+        sum(when(col("next_from").isNotNull &&
+          col("valid_to").isNotNull &&
+          col("next_from") > col("valid_to"), 1L).otherwise(0L))
+          .as("n_gaps"),
+        sum(when(col("next_from").isNotNull &&
+          col("valid_to").isNotNull &&
+          col("next_from") === col("valid_to"), 1L).otherwise(0L))
+          .as("n_contiguous"))
+  }
+
   /** Incrementally maintained per-event_type aggregate view: initial
     * aggregates from pre-existing state, then one delta application
     * for the LWW'd odd-event batch ([[KeyedMerge.applyAggDelta]]).
@@ -407,6 +436,7 @@ object CdcQueries {
     "cdc_op_mix" -> opMix _,
     "cdc_compaction_plan" -> compactionPlan _,
     "cdc_redelivery_audit" -> redeliveryAudit _,
+    "cdc_scd2_audit" -> scd2Audit _,
     "cdc_typed_assembly" -> typedAssembly _,
     "cdc_lww_dedup" -> lwwDedup _,
     "cdc_apply_upsert" -> applyUpsert _,
@@ -558,6 +588,36 @@ object CdcQueries {
         |  WHERE op IN ('update', 'update_newimage', 'erase')) x
         |WHERE op <> 'erase'
         |ORDER BY user_id, valid_from""".stripMargin),
+    "cdc_scd2_audit" -> (baseCte +
+      """
+        |, scd AS (
+        |  SELECT user_id, valid_from, valid_to,
+        |    (valid_to IS NULL) AS is_current
+        |  FROM (
+        |    SELECT user_id, op, event_id AS valid_from,
+        |      LEAD(event_id) OVER (PARTITION BY user_id
+        |        ORDER BY event_id) AS valid_to
+        |    FROM typed
+        |    WHERE op IN ('update', 'update_newimage', 'erase')) x
+        |  WHERE op <> 'erase'
+        |), led AS (
+        |  SELECT *, LEAD(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from) AS next_from
+        |  FROM scd)
+        |SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_current,
+        |  CAST(SUM(CASE WHEN next_from IS NOT NULL
+        |    AND valid_to IS NOT NULL AND next_from < valid_to
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+        |  CAST(SUM(CASE WHEN next_from IS NOT NULL
+        |    AND valid_to IS NOT NULL AND next_from > valid_to
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(SUM(CASE WHEN next_from IS NOT NULL
+        |    AND valid_to IS NOT NULL AND next_from = valid_to
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contiguous
+        |FROM led""".stripMargin),
     "cdc_parse_route" -> (baseCte +
       "\nSELECT event_id, op FROM ops ORDER BY event_id"),
     "cdc_redelivery_audit" -> (baseCte +

@@ -49,6 +49,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext18Queries.oracle),
       ("Ext19Queries", operators.Ext19Queries.queries,
         operators.Ext19Queries.oracle),
+      ("Ext20Queries", operators.Ext20Queries.queries,
+        operators.Ext20Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
