@@ -224,7 +224,10 @@ object Bench {
       "ts_backtest_snaive", "dq_bot_users", "cdc_redelivery_audit",
       // round-6 batch-6: cohort lattice windows, bin-span explode,
       // dimension self-audit window
-      "ev_cohort_ltv", "tok_packing_report", "cdc_scd2_audit")
+      "ev_cohort_ltv", "tok_packing_report", "cdc_scd2_audit",
+      // round-6 batch-7: cell-merge histogram, tokenizer economics,
+      // per-segment rank over frame windows
+      "sketch_histogram", "tok_fertility", "mm_keyframes")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()
@@ -233,7 +236,10 @@ object Bench {
     // or failures could run the section away with the bench slot
     def sf1Elapsed: Double = (System.nanoTime() - sf1Start) / 1e9
     val sf1 = if (!sf1Exists) "{}" else {
-      sf1Probes.flatMap { name =>
+      // newest-first: the list is append-ordered by round, and the
+      // wall-clock budget can no longer cover all of it — the entries
+      // that MUST run each round are the ones no prior round recorded
+      sf1Probes.reverse.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           val sec =
             if (sf1Elapsed > sf1Budget) -2.0 // skipped: budget spent

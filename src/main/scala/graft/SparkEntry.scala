@@ -39,6 +39,7 @@ object SparkEntry {
       operators.Ext18Queries.queries ++
       operators.Ext19Queries.queries ++
       operators.Ext20Queries.queries ++
+      operators.Ext21Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -71,6 +72,7 @@ object SparkEntry {
       operators.Ext18Queries.oracle ++
       operators.Ext19Queries.oracle ++
       operators.Ext20Queries.oracle ++
+      operators.Ext21Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

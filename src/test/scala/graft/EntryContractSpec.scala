@@ -51,6 +51,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext19Queries.oracle),
       ("Ext20Queries", operators.Ext20Queries.queries,
         operators.Ext20Queries.oracle),
+      ("Ext21Queries", operators.Ext21Queries.queries,
+        operators.Ext21Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
