@@ -227,7 +227,10 @@ object Bench {
       "ev_cohort_ltv", "tok_packing_report", "cdc_scd2_audit",
       // round-6 batch-7: cell-merge histogram, tokenizer economics,
       // per-segment rank over frame windows
-      "sketch_histogram", "tok_fertility", "mm_keyframes")
+      "sketch_histogram", "tok_fertility", "mm_keyframes",
+      // round-6 batch-8: distinct-free sliding-window decomposition,
+      // directional batch-probes-corpus banding
+      "ev_stickiness", "dedup_incremental")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

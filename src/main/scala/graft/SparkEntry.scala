@@ -40,6 +40,7 @@ object SparkEntry {
       operators.Ext19Queries.queries ++
       operators.Ext20Queries.queries ++
       operators.Ext21Queries.queries ++
+      operators.Ext22Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -73,6 +74,7 @@ object SparkEntry {
       operators.Ext19Queries.oracle ++
       operators.Ext20Queries.oracle ++
       operators.Ext21Queries.oracle ++
+      operators.Ext22Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 batch 8: engagement ratios without DISTINCT, and the
+  * incremental-ingest dedup shape.
+  *
+  *  - `ev_stickiness`: DAU / trailing-28-day MAU per day. The MAU is
+  *    a sliding COUNT DISTINCT — not subtractable, and the
+  *    explode-then-distinct shape (`ev_active_users_7d`) still pays
+  *    one distinct per window. This query removes DISTINCT entirely:
+  *    a (user, day) presence row serves window-day d iff it is the
+  *    user's FIRST presence inside d's window, i.e. d ∈
+  *    [max(a, prev+28), a+27] — a bounded per-presence day range —
+  *    so MAU is a plain SUM over exploded ranges. The
+  *    first-in-window decomposition generalizes q50's first-seen
+  *    trick from cumulative to sliding windows.
+  *  - `dedup_incremental`: the daily-crawl shape — which NEW batch
+  *    documents (odd doc_id) near-duplicate the EXISTING corpus
+  *    (even doc_id). Banding is DIRECTIONAL (batch bands probe
+  *    corpus bands only — no batch×batch or corpus×corpus
+  *    candidates), sizes PPJoin-pruned, exact-Jaccard verified; per
+  *    batch doc the report gives match count and best corpus match.
+  *    The oracle derives the same result from the full pair search
+  *    restricted to cross-parity pairs — banding collision is
+  *    side-agnostic, so the two constructions provably agree.
+  *
+  * 100 TB shapes: stickiness explodes the ALREADY-collapsed presence
+  * table by at most min(28, gap) rows and aggregates by day — no
+  * distinct anywhere; incremental dedup scales with the BATCH (the
+  * corpus side contributes only band-bucket collisions, and at 100 TB
+  * the corpus band table is a bucketed stored index the daily batch
+  * probes).
+  */
+object Ext22Queries {
+
+  // ---------------------------------------------------------------
+  // ev_stickiness
+  // ---------------------------------------------------------------
+
+  private val MauWindow = 28L
+
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = t(spark, dir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val mx = broadcast(ud.agg(max("day").as("mxd")))
+    val wPrev = Window.partitionBy("user_id").orderBy("day")
+    val served = ud
+      .withColumn("prev", lag("day", 1).over(wPrev))
+      .crossJoin(mx)
+      .withColumn("from_d",
+        greatest(col("day"),
+          coalesce(col("prev") + MauWindow, col("day"))))
+      .withColumn("to_d", least(col("day") + MauWindow - 1, col("mxd")))
+      .filter(col("from_d") <= col("to_d"))
+      .select(explode(sequence(col("from_d"), col("to_d"))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("mau"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(served, Seq("day"))
+      .withColumn("stickiness_micro", expr("dau * 1000000 div mau"))
+      .orderBy("day")
+  }
+
+  // ---------------------------------------------------------------
+  // dedup_incremental
+  // ---------------------------------------------------------------
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (numHashes, bands, minJ) = (16, 4, 0.1)
+    val rowsPerBand = numHashes / bands
+    val docs = t(spark, dir, "documents")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3).cache()
+    val szOf = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val bandSig = Dedup.minhashSignatures(sh, numHashes)
+      .join(szOf, "id")
+      .select(col("id"), col("sz"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (0 until rowsPerBand).map(r =>
+              col(s"mh${b * rowsPerBand + r}")): _*).as("bsig"))
+        }: _*)).as("bs"))
+      .select(col("id"), col("sz"), col("bs.band").as("band"),
+        col("bs.bsig").as("bsig"))
+    val corpus = bandSig.filter(col("id") % 2 === 0)
+      .select(col("id").as("cid"), col("sz").as("csz"),
+        col("band").as("cband"), col("bsig").as("cbsig"))
+    val batch = bandSig.filter(col("id") % 2 === 1)
+    val cands = batch.join(corpus,
+        col("band") === col("cband") && col("bsig") === col("cbsig") &&
+          col("sz") * minJ <= col("csz") &&
+          col("csz") * minJ <= col("sz"))
+      .select(col("id").as("bid"), col("cid")).distinct()
+    val verified = cands
+      .join(sh.select(col("id").as("bid"), col("shingle").as("s")),
+        Seq("bid"))
+      .join(sh.select(col("id").as("cid"), col("shingle").as("s")),
+        Seq("cid", "s"))
+      .groupBy("bid", "cid").agg(count(lit(1)).as("common"))
+      .join(szOf.select(col("id").as("bid"), col("sz").as("bsz")),
+        "bid")
+      .join(szOf.select(col("id").as("cid"), col("sz").as("csz")),
+        "cid")
+      .withColumn("j", col("common").cast("double") /
+        (col("bsz") + col("csz") - col("common")).cast("double"))
+      .filter(col("j") >= minJ)
+    val wBest = Window.partitionBy("bid")
+      .orderBy(col("j").desc, col("cid"))
+    val best = verified
+      .withColumn("rn", row_number().over(wBest))
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy("bid")))
+      .filter(col("rn") === 1)
+      .select(col("bid").as("doc_id"), col("n_matches"),
+        col("cid").as("best_match"), round(col("j"), 6).as("best_j"))
+    docs.filter(col("doc_id") % 2 === 1).select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_matches"))
+      .withColumn("is_dup", col("n_matches") > 0)
+      .select("doc_id", "is_dup", "n_matches", "best_match", "best_j")
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_stickiness" -> stickiness _,
+    "dedup_incremental" -> dedupIncremental _,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ev_stickiness" ->
+      s"""WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |), mx AS (SELECT MAX(day) AS mxd FROM ud),
+        |pr AS (
+        |  SELECT user_id, day,
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM ud
+        |), served AS (
+        |  SELECT CAST(w.d AS BIGINT) AS day
+        |  FROM pr CROSS JOIN mx,
+        |    UNNEST(generate_series(
+        |      greatest(pr.day, COALESCE(pr.prev + $MauWindow, pr.day)),
+        |      least(pr.day + ${MauWindow - 1}, mx.mxd))) AS w(d)
+        |), mau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS mau
+        |  FROM served GROUP BY day
+        |), dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY day)
+        |SELECT d.day, d.dau, m.mau,
+        |  (d.dau * 1000000) // m.mau AS stickiness_micro
+        |FROM dau d JOIN mau m ON m.day = d.day
+        |ORDER BY d.day""".stripMargin,
+    "dedup_incremental" ->
+      (s"WITH pairs AS (\n${ExtQueries.oracle("dedup_minhash_lsh")}\n)" +
+        """, cross_par AS (
+        |  SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS bid,
+        |    CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS cid,
+        |    jaccard AS j
+        |  FROM pairs
+        |  WHERE (id_a % 2) + (id_b % 2) = 1
+        |), rk AS (
+        |  SELECT bid, cid, j,
+        |    ROW_NUMBER() OVER (PARTITION BY bid
+        |      ORDER BY j DESC, cid) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY bid) AS BIGINT)
+        |      AS n_matches
+        |  FROM cross_par)
+        |SELECT d.doc_id,
+        |  COALESCE(r.n_matches, 0) > 0 AS is_dup,
+        |  COALESCE(r.n_matches, 0) AS n_matches,
+        |  r.cid AS best_match, ROUND(r.j, 6) AS best_j
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN rk r ON r.bid = d.doc_id AND r.rn = 1
+        |ORDER BY d.doc_id""".stripMargin),
+  )
+}

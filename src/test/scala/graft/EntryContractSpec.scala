@@ -53,6 +53,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext20Queries.oracle),
       ("Ext21Queries", operators.Ext21Queries.queries,
         operators.Ext21Queries.oracle),
+      ("Ext22Queries", operators.Ext22Queries.queries,
+        operators.Ext22Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,

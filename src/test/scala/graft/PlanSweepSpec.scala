@@ -64,7 +64,10 @@ class PlanSweepSpec extends AnyFunSuite {
   //    eval_ann_recall shape) + tiny nprobe-spine non-equi joins
   //  - dq_chi2_independence: dense grid = |sources| × |langs|
   //    marginal cross (bounded domains, the dq_t_closeness shape)
+  //  - ev_stickiness: 1-row max-day broadcast cutting trailing
+  //    windows (ev_active_users_7d's shape)
   private val allowCross = Set(
+    "ev_stickiness",
     "dq_chi2_independence",
     "eval_mrr_ndcg", "cdc_snapshot_at", "ts_theil_sen",
     "ts_mann_kendall", "sim_query_routing", "tok_bpe_train3",
