@@ -230,7 +230,9 @@ object Bench {
       "sketch_histogram", "tok_fertility", "mm_keyframes",
       // round-6 batch-8: distinct-free sliding-window decomposition,
       // directional batch-probes-corpus banding
-      "ev_stickiness", "dedup_incremental")
+      "ev_stickiness", "dedup_incremental",
+      // round-6 batch-9: tolerance band + rank, per-doc run windows
+      "q72_asof_tolerance", "text_script_runs")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

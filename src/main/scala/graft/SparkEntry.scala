@@ -41,6 +41,7 @@ object SparkEntry {
       operators.Ext20Queries.queries ++
       operators.Ext21Queries.queries ++
       operators.Ext22Queries.queries ++
+      operators.Ext23Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -75,6 +76,7 @@ object SparkEntry {
       operators.Ext20Queries.oracle ++
       operators.Ext21Queries.oracle ++
       operators.Ext22Queries.oracle ++
+      operators.Ext23Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

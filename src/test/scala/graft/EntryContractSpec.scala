@@ -55,6 +55,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext21Queries.oracle),
       ("Ext22Queries", operators.Ext22Queries.queries,
         operators.Ext22Queries.oracle),
+      ("Ext23Queries", operators.Ext23Queries.queries,
+        operators.Ext23Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
