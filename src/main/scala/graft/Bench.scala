@@ -232,7 +232,9 @@ object Bench {
       // directional batch-probes-corpus banding
       "ev_stickiness", "dedup_incremental",
       // round-6 batch-9: tolerance band + rank, per-doc run windows
-      "q72_asof_tolerance", "text_script_runs")
+      "q72_asof_tolerance", "text_script_runs",
+      // round-6 batch-10: lattice-bounded backtest, bucket histogram
+      "eval_markov_acc", "sim_bucket_stats")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

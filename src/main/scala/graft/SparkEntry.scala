@@ -42,6 +42,7 @@ object SparkEntry {
       operators.Ext21Queries.queries ++
       operators.Ext22Queries.queries ++
       operators.Ext23Queries.queries ++
+      operators.Ext24Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -77,6 +78,7 @@ object SparkEntry {
       operators.Ext21Queries.oracle ++
       operators.Ext22Queries.oracle ++
       operators.Ext23Queries.oracle ++
+      operators.Ext24Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

@@ -86,6 +86,12 @@ object Ext22Queries {
         }: _*)).as("bs"))
       .select(col("id"), col("sz"), col("bs.band").as("band"),
         col("bs.bsig").as("bsig"))
+      // cache(), deliberately: the corpus and batch sides are two
+      // FILTERS of this one table — uncached, each side recomputes
+      // the whole signature aggregation (the simhash fp-cache
+      // lesson); plan-keyed CacheManager dedupes constructions and
+      // bench's clearCache releases it
+      .cache()
     val corpus = bandSig.filter(col("id") % 2 === 0)
       .select(col("id").as("cid"), col("sz").as("csz"),
         col("band").as("cband"), col("bsig").as("cbsig"))

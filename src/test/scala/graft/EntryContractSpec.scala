@@ -57,6 +57,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext22Queries.oracle),
       ("Ext23Queries", operators.Ext23Queries.queries,
         operators.Ext23Queries.oracle),
+      ("Ext24Queries", operators.Ext24Queries.queries,
+        operators.Ext24Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
