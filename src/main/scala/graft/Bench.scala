@@ -234,7 +234,9 @@ object Bench {
       // round-6 batch-9: tolerance band + rank, per-doc run windows
       "q72_asof_tolerance", "text_script_runs",
       // round-6 batch-10: lattice-bounded backtest, bucket histogram
-      "eval_markov_acc", "sim_bucket_stats")
+      "eval_markov_acc", "sim_bucket_stats",
+      // round-6 batch-11: per-arm rank windows, one-row SRM gate
+      "eval_ab_qte", "dq_srm_check")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

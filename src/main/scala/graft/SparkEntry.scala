@@ -43,6 +43,7 @@ object SparkEntry {
       operators.Ext22Queries.queries ++
       operators.Ext23Queries.queries ++
       operators.Ext24Queries.queries ++
+      operators.Ext25Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -79,6 +80,7 @@ object SparkEntry {
       operators.Ext22Queries.oracle ++
       operators.Ext23Queries.oracle ++
       operators.Ext24Queries.oracle ++
+      operators.Ext25Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

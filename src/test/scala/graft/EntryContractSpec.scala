@@ -59,6 +59,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext23Queries.oracle),
       ("Ext24Queries", operators.Ext24Queries.queries,
         operators.Ext24Queries.oracle),
+      ("Ext25Queries", operators.Ext25Queries.queries,
+        operators.Ext25Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,
