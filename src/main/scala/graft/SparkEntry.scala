@@ -44,6 +44,7 @@ object SparkEntry {
       operators.Ext23Queries.queries ++
       operators.Ext24Queries.queries ++
       operators.Ext25Queries.queries ++
+      operators.Ext26Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -81,6 +82,7 @@ object SparkEntry {
       operators.Ext23Queries.oracle ++
       operators.Ext24Queries.oracle ++
       operators.Ext25Queries.oracle ++
+      operators.Ext26Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

@@ -67,6 +67,13 @@ object CdcQueries {
 
   private def odd: Column = col("event_id") % 2 === 1
 
+  /** Intra-package accessors for sibling modules composing on the
+    * parsed changelog and its oracle CTE (cdc_hot_keys).
+    */
+  private[operators] def parsedPublic(spark: SparkSession,
+      dir: String): DataFrame = parsed(spark, dir)
+  private[operators] def baseCtePublic: String = baseCte
+
   def parseRoute(spark: SparkSession, dir: String): DataFrame =
     parsed(spark, dir).select("event_id", "op").orderBy("event_id")
 

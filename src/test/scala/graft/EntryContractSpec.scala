@@ -61,6 +61,8 @@ class EntryContractSpec extends AnyFunSuite {
         operators.Ext24Queries.oracle),
       ("Ext25Queries", operators.Ext25Queries.queries,
         operators.Ext25Queries.oracle),
+      ("Ext26Queries", operators.Ext26Queries.queries,
+        operators.Ext26Queries.oracle),
       ("EventTimeQueries", operators.EventTimeQueries.queries,
         operators.EventTimeQueries.oracle),
       ("MiscQueries", operators.MiscQueries.queries,

@@ -66,7 +66,10 @@ class PlanSweepSpec extends AnyFunSuite {
   //    marginal cross (bounded domains, the dq_t_closeness shape)
   //  - ev_stickiness: 1-row max-day broadcast cutting trailing
   //    windows (ev_active_users_7d's shape)
+  //  - cdc_hot_keys: 1-row total broadcast attaching the share
+  //    denominator before the bounded-heap top-10
   private val allowCross = Set(
+    "cdc_hot_keys",
     "ev_stickiness",
     "dq_chi2_independence",
     "eval_mrr_ndcg", "cdc_snapshot_at", "ts_theil_sen",
