@@ -237,8 +237,9 @@ object Bench {
       "eval_markov_acc", "sim_bucket_stats",
       // round-6 batch-11: per-arm rank windows, one-row SRM gate
       "eval_ab_qte", "dq_srm_check",
-      // round-6 batch-12: bounded-heap hot keys, 168-cell matrix
-      "cdc_hot_keys", "ev_dow_hod_matrix")
+      // round-6 batch-12: bounded-heap hot keys, 168-cell matrix,
+      // left-outer band coverage
+      "cdc_hot_keys", "ev_dow_hod_matrix", "ev_attrib_coverage")
     var sf1Total = 0.0
     val sf1Budget = 420.0 // hard cap on the whole section, seconds
     val sf1Start = System.nanoTime()

@@ -60,12 +60,85 @@ object Ext26Queries {
       .orderBy("dow", "hod")
   }
 
+  // ---------------------------------------------------------------
+  // ev_attrib_coverage
+  // ---------------------------------------------------------------
+
+  /** Attribution coverage: what fraction of conversions have ANY
+    * touchpoint in the 10-minute lookback — the question
+    * `ev_attrib_touch` cannot answer because its inner join drops
+    * untouched conversions. Runs on the band join's LEFT OUTER mode
+    * (unmatched purchases emit once with a null payload), so the
+    * denominator is every conversion, not just the credited ones.
+    */
+  def attribCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(graft.Tables.eventsTsMicros).as("tsec"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("tsec"))
+    val touch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("tsec").as("rtsec"),
+        col("event_id").as("rid"))
+    val per = graft.plans.PlannedBandJoin.bandJoin(conv, touch,
+        Seq("user_id"), "tsec", "rtsec", before = 600L, after = 0L,
+        payload = Seq("rid", "rtsec"), leftOuter = true)
+      .groupBy("conv_id")
+      .agg(sum(when(col("rid").isNotNull && col("rtsec") < col("tsec"),
+        1L).otherwise(0L)).as("n_touch"))
+    per.agg(count(lit(1)).as("n_conversions"),
+        sum(when(col("n_touch") > 0, 1L).otherwise(0L))
+          .as("n_touched"),
+        sum("n_touch").as("n_touches"))
+      .select(col("n_conversions"), col("n_touched"),
+        (col("n_conversions") - col("n_touched")).as("n_untouched"),
+        col("n_touches"),
+        expr("n_touched * 1000000 div n_conversions")
+          .as("touch_rate_micro"),
+        expr("n_touches * 1000 div greatest(n_touched, 1L)")
+          .as("avg_touches_milli"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_hot_keys" -> hotKeys _,
     "ev_dow_hod_matrix" -> dowHodMatrix _,
+    "ev_attrib_coverage" -> attribCoverage _,
   )
 
   def oracle: Map[String, String] = Map(
+    "ev_attrib_coverage" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events
+        |), conv AS (
+        |  SELECT user_id, event_id AS conv_id, tsec
+        |  FROM ev WHERE event_type = 'purchase'
+        |), touch AS (
+        |  SELECT user_id, tsec AS rtsec FROM ev
+        |  WHERE event_type IN ('click', 'view')
+        |), per AS (
+        |  SELECT c.conv_id,
+        |    CAST(SUM(CASE WHEN t.rtsec IS NOT NULL
+        |      AND t.rtsec < c.tsec THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_touch
+        |  FROM conv c LEFT JOIN touch t
+        |    ON t.user_id = c.user_id
+        |    AND t.rtsec >= c.tsec - 600 AND t.rtsec <= c.tsec
+        |  GROUP BY c.conv_id
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |    CAST(SUM(CASE WHEN n_touch > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_touched,
+        |    CAST(SUM(n_touch) AS BIGINT) AS n_touches
+        |  FROM per)
+        |SELECT n_conversions, n_touched,
+        |  n_conversions - n_touched AS n_untouched, n_touches,
+        |  (n_touched * 1000000) // n_conversions AS touch_rate_micro,
+        |  (n_touches * 1000) // greatest(n_touched, 1)
+        |    AS avg_touches_milli
+        |FROM agg""".stripMargin,
     "cdc_hot_keys" -> (CdcQueries.baseCtePublic +
       """
         |, t2 AS (SELECT * FROM typed WHERE op <> 'drop'),

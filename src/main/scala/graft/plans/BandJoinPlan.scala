@@ -40,7 +40,8 @@ import org.apache.spark.sql.types.LongType
   */
 case class BandJoinNode(left: LogicalPlan, right: LogicalPlan,
     keys: Seq[String], leftTime: String, rightTime: String,
-    before: Long, after: Long, payload: Seq[String])
+    before: Long, after: Long, payload: Seq[String],
+    leftOuter: Boolean)
   extends BinaryNode {
 
   private def byName(side: LogicalPlan, n: String): Option[Attribute] = {
@@ -64,8 +65,11 @@ case class BandJoinNode(left: LogicalPlan, right: LogicalPlan,
     byName(right, rightTime).isDefined &&
     payload.forall(byName(right, _).isDefined)
 
-  // inner semantics: payload never null on an emitted row
-  override def output: Seq[Attribute] = left.output ++ payloadAttrs
+  // inner: payload never null on an emitted row; left outer: an
+  // unmatched left row emits once with a null-filled payload
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter)
+      payloadAttrs.map(_.withNullability(true)) else payloadAttrs)
 
   override def references: AttributeSet = AttributeSet(
     leftKeyAttrs ++ rightKeyAttrs ++
@@ -84,14 +88,16 @@ object BandJoinStrategy extends SparkStrategy {
     case n: BandJoinNode =>
       BandJoinExec(planLater(n.left), planLater(n.right),
         n.leftKeyAttrs, n.rightKeyAttrs, n.leftTimeAttr,
-        n.rightTimeAttr, n.before, n.after, n.payloadAttrs) :: Nil
+        n.rightTimeAttr, n.before, n.after, n.payloadAttrs,
+        n.leftOuter) :: Nil
     case j @ Join(l, r, Inner, Some(cond), _)
         if org.apache.spark.sql.internal.SQLConf.get
           .getConfString(BandJoinStrategy.SqlFlag, "false") == "true" =>
       BandJoinSqlMatch.matchJoin(l, r, cond) match {
         case Some((lk, rk, lt, rt, before, after, rest)) =>
           val exec = BandJoinExec(planLater(l), planLater(r),
-            lk, rk, lt, rt, before, after, r.output)
+            lk, rk, lt, rt, before, after, r.output,
+            leftOuter = false)
           val out =
             if (rest.isEmpty) exec
             else FilterExec(rest.reduce(org.apache.spark.sql.catalyst
@@ -135,10 +141,13 @@ object BandJoinStrategy extends SparkStrategy {
 case class BandJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    before: Long, after: Long, payload: Seq[Attribute])
+    before: Long, after: Long, payload: Seq[Attribute],
+    leftOuter: Boolean)
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ payload
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter)
+      payload.map(_.withNullability(true)) else payload)
 
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(leftKeys),
@@ -170,6 +179,7 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
     val keyTypes = leftKeys.map(_.dataType)
     val (bef, aft) = (before, after)
     val pay = payload
+    val outer = leftOuter
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lkProj = UnsafeProjection.create(lks, leftOut)
@@ -180,8 +190,15 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
         rightOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val joined = new JoinedRow
+      // outer: bind payload slots NULLABLE or codegen skips the null
+      // check on the null-filled row (the as-of join's hard lesson)
       val outProj = UnsafeProjection.create(
-        outAttrs.map(e => e: Expression), leftOut ++ pay)
+        outAttrs.map(e => e: Expression),
+        leftOut ++ (if (outer) pay.map(_.withNullability(true))
+          else pay))
+      val nullPay =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          pay.size)
       // right lookahead
       var rValid = false
       var rKey: InternalRow = null
@@ -208,14 +225,19 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
         private var pending: java.util.Iterator[UnsafeRow] =
           java.util.Collections.emptyIterator()
         private var curLeft: InternalRow = null
+        private var emitNull = false
         private var localMax = 0L
 
         private def refill(): Unit = {
-          while (!pending.hasNext && lIter.hasNext) {
+          while (!pending.hasNext && !emitNull && lIter.hasNext) {
             val l = lIter.next()
             val k = lkProj(l)
             val ts = ltProj(l)
-            if (!k.anyNull && !ts.isNullAt(0)) {
+            if (k.anyNull || ts.isNullAt(0)) {
+              // a null key/time can never match: inner drops the row,
+              // outer emits it once with a null payload
+              if (outer) { curLeft = l.copy(); emitNull = true }
+            } else {
               val t = ts.getLong(0)
               // key changed under the buffer -> stale rows
               if (bufKey != null && keyOrd.compare(bufKey, k) != 0) {
@@ -244,19 +266,25 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
                 }
                 curLeft = l.copy()
                 pending = bufRows.iterator()
+              } else if (outer) {
+                curLeft = l.copy()
+                emitNull = true
               }
             }
           }
         }
 
         override def hasNext: Boolean = {
-          if (!pending.hasNext) refill()
-          pending.hasNext
+          if (!pending.hasNext && !emitNull) refill()
+          pending.hasNext || emitNull
         }
         override def next(): InternalRow = {
-          if (!pending.hasNext) refill()
+          if (!pending.hasNext && !emitNull) refill()
           numOutputRows += 1
-          outProj(joined(curLeft, pending.next()))
+          if (emitNull) {
+            emitNull = false
+            outProj(joined(curLeft, nullPay))
+          } else outProj(joined(curLeft, pending.next()))
         }
       }
     }
@@ -418,7 +446,7 @@ object PlannedBandJoin {
     */
   def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, before: Long, after: Long,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], leftOuter: Boolean = false): DataFrame = {
     require(before >= 0 && after >= 0,
       s"band bounds must be >= 0, got before=$before after=$after")
     val spark = left.sparkSession
@@ -445,6 +473,6 @@ object PlannedBandJoin {
     payload.foreach(attr(rPlan, _))
     PlanBridge.ofRows(spark,
       BandJoinNode(lPlan, rPlan, keys, leftTime, rightTime,
-        before, after, payload))
+        before, after, payload, leftOuter))
   }
 }

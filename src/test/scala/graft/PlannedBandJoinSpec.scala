@@ -149,6 +149,30 @@ class PlannedBandJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("left outer: unmatched and null-key left rows emit null " +
+      "payload; matched rows equal inner") {
+    val left = Seq((Some(1L), 100L, "m"), (Some(1L), 500L, "u"),
+      (Some(9L), 100L, "nokey-peer"), (None, 100L, "nullkey"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 95L, "r95"), (2L, 100L, "r!"))
+      .toDF("k", "rt", "pv")
+    val outer = PlannedBandJoin.bandJoin(left, right, Seq("k"), "t",
+        "rt", before = 10L, after = 0L, payload = Seq("pv"),
+        leftOuter = true)
+      .select("tag", "pv").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(outer === Set(
+      ("m", Some("r95")), // in band [90,100]
+      ("u", None), // band [490,500] empty
+      ("nokey-peer", None), // key 9 has no right rows
+      ("nullkey", None))) // null key can never match
+    val inner = PlannedBandJoin.bandJoin(left, right, Seq("k"), "t",
+        "rt", before = 10L, after = 0L, payload = Seq("pv"))
+      .select("tag", "pv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inner === Set(("m", "r95")))
+  }
+
   test("rejects non-long time columns and negative bounds") {
     val l = Seq((1L, 10)).toDF("k", "t") // Int time
     val r = Seq((1L, 12L, "x")).toDF("k", "rt", "pv")
