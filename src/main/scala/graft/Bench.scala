@@ -241,32 +241,50 @@ object Bench {
       // left-outer band coverage
       "cdc_hot_keys", "ev_dow_hod_matrix", "ev_attrib_coverage")
     var sf1Total = 0.0
-    val sf1Budget = 420.0 // hard cap on the whole section, seconds
+    var sf1ColdTotal = 0.0
+    // Hard wall-clock cap on the whole section. 900 s (vs the old
+    // 420) because every probe now runs TWICE (cold + warm) — the
+    // round-4 verdict's ask: the cold number carries JIT/codegen/
+    // derived-table-build state, the warm number is the plan's
+    // steady-state shape, and reporting both is what lets the reader
+    // distinguish plan defects from cache state. Overridable for dev
+    // loops via SPARK_GRAFT_SF1_BUDGET.
+    val sf1Budget =
+      sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "900").toDouble
     val sf1Start = System.nanoTime()
     // the budget is charged WALL-CLOCK — a probe that fails after ten
     // minutes must count against the cap exactly like a slow success,
     // or failures could run the section away with the bench slot
     def sf1Elapsed: Double = (System.nanoTime() - sf1Start) / 1e9
     val sf1 = if (!sf1Exists) "{}" else {
-      // newest-first: the list is append-ordered by round, and the
-      // wall-clock budget can no longer cover all of it — the entries
-      // that MUST run each round are the ones no prior round recorded
+      // newest-first: the list is append-ordered by round, so if the
+      // budget ever runs short the entries guaranteed a slot are the
+      // ones no prior round recorded
       sf1Probes.reverse.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
-          val sec =
-            if (sf1Elapsed > sf1Budget) -2.0 // skipped: budget spent
+          val entry =
+            if (sf1Elapsed > sf1Budget)
+              """{"cold":-2.0,"warm":-2.0}""" // skipped: budget spent
             else {
-              val t0 = System.nanoTime()
-              val s =
+              // cold means cold: no in-memory cache, no memoized fit
+              // (parquet-backed Derived tables persist BY DESIGN —
+              // they are storage; the probe that builds one carries
+              // the build in its cold number)
+              spark.catalog.clearCache()
+              graft.operators.Ext9Queries.clearFitCache()
+              def once(): Double = {
+                val t0 = System.nanoTime()
                 try { fn(spark, sf1Dir).count()
                   (System.nanoTime() - t0) / 1e9 }
                 catch { case NonFatal(_) => -1.0 }
-              spark.catalog.clearCache()
-    graft.operators.Ext9Queries.clearFitCache()
-              if (s > 0) sf1Total += s
-              s
+              }
+              val cold = once()
+              val warm = if (cold < 0) -1.0 else once()
+              if (warm > 0) sf1Total += warm
+              if (cold > 0) sf1ColdTotal += cold
+              s"""{"cold":${fmt(cold)},"warm":${fmt(warm)}}"""
             }
-          s"\"$name\":${fmt(sec)}"
+          s"\"$name\":$entry"
         }
       }.mkString("{", ",", "}")
     }
@@ -277,7 +295,7 @@ object Bench {
     System.err.println(s"""[bench-detail] $detail""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","n_queries":${results.size},"total_sec":${fmt(total)},"runs_per_query":2,"noise_sum_sec":${fmt(noiseSum)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"scaling":$scaling,"sf1_probe":$sf1,"noise":$noiseDetail,"queries":$detail}""".getBytes("UTF-8"))
+      s"""{"sf":"$sfDir","n_queries":${results.size},"total_sec":${fmt(total)},"runs_per_query":2,"noise_sum_sec":${fmt(noiseSum)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"scaling":$scaling,"sf1_probe":$sf1,"sf1_warm_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)},"noise":$noiseDetail,"queries":$detail}""".getBytes("UTF-8"))
     catch { case NonFatal(e) =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // Curated headline subset (one per operator family + every query
@@ -295,7 +313,11 @@ object Bench {
     val byName = results.map(r => r._1 -> r._2).toMap
     val qs = headline.flatMap(n => byName.get(n).map(v =>
       s"\"" + n + "\":" + fmt(v))).mkString("{", ",", "}")
-    val sf1Head = if (sf1Exists) s""","sf1_total_sec":${fmt(sf1Total)}"""
+    // sf1_total_sec = sum of WARM probe seconds (steady-state shape);
+    // the cold sum (JIT + derived-table builds included) rides next to
+    // it so the two states stay distinguishable at the top line too
+    val sf1Head = if (sf1Exists)
+      s""","sf1_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)}"""
       else ""
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs_per_query":2,"noise_sum_sec":${fmt(noiseSum)}$sf1Head,"queries":$qs,"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"value":${fmt(total)}}""")
     spark.stop()

@@ -115,7 +115,6 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, minJ: Double, n: Int = 3)
       : DataFrame = {
-    val rowsPerBand = numHashes / bands
     // the shingle table is cached with its TWO narrow columns only.
     // Set sizes live on (a) the band-signature table — doc-count-sized,
     // where the PPJoin prune needs them inside the candidate join —
@@ -134,12 +133,23 @@ object Dedup {
     // localCheckpoint here re-materialized per construction and
     // measured 3× slower at sf1.
     val sh = shingles(df, idCol, textCol, n).cache()
+    val bandSig = bandSignatures(sh, numHashes, bands).cache()
+    verifyJaccard(lshCandidates(bandSig, minJ), sh, minJ)
+  }
+
+  /** LSH band-signature index of a shingle table: one row per
+    * (id, band) carrying the concatenated per-band MinHash signature
+    * and the shingle-set size (the PPJoin prune needs it inside the
+    * candidate join). Doc×bands-sized — at 100 TB this is the stored,
+    * bucketed index a dedup pipeline maintains (see
+    * [[graft.operators.NearDupGraph]]), orders of magnitude smaller
+    * than the shingle table it summarizes.
+    */
+  def bandSignatures(sh: DataFrame, numHashes: Int, bands: Int)
+      : DataFrame = {
+    val rowsPerBand = numHashes / bands
     val szOf = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // wide signatures -> one row per (id, band) with the concatenated
-    // band signature; materialized for both sides of the candidate
-    // self-join
-    val sig = minhashSignatures(sh, numHashes)
-    val bandSig = sig.join(szOf, "id")
+    minhashSignatures(sh, numHashes).join(szOf, "id")
       .select(col("id"), col("sz"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -148,18 +158,28 @@ object Dedup {
         }: _*)).as("bs"))
       .select(col("id"), col("sz"), col("bs.band").as("band"),
         col("bs.bsig").as("bsig"))
-      .cache()
-    // PPJoin-style size prune INSIDE the candidate join: J >= t needs
-    // min(sz) >= t * max(sz) — exact, never drops a qualifying pair
-    val cands = bandSig.as("a").join(bandSig.as("b"),
+  }
+
+  /** Candidate pairs from a band-signature index: equi-join on
+    * (band, bsig) with the PPJoin-style size prune INSIDE the join —
+    * J >= t needs min(sz) >= t * max(sz); exact, never drops a
+    * qualifying pair.
+    */
+  def lshCandidates(bandSig: DataFrame, minJ: Double): DataFrame =
+    bandSig.as("a").join(bandSig.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id") &&
           col("a.sz") * minJ <= col("b.sz") &&
           col("b.sz") * minJ <= col("a.sz"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    // verify candidates with exact jaccard over the cached shingle
-    // sets; the shingle equality is IN the join condition — joining on
-    // id alone would fan out |sh_a| x |sh_b| rows per candidate pair
+
+  /** Exact-Jaccard verification of candidate pairs over the shingle
+    * table; the shingle equality is IN the join condition — joining on
+    * id alone would fan out |sh_a| x |sh_b| rows per candidate pair.
+    */
+  def verifyJaccard(cands: DataFrame, sh: DataFrame, minJ: Double)
+      : DataFrame = {
+    val szOf = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     cands
       .join(sh.select(col("id").as("id_a"), col("shingle").as("s")),
         Seq("id_a"))
@@ -284,6 +304,13 @@ object Dedup {
     // (simhash_pairs/triangles/clustering/harmonic), and bench's
     // between-query clearCache releases it. Measured at sf0.1:
     // pair-search cold 7.2s -> ~4s, harmonic3 cold 28s -> ~14s.
+    // API note for library callers: the entry is NOT unpersisted here
+    // (downstream plans still reference it lazily), so each distinct
+    // input retains one fingerprint table in the CacheManager for the
+    // session's lifetime — call spark.catalog.clearCache() (or
+    // unpersist the returned plan's cached child) between corpora, or
+    // go through NearDupGraph, whose parquet materialization makes
+    // the in-memory entry single-use.
     val fp = simhash(df, idCol, textCol).cache()
     val banded = fp.select(col("id"), col("simhash"),
         explode(array((0 until bands).map(b =>

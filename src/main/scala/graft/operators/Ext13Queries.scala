@@ -462,9 +462,7 @@ object Ext13Queries {
     * small-star path that already carries the scale contract.
     */
   def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
-    val cc = Dedup.connectedComponents(
-      Dedup.minhashLshPairs(t(spark, dir, "documents"), "doc_id",
-        "text", numHashes = 16, bands = 4, minJ = 0.1))
+    val cc = NearDupGraph.ccLabels(spark, dir)
     val clustered = cc.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"))
       .groupBy("n_members")

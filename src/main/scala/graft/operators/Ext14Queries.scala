@@ -74,8 +74,7 @@ object Ext14Queries {
     */
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame =
     clusteringFromPairs(
-      Dedup.simhashNearDups(t(spark, dir, "documents"),
-          "doc_id", "text", maxHamming = 5)
+      NearDupGraph.simhashPairs5(spark, dir)
         .select(col("id_a").as("a"), col("id_b").as("b"))
         .cache())
 
@@ -894,10 +893,9 @@ object Ext14Queries {
     * the 1-row m broadcast).
     */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(t(spark, dir, "documents"),
-        "doc_id", "text", numHashes = 16, bands = 4, minJ = 0.1)
+    val pairs = NearDupGraph.lshPairs(spark, dir)
       .select("id_a", "id_b").cache()
-    val labels = Dedup.connectedComponents(pairs)
+    val labels = NearDupGraph.ccLabels(spark, dir)
       .select(col("id"), col("cluster"))
     val deg = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))

@@ -86,20 +86,37 @@ object Ext16Queries {
   // graph_harmonic3
   // ---------------------------------------------------------------
 
+  /** Hub-relay degree cap for the BFS ring expansion: rings may not
+    * pass THROUGH nodes of degree > 64 (they still appear as ring
+    * members — only their onward fan-out is cut). Same constant and
+    * rationale as `graph_link_predict`'s maxDeg prune: Σdeg³ ring
+    * cost is cubic in local density, and on a power-law graph the
+    * hubs are boilerplate-attractors, not signal. Inert at sf0.01
+    * (max degree 5) and sf0.1 (max 59); binding at sf1 (max 398,
+    * p99 = 175) where the uncapped 3-ball measured 16M pairs / 153 s
+    * on the 10× probe. Mirrored verbatim in the oracle SQL so both
+    * engines compute the SAME capped metric at every SF.
+    */
+  private val MaxRelayDeg = 64
+
   /** Harmonic centrality within radius 3: h(v) = Σ_{0<d(u,v)≤3}
-    * 1/d(u,v) on the micro lattice, exact by BFS ring construction —
-    * ring k = (ring k−1 ⋈ edges) minus all closer rings, each round
-    * distinct'd and cached (it feeds the next ring AND the final
-    * aggregate). Isolated documents (no near-dup edge) have no row —
-    * the report covers the graph, not the corpus.
+    * 1/d(u,v) on the micro lattice, by BFS ring construction —
+    * ring k = (ring k−1 ⋈ relay edges) minus all closer rings, each
+    * round distinct'd and cached (it feeds the next ring AND the
+    * final aggregate); expansion is hub-capped (see [[MaxRelayDeg]]).
+    * Isolated documents (no near-dup edge) have no row — the report
+    * covers the graph, not the corpus.
     */
   def harmonic3(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.simhashNearDups(
-      t(spark, dir, "documents"), "doc_id", "text", maxHamming = 5)
+    val pairs = NearDupGraph.simhashPairs5(spark, dir)
     val d1 = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct().cache()
+    val relay = d1.groupBy(col("u").as("m"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= MaxRelayDeg).select("m")
     val hop = d1.select(col("u").as("m"), col("v").as("w"))
+      .join(relay, "m")
     val d2 = d1.join(hop, col("v") === col("m"))
       .select(col("u"), col("w").as("v"))
       .filter(col("u") =!= col("v"))
@@ -176,15 +193,27 @@ object Ext16Queries {
           lit("],\"update\":"), payload, lit("}"))
       })
       .select(col("event_id"), dlqEnvelope.as("env"))
-    val k0 = get_json_object(col("env"), "$.key[0]")
+    // ONE Jackson pass per envelope (the CdcParse single-parse fast
+    // path): PERMISSIVE from_json with a corrupt-record column makes
+    // every reason code a field test on the already-parsed struct —
+    // vs six get_json_object calls each re-parsing the full JSON.
+    // StringType action fields capture the raw object subtree, so
+    // presence/absence matches `$.update`-style extraction exactly;
+    // array<string> key elements stringify numeric tokens, so the
+    // try_cast probe is byte-identical to json_extract_string.
+    val schema = "key array<string>, update string, " +
+      "newImage string, erase string, _corrupt string"
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt")
+    val k0 = try_element_at(col("p.key"), lit(1))
     env
+      .withColumn("p", from_json(col("env"), schema, opts))
       .withColumn("reason",
-        when(get_json_object(col("env"), "$").isNull, "not_json")
+        when(col("p").isNull || col("p._corrupt").isNotNull, "not_json")
           .when(k0.isNull, "no_key")
           .when(k0.try_cast("long").isNull, "bad_key_type")
-          .when(get_json_object(col("env"), "$.update").isNull &&
-            get_json_object(col("env"), "$.newImage").isNull &&
-            get_json_object(col("env"), "$.erase").isNull, "no_action")
+          .when(col("p.update").isNull && col("p.newImage").isNull &&
+            col("p.erase").isNull, "no_action")
           .otherwise("ok"))
       .groupBy("reason")
       .agg(count(lit(1)).as("n_msgs"),
@@ -275,20 +304,25 @@ object Ext16Queries {
         |  SELECT b AS u, a AS v FROM pairs
         |), d1 AS (
         |  SELECT DISTINCT u, v FROM e
+        |), relay AS (
+        |  SELECT u AS m FROM d1 GROUP BY u HAVING COUNT(*) <= 64
+        |), hop AS (
+        |  SELECT d1.u AS m, d1.v AS w FROM d1
+        |  JOIN relay ON relay.m = d1.u
         |), d2 AS (
-        |  SELECT DISTINCT x.u, y.v
-        |  FROM d1 x JOIN d1 y ON x.v = y.u
-        |  WHERE x.u <> y.v
+        |  SELECT DISTINCT x.u, y.w AS v
+        |  FROM d1 x JOIN hop y ON x.v = y.m
+        |  WHERE x.u <> y.w
         |    AND NOT EXISTS (SELECT 1 FROM d1 z
-        |      WHERE z.u = x.u AND z.v = y.v)
+        |      WHERE z.u = x.u AND z.v = y.w)
         |), d3 AS (
-        |  SELECT DISTINCT x.u, y.v
-        |  FROM d2 x JOIN d1 y ON x.v = y.u
-        |  WHERE x.u <> y.v
+        |  SELECT DISTINCT x.u, y.w AS v
+        |  FROM d2 x JOIN hop y ON x.v = y.m
+        |  WHERE x.u <> y.w
         |    AND NOT EXISTS (SELECT 1 FROM d1 z
-        |      WHERE z.u = x.u AND z.v = y.v)
+        |      WHERE z.u = x.u AND z.v = y.w)
         |    AND NOT EXISTS (SELECT 1 FROM d2 z
-        |      WHERE z.u = x.u AND z.v = y.v)
+        |      WHERE z.u = x.u AND z.v = y.w)
         |), allr AS (
         |  SELECT u, v, 1 AS dist FROM d1
         |  UNION ALL SELECT u, v, 2 FROM d2

@@ -77,9 +77,7 @@ object Ext3Queries {
     */
   def keepBest(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val labels = Dedup.connectedComponents(
-      Dedup.minhashLshPairs(docs, "doc_id", "text",
-        numHashes = 16, bands = 4, minJ = 0.1))
+    val labels = NearDupGraph.ccLabels(spark, dir)
     val sized = labels.join(
       docs.select(col("doc_id").as("id"),
         size(TextAnalysis.tokens(col("text"))).cast("long")
@@ -126,8 +124,7 @@ object Ext3Queries {
     def norm(c: org.apache.spark.sql.Column) =
       substring(trim(regexp_replace(
         regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " ")), 1, 64)
-    Dedup.minhashLshPairs(docs, "doc_id", "text",
-        numHashes = 16, bands = 4, minJ = 0.1)
+    NearDupGraph.lshPairs(spark, dir)
       .select("id_a", "id_b")
       .join(docs.select(col("doc_id").as("id_a"),
         norm(col("text")).as("ta")), "id_a")

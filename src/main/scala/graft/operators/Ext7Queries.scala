@@ -139,8 +139,7 @@ object Ext7Queries {
     // audit exists to measure while the candidate join stays
     // collision-bounded
     triangleCounts(
-      Dedup.simhashNearDups(t(spark, dir, "documents"),
-          "doc_id", "text", maxHamming = 5)
+      NearDupGraph.simhashPairs5(spark, dir)
         .select(col("id_a").as("a"), col("id_b").as("b")))
 
   /** Hybrid near-dup verification: lexical MinHash-LSH candidates
@@ -154,8 +153,7 @@ object Ext7Queries {
     * surfaces.
     */
   def hybridVerify(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(t(spark, dir, "documents"),
-      "doc_id", "text", numHashes = 16, bands = 4, minJ = 0.1)
+    val pairs = NearDupGraph.lshPairs(spark, dir)
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("vec"))
       .withColumn("nrm", Similarity.norm(col("vec")))

@@ -25,9 +25,7 @@ object ExtQueries {
     * join, so the pair generation survives 100 TB.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-        Dedup.minhashLshPairs(t(spark, dir, "documents"), "doc_id",
-          "text", numHashes = 16, bands = 4, minJ = 0.1))
+    NearDupGraph.ccLabels(spark, dir)
       .withColumn("is_canonical", col("id") === col("cluster"))
       .orderBy("id")
 
@@ -148,8 +146,7 @@ object ExtQueries {
   }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
-      numHashes = 16, bands = 4, minJ = 0.1).orderBy("id_a", "id_b")
+    NearDupGraph.lshPairs(spark, dir).orderBy("id_a", "id_b")
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text")

@@ -90,7 +90,11 @@ object BandJoinStrategy extends SparkStrategy {
         n.leftKeyAttrs, n.rightKeyAttrs, n.leftTimeAttr,
         n.rightTimeAttr, n.before, n.after, n.payloadAttrs,
         n.leftOuter) :: Nil
-    case j @ Join(l, r, Inner, Some(cond), _)
+    // hint = JoinHint.NONE only: a user-supplied strategy hint
+    // (broadcast/merge/...) on an eligible interval join is an
+    // explicit plan request — the sweep must not silently override it
+    case j @ Join(l, r, Inner, Some(cond),
+          org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
         if org.apache.spark.sql.internal.SQLConf.get
           .getConfString(BandJoinStrategy.SqlFlag, "false") == "true" =>
       BandJoinSqlMatch.matchJoin(l, r, cond) match {
@@ -239,6 +243,12 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
               if (outer) { curLeft = l.copy(); emitNull = true }
             } else {
               val t = ts.getLong(0)
+            // saturating band edges: bef/aft >= 0 is validated, but a
+            // time near Long.Max/Min would wrap t+aft / t-bef and
+            // silently mis-admit or skip rows; clamping keeps the
+            // mathematical band (epoch-time inputs never get close)
+            val hi = { val s = t + aft; if (s < t) Long.MaxValue else s }
+            val lo = { val s = t - bef; if (s > t) Long.MinValue else s }
               // key changed under the buffer -> stale rows
               if (bufKey != null && keyOrd.compare(bufKey, k) != 0) {
                 bufTimes.clear(); bufRows.clear(); bufKey = null
@@ -246,9 +256,9 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
               // consume right side up to the band's upper edge
               while (rValid && {
                 val c = keyOrd.compare(rKey, k)
-                c < 0 || (c == 0 && rTs <= t + aft)
+                c < 0 || (c == 0 && rTs <= hi)
               }) {
-                if (keyOrd.compare(rKey, k) == 0 && rTs >= t - bef) {
+                if (keyOrd.compare(rKey, k) == 0 && rTs >= lo) {
                   bufTimes.addLast(rTs)
                   bufRows.addLast(payProj(rRow).copy())
                   bufKey = rKey
@@ -256,7 +266,7 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
                 advanceRight()
               }
               // evict below the band's lower edge
-              while (!bufTimes.isEmpty && bufTimes.peekFirst() < t - bef) {
+              while (!bufTimes.isEmpty && bufTimes.peekFirst() < lo) {
                 bufTimes.removeFirst(); bufRows.removeFirst()
               }
               if (!bufRows.isEmpty) {

@@ -34,6 +34,11 @@ object TopicBroker {
   final class Topic(val partitions: Int) {
     val logs: Array[scala.collection.mutable.ArrayBuffer[String]] =
       Array.fill(partitions)(scala.collection.mutable.ArrayBuffer())
+    // message keys, parallel to logs (null = unkeyed append). Only the
+    // kafka-shaped front door ([[KafkaShapedSourceProvider]]) reads
+    // them; the (value, partition, offset) contract ignores them.
+    val keys: Array[scala.collection.mutable.ArrayBuffer[String]] =
+      Array.fill(partitions)(scala.collection.mutable.ArrayBuffer())
     // byte prefix sums per partition: bytesCum(p)(i) = total UTF-8
     // bytes of messages [0, i) — byte-budget admission is then an
     // O(log n)-searchable range query, never a value scan (the walk
@@ -59,10 +64,12 @@ object TopicBroker {
   def partitions(name: String): Int = topic(name).partitions
 
   /** Append to an explicit partition; returns its offset. */
-  def send(name: String, partition: Int, value: String): Long = {
+  def send(name: String, partition: Int, value: String,
+      key: String = null): Long = {
     val t = topic(name)
     t.logs(partition).synchronized {
       t.logs(partition) += value
+      t.keys(partition) += key
       t.bytesCum(partition) += t.bytesCum(partition).last +
         value.getBytes("UTF-8").length
       t.logs(partition).length - 1L
@@ -90,7 +97,8 @@ object TopicBroker {
     * order is per-partition order.
     */
   def sendKeyed(name: String, key: Long, value: String): Long =
-    send(name, math.floorMod(key, partitions(name)).toInt, value)
+    send(name, math.floorMod(key, partitions(name)).toInt, value,
+      key.toString)
 
   def endOffsets(name: String): Array[Long] =
     topic(name).logs.map(l => l.synchronized(l.length.toLong))
@@ -99,6 +107,16 @@ object TopicBroker {
       until: Long): Seq[String] = {
     val l = topic(name).logs(partition)
     l.synchronized(l.slice(from.toInt, until.toInt).toSeq)
+  }
+
+  /** (key, value) slice — the kafka-shaped reader's view. */
+  def readKeyed(name: String, partition: Int, from: Long,
+      until: Long): Seq[(String, String)] = {
+    val t = topic(name)
+    t.logs(partition).synchronized {
+      (t.keys(partition).slice(from.toInt, until.toInt) zip
+        t.logs(partition).slice(from.toInt, until.toInt)).toSeq
+    }
   }
 }
 

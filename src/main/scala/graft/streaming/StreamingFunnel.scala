@@ -21,6 +21,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * slots with MINIMUM qualifying times), so replayed deliveries are
   * naturally idempotent — no seq guard needed, unlike SCD2 where
   * emission is the irreversible act.
+  *
+  * DELIVERY CONTRACT (cross-batch ordering): within one micro-batch,
+  * events are sorted by (event time, stage priority, id), so
+  * any-order delivery INSIDE a batch is handled. ACROSS batches the
+  * machine assumes per-key event-time-ordered delivery — the same
+  * per-key ordering guard StreamingScd2 documents for its seq gate.
+  * A qualifying click delivered in an EARLIER batch than its
+  * prerequisite view is dropped (tView unset at evaluation time) and
+  * is not reconsidered when the view arrives, so under cross-batch
+  * event-time disorder the streamed funnel can diverge from the
+  * batch `ev_funnel` until the affected stages are replayed. This is
+  * the standard contract for a keyed CDC/topic source (per-key
+  * partition order == event order); feeding the funnel from a source
+  * that reorders a key's events across batches requires either
+  * replaying the disordered span or buffering out-of-band events in
+  * state until their prerequisite stage fills.
   */
 object StreamingFunnel {
 
