@@ -239,7 +239,14 @@ object Bench {
       "eval_ab_qte", "dq_srm_check",
       // round-6 batch-12: bounded-heap hot keys, 168-cell matrix,
       // left-outer band coverage
-      "cdc_hot_keys", "ev_dow_hod_matrix", "ev_attrib_coverage")
+      "cdc_hot_keys", "ev_dow_hod_matrix", "ev_attrib_coverage",
+      // round-5 batch-1/2/3: rule-battery scan, moment CUPED, card
+      // rollup, hash-agg LPA iterations, capped bipartite pair
+      // fan-out, day-series drawdown windows, int8-code BNLJ scan +
+      // re-rank, one-pass recall curve, ntile backfill chunking
+      "text_gopher_rules", "ev_ab_cuped", "dataset_card",
+      "graph_label_prop", "graph_bipartite_project", "ts_drawdown",
+      "sim_ann_sq8", "eval_recall_curve", "cdc_backfill_plan")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -45,6 +45,9 @@ object SparkEntry {
       operators.Ext24Queries.queries ++
       operators.Ext25Queries.queries ++
       operators.Ext26Queries.queries ++
+      operators.Ext27Queries.queries ++
+      operators.Ext28Queries.queries ++
+      operators.Ext29Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -83,6 +86,9 @@ object SparkEntry {
       operators.Ext24Queries.oracle ++
       operators.Ext25Queries.oracle ++
       operators.Ext26Queries.oracle ++
+      operators.Ext27Queries.oracle ++
+      operators.Ext28Queries.oracle ++
+      operators.Ext29Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

@@ -68,7 +68,11 @@ class PlanSweepSpec extends AnyFunSuite {
   //    windows (ev_active_users_7d's shape)
   //  - cdc_hot_keys: 1-row total broadcast attaching the share
   //    denominator before the bounded-heap top-10
+  //  - sim_ann_sq8 / eval_recall_curve: broadcast-anchor BNLJ over
+  //    the 8-query probe table (sim_cosine_topk's shape) plus the
+  //    1-row SQ8 [min,max] bounds broadcast
   private val allowCross = Set(
+    "sim_ann_sq8", "eval_recall_curve",
     "cdc_hot_keys",
     "ev_stickiness",
     "dq_chi2_independence",
