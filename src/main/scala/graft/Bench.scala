@@ -246,7 +246,10 @@ object Bench {
       // re-rank, one-pass recall curve, ntile backfill chunking
       "text_gopher_rules", "ev_ab_cuped", "dataset_card",
       "graph_label_prop", "graph_bipartite_project", "ts_drawdown",
-      "sim_ann_sq8", "eval_recall_curve", "cdc_backfill_plan")
+      "sim_ann_sq8", "eval_recall_curve", "cdc_backfill_plan",
+      // round-5 batch-4: narrow featurize + id join, Derived-label
+      // rollup, 1-row argmax policy broadcast
+      "mm_clip_align", "dedup_survivorship", "ev_bandit_replay")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -48,6 +48,7 @@ object SparkEntry {
       operators.Ext27Queries.queries ++
       operators.Ext28Queries.queries ++
       operators.Ext29Queries.queries ++
+      operators.Ext30Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -89,6 +90,7 @@ object SparkEntry {
       operators.Ext27Queries.oracle ++
       operators.Ext28Queries.oracle ++
       operators.Ext29Queries.oracle ++
+      operators.Ext30Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

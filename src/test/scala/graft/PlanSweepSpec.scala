@@ -73,6 +73,9 @@ class PlanSweepSpec extends AnyFunSuite {
   //    1-row SQ8 [min,max] bounds broadcast
   private val allowCross = Set(
     "sim_ann_sq8", "eval_recall_curve",
+    // ev_bandit_replay: 1-row target-arm broadcast riding into the
+    // post-period conditional aggregate
+    "ev_bandit_replay",
     "cdc_hot_keys",
     "ev_stickiness",
     "dq_chi2_independence",
