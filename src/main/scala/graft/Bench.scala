@@ -249,7 +249,10 @@ object Bench {
       "sim_ann_sq8", "eval_recall_curve", "cdc_backfill_plan",
       // round-5 batch-4: narrow featurize + id join, Derived-label
       // rollup, 1-row argmax policy broadcast
-      "mm_clip_align", "dedup_survivorship", "ev_bandit_replay")
+      "mm_clip_align", "dedup_survivorship", "ev_bandit_replay",
+      // round-5 batch-5: second-moment IVM retraction, one-pass
+      // multi-window band coverage, cumulative-moment z trajectory
+      "cdc_ivm_moments", "ev_attrib_window_curve", "ev_ab_sequential")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

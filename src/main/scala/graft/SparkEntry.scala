@@ -49,6 +49,7 @@ object SparkEntry {
       operators.Ext28Queries.queries ++
       operators.Ext29Queries.queries ++
       operators.Ext30Queries.queries ++
+      operators.Ext31Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -91,6 +92,7 @@ object SparkEntry {
       operators.Ext28Queries.oracle ++
       operators.Ext29Queries.oracle ++
       operators.Ext30Queries.oracle ++
+      operators.Ext31Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++
