@@ -252,7 +252,10 @@ object Bench {
       "mm_clip_align", "dedup_survivorship", "ev_bandit_replay",
       // round-5 batch-5: second-moment IVM retraction, one-pass
       // multi-window band coverage, cumulative-moment z trajectory
-      "cdc_ivm_moments", "ev_attrib_window_curve", "ev_ab_sequential")
+      "cdc_ivm_moments", "ev_attrib_window_curve", "ev_ab_sequential",
+      // round-5 batch-6: 5-row spine sweep over the stored pair
+      // table, prefix-sum SSE change-point, composed curation gates
+      "sim_threshold_sweep", "ts_changepoint_mean", "pipeline_curate3")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

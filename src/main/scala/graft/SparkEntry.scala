@@ -50,6 +50,7 @@ object SparkEntry {
       operators.Ext29Queries.queries ++
       operators.Ext30Queries.queries ++
       operators.Ext31Queries.queries ++
+      operators.Ext32Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -93,6 +94,7 @@ object SparkEntry {
       operators.Ext29Queries.oracle ++
       operators.Ext30Queries.oracle ++
       operators.Ext31Queries.oracle ++
+      operators.Ext32Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++
