@@ -255,7 +255,10 @@ object Bench {
       "cdc_ivm_moments", "ev_attrib_window_curve", "ev_ab_sequential",
       // round-5 batch-6: 5-row spine sweep over the stored pair
       // table, prefix-sum SSE change-point, composed curation gates
-      "sim_threshold_sweep", "ts_changepoint_mean", "pipeline_curate3")
+      "sim_threshold_sweep", "ts_changepoint_mean", "pipeline_curate3",
+      // round-5 batch-7: dim-lattice energy explode, 5-row rich-club
+      // spine, frame-hash shuffle
+      "embed_dim_energy", "graph_rich_club", "mm_shared_frames")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

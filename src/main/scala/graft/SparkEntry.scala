@@ -51,6 +51,7 @@ object SparkEntry {
       operators.Ext30Queries.queries ++
       operators.Ext31Queries.queries ++
       operators.Ext32Queries.queries ++
+      operators.Ext33Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -95,6 +96,7 @@ object SparkEntry {
       operators.Ext30Queries.oracle ++
       operators.Ext31Queries.oracle ++
       operators.Ext32Queries.oracle ++
+      operators.Ext33Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

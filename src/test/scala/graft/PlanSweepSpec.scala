@@ -76,6 +76,9 @@ class PlanSweepSpec extends AnyFunSuite {
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
     // post-period conditional aggregate
     "ev_bandit_replay",
+    // graph_rich_club: bounded 5-row threshold spine cross-joined
+    // into the degree/edge tables
+    "graph_rich_club",
     "cdc_hot_keys",
     "ev_stickiness",
     "dq_chi2_independence",
