@@ -258,7 +258,10 @@ object Bench {
       "sim_threshold_sweep", "ts_changepoint_mean", "pipeline_curate3",
       // round-5 batch-7: dim-lattice energy explode, 5-row rich-club
       // spine, frame-hash shuffle
-      "embed_dim_energy", "graph_rich_club", "mm_shared_frames")
+      "embed_dim_energy", "graph_rich_club", "mm_shared_frames",
+      // round-5 batch-8: 4-row MDE grid over one moment aggregate,
+      // per-arm exact-percentile rank windows
+      "ev_power_analysis", "ev_ab_winsorized")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

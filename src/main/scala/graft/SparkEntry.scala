@@ -52,6 +52,7 @@ object SparkEntry {
       operators.Ext31Queries.queries ++
       operators.Ext32Queries.queries ++
       operators.Ext33Queries.queries ++
+      operators.Ext34Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -97,6 +98,7 @@ object SparkEntry {
       operators.Ext31Queries.oracle ++
       operators.Ext32Queries.oracle ++
       operators.Ext33Queries.oracle ++
+      operators.Ext34Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

@@ -79,6 +79,9 @@ class PlanSweepSpec extends AnyFunSuite {
     // graph_rich_club: bounded 5-row threshold spine cross-joined
     // into the degree/edge tables
     "graph_rich_club",
+    // ev_power_analysis: 1-row corpus-moment aggregate x 4-row MDE
+    // grid spine
+    "ev_power_analysis",
     "cdc_hot_keys",
     "ev_stickiness",
     "dq_chi2_independence",
