@@ -261,7 +261,10 @@ object Bench {
       "embed_dim_energy", "graph_rich_club", "mm_shared_frames",
       // round-5 batch-8: 4-row MDE grid over one moment aggregate,
       // per-arm exact-percentile rank windows
-      "ev_power_analysis", "ev_ab_winsorized")
+      "ev_power_analysis", "ev_ab_winsorized",
+      // round-5 batch-9: 2x2 conditional cells, 3-config re-banding
+      // over one signature table, |partitions| assignment sort
+      "ev_ab_did", "dedup_lsh_tuning", "cdc_rebalance_plan")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

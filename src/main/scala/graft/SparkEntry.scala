@@ -53,6 +53,7 @@ object SparkEntry {
       operators.Ext32Queries.queries ++
       operators.Ext33Queries.queries ++
       operators.Ext34Queries.queries ++
+      operators.Ext35Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -99,6 +100,7 @@ object SparkEntry {
       operators.Ext32Queries.oracle ++
       operators.Ext33Queries.oracle ++
       operators.Ext34Queries.oracle ++
+      operators.Ext35Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

@@ -82,6 +82,9 @@ class PlanSweepSpec extends AnyFunSuite {
     // ev_power_analysis: 1-row corpus-moment aggregate x 4-row MDE
     // grid spine
     "ev_power_analysis",
+    // dedup_lsh_tuning: three 1-row candidate/verified count
+    // aggregates cross-joined per config
+    "dedup_lsh_tuning",
     "cdc_hot_keys",
     "ev_stickiness",
     "dq_chi2_independence",
