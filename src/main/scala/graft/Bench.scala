@@ -264,7 +264,10 @@ object Bench {
       "ev_power_analysis", "ev_ab_winsorized",
       // round-5 batch-9: 2x2 conditional cells, 3-config re-banding
       // over one signature table, |partitions| assignment sort
-      "ev_ab_did", "dedup_lsh_tuning", "cdc_rebalance_plan")
+      "ev_ab_did", "dedup_lsh_tuning", "cdc_rebalance_plan",
+      // round-5 batch-10: measure-stack flatMap, decorrelated
+      // lateral, outer-join IVM touched-key recompute
+      "q73_unpivot", "q74_lateral_topn", "cdc_ivm_outer")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

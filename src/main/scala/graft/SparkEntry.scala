@@ -54,6 +54,7 @@ object SparkEntry {
       operators.Ext33Queries.queries ++
       operators.Ext34Queries.queries ++
       operators.Ext35Queries.queries ++
+      operators.Ext36Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -101,6 +102,7 @@ object SparkEntry {
       operators.Ext33Queries.oracle ++
       operators.Ext34Queries.oracle ++
       operators.Ext35Queries.oracle ++
+      operators.Ext36Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++
