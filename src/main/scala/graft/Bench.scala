@@ -267,7 +267,10 @@ object Bench {
       "ev_ab_did", "dedup_lsh_tuning", "cdc_rebalance_plan",
       // round-5 batch-10: measure-stack flatMap, decorrelated
       // lateral, outer-join IVM touched-key recompute
-      "q73_unpivot", "q74_lateral_topn", "cdc_ivm_outer")
+      "q73_unpivot", "q74_lateral_topn", "cdc_ivm_outer",
+      // round-5 batch-11: 3-row K spine over one frequency table,
+      // per-partition lag window, Derived-LPA conductance rollup
+      "tok_oov_curve", "cdc_order_inversions", "graph_conductance")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

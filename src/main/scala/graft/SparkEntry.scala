@@ -55,6 +55,7 @@ object SparkEntry {
       operators.Ext34Queries.queries ++
       operators.Ext35Queries.queries ++
       operators.Ext36Queries.queries ++
+      operators.Ext37Queries.queries ++
       operators.EventTimeQueries.queries ++
       operators.Pq.queries ++
       operators.IvfPq.queries ++
@@ -103,6 +104,7 @@ object SparkEntry {
       operators.Ext34Queries.oracle ++
       operators.Ext35Queries.oracle ++
       operators.Ext36Queries.oracle ++
+      operators.Ext37Queries.oracle ++
       operators.EventTimeQueries.oracle ++
       operators.Pq.oracle ++
       operators.IvfPq.oracle ++

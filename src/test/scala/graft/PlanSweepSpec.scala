@@ -85,6 +85,9 @@ class PlanSweepSpec extends AnyFunSuite {
     // dedup_lsh_tuning: three 1-row candidate/verified count
     // aggregates cross-joined per config
     "dedup_lsh_tuning",
+    // tok_oov_curve: 3-row K spine + 1-row corpus-total broadcast;
+    // graph_conductance: 1-row total-volume broadcast
+    "tok_oov_curve", "graph_conductance",
     "cdc_hot_keys",
     "ev_stickiness",
     "dq_chi2_independence",
