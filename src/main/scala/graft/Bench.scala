@@ -28,6 +28,29 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Derived-table builds, timed as their own labeled bench entries
+    // BEFORE the warmup pass (r5 verdict asks #5/#6: the stored-index
+    // build cost was previously paid invisibly inside warmup at sf0.1
+    // and repeatedly inside whichever probe ran first cold at sf1).
+    // Dependency order — each label carries only its own increment.
+    val derivedBuilds: Seq[(String,
+        (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      ("derived:sh3", operators.NearDupGraph.shingleTable _),
+      ("derived:bandsig", operators.NearDupGraph.bandSig _),
+      ("derived:lshpairs", operators.NearDupGraph.lshPairs _),
+      ("derived:cclabels", operators.NearDupGraph.ccLabels _),
+      ("derived:simhashpairs", operators.NearDupGraph.simhashPairs5 _),
+      ("derived:lpalabels", operators.Ext28Queries.lpaLabelTable _),
+      ("derived:cdcparsed", operators.CdcQueries.parsedStored _))
+    val derivedSf: Seq[(String, Double, Double)] =
+      derivedBuilds.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val sec = try { fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9 }
+        catch { case NonFatal(_) => -1.0 }
+        (name, sec, 0.0)
+      }
+    val derivedBuildSec = derivedSf.map(_._2).filter(_ >= 0).sum
     // Warmup pass: run every query once so each query's whole-stage
     // codegen + JIT is paid OUTSIDE the timed loop — the timed pass
     // then measures steady-state, which is what a long-running engine
@@ -46,7 +69,7 @@ object Bench {
     // between the two runs) so a query keeps its own intra-query cache
     // but cached/checkpointed blocks never accumulate across the suite
     // and skew later queries via memory pressure.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = derivedSf ++ SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -270,7 +293,10 @@ object Bench {
       "q73_unpivot", "q74_lateral_topn", "cdc_ivm_outer",
       // round-5 batch-11: 3-row K spine over one frequency table,
       // per-partition lag window, Derived-LPA conductance rollup
-      "tok_oov_curve", "cdc_order_inversions", "graph_conductance")
+      "tok_oov_curve", "cdc_order_inversions", "graph_conductance",
+      // round-6(this) batch-1: eval-shingle semi-join decontamination,
+      // codegen regex scan, containment over stored candidates
+      "text_contamination", "text_pii_scrub", "dedup_containment_lsh")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old
@@ -280,18 +306,46 @@ object Bench {
     // steady-state shape, and reporting both is what lets the reader
     // distinguish plan defects from cache state. Overridable for dev
     // loops via SPARK_GRAFT_SF1_BUDGET.
+    // 1200 (vs r5's 900): the derived builds are now charged up-front
+    // (below) so every probe runs warm-indexed, and the r5 run showed
+    // 900 s leaves ~50 back-catalog probes unprobed (-2) — the extra
+    // 300 s buys the whole list at ~4 s/probe.
     val sf1Budget =
-      sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "900").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "1200").toDouble
     val sf1Start = System.nanoTime()
     // the budget is charged WALL-CLOCK — a probe that fails after ten
     // minutes must count against the cap exactly like a slow success,
     // or failures could run the section away with the bench slot
     def sf1Elapsed: Double = (System.nanoTime() - sf1Start) / 1e9
     val sf1 = if (!sf1Exists) "{}" else {
+      // Derived builds FIRST, each charged once as its own labeled
+      // entry (cold = build + first read, warm = parquet re-read) —
+      // the r5 run charged the lshpairs build to dedup_lsh_tuning's
+      // cold number (201.7 s) and then had no budget left for 50
+      // back-catalog probes. With the stored indexes paid up-front,
+      // every probe below measures its own plan warm-indexed.
+      val derivedEntries = derivedBuilds.map { case (name, fn) =>
+        val entry =
+          if (sf1Elapsed > sf1Budget) """{"cold":-2.0,"warm":-2.0}"""
+          else {
+            def once(): Double = {
+              val t0 = System.nanoTime()
+              try { fn(spark, sf1Dir).count()
+                (System.nanoTime() - t0) / 1e9 }
+              catch { case NonFatal(_) => -1.0 }
+            }
+            val cold = once()
+            val warm = if (cold < 0) -1.0 else once()
+            if (warm > 0) sf1Total += warm
+            if (cold > 0) sf1ColdTotal += cold
+            s"""{"cold":${fmt(cold)},"warm":${fmt(warm)}}"""
+          }
+        s"\"$name\":$entry"
+      }
       // newest-first: the list is append-ordered by round, so if the
       // budget ever runs short the entries guaranteed a slot are the
       // ones no prior round recorded
-      sf1Probes.reverse.flatMap { name =>
+      (derivedEntries ++ sf1Probes.reverse.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           val entry =
             if (sf1Elapsed > sf1Budget)
@@ -299,8 +353,7 @@ object Bench {
             else {
               // cold means cold: no in-memory cache, no memoized fit
               // (parquet-backed Derived tables persist BY DESIGN —
-              // they are storage; the probe that builds one carries
-              // the build in its cold number)
+              // they are storage, charged above as derived:* entries)
               spark.catalog.clearCache()
               graft.operators.Ext9Queries.clearFitCache()
               def once(): Double = {
@@ -317,7 +370,7 @@ object Bench {
             }
           s"\"$name\":$entry"
         }
-      }.mkString("{", ",", "}")
+      }).mkString("{", ",", "}")
     }
     // Full per-query detail goes to stderr AND a file: the driver
     // records only the trailing ~2000 chars of stdout, so the single
@@ -326,7 +379,7 @@ object Bench {
     System.err.println(s"""[bench-detail] $detail""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","n_queries":${results.size},"total_sec":${fmt(total)},"runs_per_query":2,"noise_sum_sec":${fmt(noiseSum)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"scaling":$scaling,"sf1_probe":$sf1,"sf1_warm_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)},"noise":$noiseDetail,"queries":$detail}""".getBytes("UTF-8"))
+      s"""{"sf":"$sfDir","n_queries":${results.size},"total_sec":${fmt(total)},"derived_build_sec":${fmt(derivedBuildSec)},"runs_per_query":2,"noise_sum_sec":${fmt(noiseSum)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"scaling":$scaling,"sf1_probe":$sf1,"sf1_warm_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)},"noise":$noiseDetail,"queries":$detail}""".getBytes("UTF-8"))
     catch { case NonFatal(e) =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // Curated headline subset (one per operator family + every query
@@ -350,7 +403,7 @@ object Bench {
     val sf1Head = if (sf1Exists)
       s""","sf1_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)}"""
       else ""
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs_per_query":2,"noise_sum_sec":${fmt(noiseSum)}$sf1Head,"queries":$qs,"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"value":${fmt(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"derived_build_sec":${fmt(derivedBuildSec)},"runs_per_query":2,"noise_sum_sec":${fmt(noiseSum)}$sf1Head,"queries":$qs,"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"value":${fmt(total)}}""")
     spark.stop()
   }
 }

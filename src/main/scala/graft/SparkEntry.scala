@@ -15,99 +15,111 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
 
+  /** Single registry of every query module: (name, queries, oracles).
+    * `queries`/`oracleSql` below and EntryContractSpec both derive
+    * from THIS list, so a new module registered here is automatically
+    * covered by the catalog-consistency tests (the r5 red gate was a
+    * hand-maintained copy of this list going stale).
+    */
+  val modules: Seq[(String,
+      Map[String, (SparkSession, String) => DataFrame],
+      Map[String, String])] = Seq(
+    ("Relational", operators.Relational.queries,
+      operators.Relational.oracle),
+    ("CdcQueries", operators.CdcQueries.queries,
+      operators.CdcQueries.oracle),
+    ("ExtQueries", operators.ExtQueries.queries,
+      operators.ExtQueries.oracle),
+    ("Ext2Queries", operators.Ext2Queries.queries,
+      operators.Ext2Queries.oracle),
+    ("Ext3Queries", operators.Ext3Queries.queries,
+      operators.Ext3Queries.oracle),
+    ("Ext4Queries", operators.Ext4Queries.queries,
+      operators.Ext4Queries.oracle),
+    ("Ext5Queries", operators.Ext5Queries.queries,
+      operators.Ext5Queries.oracle),
+    ("Ext6Queries", operators.Ext6Queries.queries,
+      operators.Ext6Queries.oracle),
+    ("Ext7Queries", operators.Ext7Queries.queries,
+      operators.Ext7Queries.oracle),
+    ("Ext8Queries", operators.Ext8Queries.queries,
+      operators.Ext8Queries.oracle),
+    ("Ext9Queries", operators.Ext9Queries.queries,
+      operators.Ext9Queries.oracle),
+    ("Ext10Queries", operators.Ext10Queries.queries,
+      operators.Ext10Queries.oracle),
+    ("Ext11Queries", operators.Ext11Queries.queries,
+      operators.Ext11Queries.oracle),
+    ("Ext12Queries", operators.Ext12Queries.queries,
+      operators.Ext12Queries.oracle),
+    ("Ext13Queries", operators.Ext13Queries.queries,
+      operators.Ext13Queries.oracle),
+    ("Ext14Queries", operators.Ext14Queries.queries,
+      operators.Ext14Queries.oracle),
+    ("Ext15Queries", operators.Ext15Queries.queries,
+      operators.Ext15Queries.oracle),
+    ("Ext16Queries", operators.Ext16Queries.queries,
+      operators.Ext16Queries.oracle),
+    ("Ext17Queries", operators.Ext17Queries.queries,
+      operators.Ext17Queries.oracle),
+    ("Ext18Queries", operators.Ext18Queries.queries,
+      operators.Ext18Queries.oracle),
+    ("Ext19Queries", operators.Ext19Queries.queries,
+      operators.Ext19Queries.oracle),
+    ("Ext20Queries", operators.Ext20Queries.queries,
+      operators.Ext20Queries.oracle),
+    ("Ext21Queries", operators.Ext21Queries.queries,
+      operators.Ext21Queries.oracle),
+    ("Ext22Queries", operators.Ext22Queries.queries,
+      operators.Ext22Queries.oracle),
+    ("Ext23Queries", operators.Ext23Queries.queries,
+      operators.Ext23Queries.oracle),
+    ("Ext24Queries", operators.Ext24Queries.queries,
+      operators.Ext24Queries.oracle),
+    ("Ext25Queries", operators.Ext25Queries.queries,
+      operators.Ext25Queries.oracle),
+    ("Ext26Queries", operators.Ext26Queries.queries,
+      operators.Ext26Queries.oracle),
+    ("Ext27Queries", operators.Ext27Queries.queries,
+      operators.Ext27Queries.oracle),
+    ("Ext28Queries", operators.Ext28Queries.queries,
+      operators.Ext28Queries.oracle),
+    ("Ext29Queries", operators.Ext29Queries.queries,
+      operators.Ext29Queries.oracle),
+    ("Ext30Queries", operators.Ext30Queries.queries,
+      operators.Ext30Queries.oracle),
+    ("Ext31Queries", operators.Ext31Queries.queries,
+      operators.Ext31Queries.oracle),
+    ("Ext32Queries", operators.Ext32Queries.queries,
+      operators.Ext32Queries.oracle),
+    ("Ext33Queries", operators.Ext33Queries.queries,
+      operators.Ext33Queries.oracle),
+    ("Ext34Queries", operators.Ext34Queries.queries,
+      operators.Ext34Queries.oracle),
+    ("Ext35Queries", operators.Ext35Queries.queries,
+      operators.Ext35Queries.oracle),
+    ("Ext36Queries", operators.Ext36Queries.queries,
+      operators.Ext36Queries.oracle),
+    ("Ext37Queries", operators.Ext37Queries.queries,
+      operators.Ext37Queries.oracle),
+    ("Ext38Queries", operators.Ext38Queries.queries,
+      operators.Ext38Queries.oracle),
+    ("EventTimeQueries", operators.EventTimeQueries.queries,
+      operators.EventTimeQueries.oracle),
+    ("Pq", operators.Pq.queries, operators.Pq.oracle),
+    ("IvfPq", operators.IvfPq.queries, operators.IvfPq.oracle),
+    ("DataQuality", operators.DataQuality.queries,
+      operators.DataQuality.oracle),
+    ("MiscQueries", operators.MiscQueries.queries,
+      operators.MiscQueries.oracle))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++
-      operators.CdcQueries.queries ++
-      operators.ExtQueries.queries ++
-      operators.Ext2Queries.queries ++
-      operators.Ext3Queries.queries ++
-      operators.Ext4Queries.queries ++
-      operators.Ext5Queries.queries ++
-      operators.Ext6Queries.queries ++
-      operators.Ext7Queries.queries ++
-      operators.Ext8Queries.queries ++
-      operators.Ext9Queries.queries ++
-      operators.Ext10Queries.queries ++
-      operators.Ext11Queries.queries ++
-      operators.Ext12Queries.queries ++
-      operators.Ext13Queries.queries ++
-      operators.Ext14Queries.queries ++
-      operators.Ext15Queries.queries ++
-      operators.Ext16Queries.queries ++
-      operators.Ext17Queries.queries ++
-      operators.Ext18Queries.queries ++
-      operators.Ext19Queries.queries ++
-      operators.Ext20Queries.queries ++
-      operators.Ext21Queries.queries ++
-      operators.Ext22Queries.queries ++
-      operators.Ext23Queries.queries ++
-      operators.Ext24Queries.queries ++
-      operators.Ext25Queries.queries ++
-      operators.Ext26Queries.queries ++
-      operators.Ext27Queries.queries ++
-      operators.Ext28Queries.queries ++
-      operators.Ext29Queries.queries ++
-      operators.Ext30Queries.queries ++
-      operators.Ext31Queries.queries ++
-      operators.Ext32Queries.queries ++
-      operators.Ext33Queries.queries ++
-      operators.Ext34Queries.queries ++
-      operators.Ext35Queries.queries ++
-      operators.Ext36Queries.queries ++
-      operators.Ext37Queries.queries ++
-      operators.EventTimeQueries.queries ++
-      operators.Pq.queries ++
-      operators.IvfPq.queries ++
-      operators.DataQuality.queries ++
-      operators.MiscQueries.queries
+    modules.iterator.map(_._2).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracle ++
-      operators.CdcQueries.oracle ++
-      operators.ExtQueries.oracle ++
-      operators.Ext2Queries.oracle ++
-      operators.Ext3Queries.oracle ++
-      operators.Ext4Queries.oracle ++
-      operators.Ext5Queries.oracle ++
-      operators.Ext6Queries.oracle ++
-      operators.Ext7Queries.oracle ++
-      operators.Ext8Queries.oracle ++
-      operators.Ext9Queries.oracle ++
-      operators.Ext10Queries.oracle ++
-      operators.Ext11Queries.oracle ++
-      operators.Ext12Queries.oracle ++
-      operators.Ext13Queries.oracle ++
-      operators.Ext14Queries.oracle ++
-      operators.Ext15Queries.oracle ++
-      operators.Ext16Queries.oracle ++
-      operators.Ext17Queries.oracle ++
-      operators.Ext18Queries.oracle ++
-      operators.Ext19Queries.oracle ++
-      operators.Ext20Queries.oracle ++
-      operators.Ext21Queries.oracle ++
-      operators.Ext22Queries.oracle ++
-      operators.Ext23Queries.oracle ++
-      operators.Ext24Queries.oracle ++
-      operators.Ext25Queries.oracle ++
-      operators.Ext26Queries.oracle ++
-      operators.Ext27Queries.oracle ++
-      operators.Ext28Queries.oracle ++
-      operators.Ext29Queries.oracle ++
-      operators.Ext30Queries.oracle ++
-      operators.Ext31Queries.oracle ++
-      operators.Ext32Queries.oracle ++
-      operators.Ext33Queries.oracle ++
-      operators.Ext34Queries.oracle ++
-      operators.Ext35Queries.oracle ++
-      operators.Ext36Queries.oracle ++
-      operators.Ext37Queries.oracle ++
-      operators.EventTimeQueries.oracle ++
-      operators.Pq.oracle ++
-      operators.IvfPq.oracle ++
-      operators.DataQuality.oracle ++
-      operators.MiscQueries.oracle
+    modules.iterator.map(_._3).reduce(_ ++ _)
 }

@@ -74,6 +74,19 @@ object CdcQueries {
       dir: String): DataFrame = parsed(spark, dir)
   private[operators] def baseCtePublic: String = baseCte
 
+  /** The parsed changelog as a stored [[graft.Derived]] table — the
+    * monitoring-family consumers (cdc_hot_keys) read the persisted
+    * parse output the way a 100 TB operator reads the stored typed
+    * log, not by re-parsing the raw envelope stream per report (the
+    * r5 driver probe measured that re-parse at 12.4 s warm at sf1).
+    * Parse-path queries (cdc_parse_route, cdc_typed_assembly, the
+    * apply family) keep calling `parsed()` — paying the parse is the
+    * thing they measure.
+    */
+  private[graft] def parsedStored(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.Derived.table(spark, s"cdcparsed:$dir")(parsed(spark, dir))
+
   def parseRoute(spark: SparkSession, dir: String): DataFrame =
     parsed(spark, dir).select("event_id", "op").orderBy("event_id")
 

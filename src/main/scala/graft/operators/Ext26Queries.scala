@@ -29,7 +29,10 @@ object Ext26Queries {
   // ---------------------------------------------------------------
 
   def hotKeys(spark: SparkSession, dir: String): DataFrame = {
-    val parsed = CdcQueries.parsedPublic(spark, dir)
+    // reads the STORED parsed changelog (Derived parquet) — the
+    // monitoring report consumes the persisted typed log; the parse
+    // is charged once to the `derived:cdcparsed` build entry
+    val parsed = CdcQueries.parsedStored(spark, dir)
       .filter(col("op") =!= CdcParse.OpDrop)
     val counts = parsed.groupBy("user_id")
       .agg(count(lit(1)).as("n_msgs"),

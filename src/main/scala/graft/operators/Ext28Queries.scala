@@ -87,7 +87,7 @@ object Ext28Queries {
     * between-query clearCache. At 100 TB this IS the stored
     * community assignment a pipeline refreshes periodically.
     */
-  private[operators] def lpaLabelTable(spark: SparkSession,
+  private[graft] def lpaLabelTable(spark: SparkSession,
       dir: String): DataFrame =
     graft.Derived.table(spark, s"lpalabels3:$dir")(
       lpaLabels3(custSuppEdges(spark, dir)))

@@ -51,11 +51,14 @@ object Ext29Queries {
     val bounds = broadcast(emb.agg(
       min(array_min(col("embedding"))).cast("double").as("mn"),
       max(array_max(col("embedding"))).cast("double").as("mx")))
+    // greatest(mx-mn, tiny): a degenerate corpus (all values equal)
+    // must quantize to code 0, not NaN->null (ADVICE r5)
     emb.crossJoin(bounds)
       .select(col("vec_id"), col("embedding"), col("mn"), col("mx"),
         transform(col("embedding"), x =>
           round((x.cast("double") - col("mn"))
-            / (col("mx") - col("mn")) * 255).cast("int"))
+            / greatest(col("mx") - col("mn"), lit(1e-300)) * 255)
+            .cast("int"))
           .as("codes"))
   }
 
@@ -194,7 +197,8 @@ object Ext29Queries {
       |  FROM embeddings
       |), codes AS (
       |  SELECT vec_id, i, x,
-      |    CAST(round((x - mn) / (mx - mn) * 255) AS BIGINT) AS c
+      |    CAST(round((x - mn) / greatest(mx - mn, 1e-300) * 255)
+      |      AS BIGINT) AS c
       |  FROM ee, bd
       |), nrm AS (
       |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ee GROUP BY vec_id

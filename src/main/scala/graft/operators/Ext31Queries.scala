@@ -50,19 +50,27 @@ object Ext31Queries {
     def live(df: DataFrame): DataFrame =
       KeyedMerge.lww(df, Seq("user_id"), "event_id")
         .filter(!col("del"))
-    val liveBase = live(ev.filter(col("event_id") % 5 =!= 4)).cache()
+    // Two-leg touched-key form: contrib(base,+1) + contrib(base |
+    // touched,-1) algebraically equals contrib(base ANTI touched,+1),
+    // so the view leg and the retract leg collapse into ONE pass over
+    // the base state with an anti-join prune — no `.cache()` of an
+    // intermediate (the r5 three-leg form cached the base LWW and was
+    // measured 102x warm at sf1 in the driver JVM while probing 1.7 s
+    // warm on identical data in a fresh one; removing the cached
+    // shared subplan removes the only state the blowup could live
+    // in). cdc_ivm_agg keeps the explicit three-leg retract algebra;
+    // this query witnesses the fused form of the same contract.
     val touched = ev.filter(col("event_id") % 5 === 4)
       .select("user_id").distinct()
-    def contrib(df: DataFrame, sign: Int): DataFrame =
+    def contrib(df: DataFrame): DataFrame =
       df.groupBy("event_type")
-        .agg((count(lit(1)) * sign).as("n_users"),
-          (sum(col("vm")) * sign).as("s_milli"),
-          (sum(col("vm") * col("vm")) * sign).as("q_milli2"))
-    contrib(liveBase, 1)
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("vm")).as("s_milli"),
+          sum(col("vm") * col("vm")).as("q_milli2"))
+    contrib(live(ev.filter(col("event_id") % 5 =!= 4))
+        .join(touched, Seq("user_id"), "left_anti"))
       .unionByName(contrib(
-        liveBase.join(touched, Seq("user_id"), "left_semi"), -1))
-      .unionByName(contrib(
-        live(ev.join(touched, Seq("user_id"), "left_semi")), 1))
+        live(ev.join(touched, Seq("user_id"), "left_semi"))))
       .groupBy("event_type")
       .agg(sum(col("n_users")).as("n_users"),
         sum(col("s_milli")).as("s_milli"),

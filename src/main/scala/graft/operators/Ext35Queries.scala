@@ -214,14 +214,15 @@ object Ext35Queries {
         |  WHERE CAST(co.common AS DOUBLE)
         |    / CAST(sa.sz + sb.sz - co.common AS DOUBLE) >= 0.1
         |  GROUP BY co.bands)
-        |SELECT CAST(nc.bands AS BIGINT) AS bands,
-        |  CAST(16 // nc.bands AS BIGINT) AS rows_per_band,
-        |  nc.n_candidates,
+        |SELECT CAST(cfg.bands AS BIGINT) AS bands,
+        |  CAST(16 // cfg.bands AS BIGINT) AS rows_per_band,
+        |  CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
         |  CAST(COALESCE(nv.n_verified, 0) AS BIGINT) AS n_verified,
         |  CAST(COALESCE(nv.n_verified, 0) * 1000000
-        |    // greatest(nc.n_candidates, 1) AS BIGINT)
+        |    // greatest(COALESCE(nc.n_candidates, 0), 1) AS BIGINT)
         |    AS precision_micro
-        |FROM nc LEFT JOIN nv ON nc.bands = nv.bands
+        |FROM cfg LEFT JOIN nc ON cfg.bands = nc.bands
+        |  LEFT JOIN nv ON cfg.bands = nv.bands
         |ORDER BY bands""".stripMargin,
     "cdc_rebalance_plan" ->
       """WITH parts AS (

@@ -28,12 +28,14 @@ class Ext36OperatorsSpec extends AnyFunSuite {
         s"${r.getString(0)}/${r.getString(1)} row count")
     }
     // spot-check the quantity total against the wide aggregate
+    // (output is DOUBLE cast from the exact decimal sum — r6)
     val wantQty = t(spark, TestSpark.sfDir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
-      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+      .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     rows.filter(_.getString(1) == "quantity").foreach { r =>
-      assert(r.getDecimal(3).compareTo(wantQty(r.getString(0))) === 0)
+      assert(r.getDouble(3) === wantQty(r.getString(0)))
     }
   }
 
