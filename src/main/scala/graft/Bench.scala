@@ -296,7 +296,10 @@ object Bench {
       "tok_oov_curve", "cdc_order_inversions", "graph_conductance",
       // round-6(this) batch-1: eval-shingle semi-join decontamination,
       // codegen regex scan, containment over stored candidates
-      "text_contamination", "text_pii_scrub", "dedup_containment_lsh")
+      "text_contamination", "text_pii_scrub", "dedup_containment_lsh",
+      // round-6(this) batch-2: |cells| rollup over the narrow
+      // assignment, 10-bin reliability rollup, (hour,arm) cells
+      "sim_ivf_cell_skew", "eval_reliability_bins", "ev_switchback")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -104,6 +104,8 @@ object SparkEntry {
       operators.Ext37Queries.oracle),
     ("Ext38Queries", operators.Ext38Queries.queries,
       operators.Ext38Queries.oracle),
+    ("Ext39Queries", operators.Ext39Queries.queries,
+      operators.Ext39Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
