@@ -299,7 +299,10 @@ object Bench {
       "text_contamination", "text_pii_scrub", "dedup_containment_lsh",
       // round-6(this) batch-2: |cells| rollup over the narrow
       // assignment, 10-bin reliability rollup, (hour,arm) cells
-      "sim_ivf_cell_skew", "eval_reliability_bins", "ev_switchback")
+      "sim_ivf_cell_skew", "eval_reliability_bins", "ev_switchback",
+      // round-6(this) batch-3: |vocab|-bounded merge folds, edge-list
+      // self-join ball growth, |days| rolling-median window
+      "tok_bpe_encode", "graph_2hop_reach", "ts_rolling_median_dev")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -106,6 +106,8 @@ object SparkEntry {
       operators.Ext38Queries.oracle),
     ("Ext39Queries", operators.Ext39Queries.queries,
       operators.Ext39Queries.oracle),
+    ("Ext40Queries", operators.Ext40Queries.queries,
+      operators.Ext40Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),

@@ -641,7 +641,7 @@ object Ext14Queries {
     * merge loop is driver-trivial by comparison but stays declarative
     * here so the oracle can replay it).
     */
-  private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
       .filter(length(col("word")) >= 2)
@@ -651,7 +651,7 @@ object Ext14Queries {
   /** Highest-count adjacent symbol pair (ties: lexicographic on
     * (p1, p2)) — the BPE merge-selection rule.
     */
-  private def bpeBestPair(words: DataFrame): DataFrame =
+  private[operators] def bpeBestPair(words: DataFrame): DataFrame =
     words.filter(size(col("s")) >= 2)
       .select(col("cnt"), explode(expr(
         "transform(sequence(1, size(s) - 1), i -> " +
@@ -666,7 +666,7 @@ object Ext14Queries {
     * ["aa","a"], never ["aa","aa"]. One aggregate() fold with a
     * skip-next flag; the 1-row best pair rides as a broadcast.
     */
-  private def bpeApplyMerge(words: DataFrame,
+  private[operators] def bpeApplyMerge(words: DataFrame,
       best: DataFrame): DataFrame =
     words.crossJoin(broadcast(best))
       .withColumn("s", expr(
@@ -1345,7 +1345,7 @@ object Ext14Queries {
     * left-to-right position walk producing `wR`. Mirrors
     * bpeBestPair + bpeApplyMerge exactly.
     */
-  private def bpeRoundSql(r: Int, wPrev: String): String = {
+  private[operators] def bpeRoundSql(r: Int, wPrev: String): String = {
     val b = s"b$r"; val mw = s"mw$r"; val w = s"w$r"
     s""", p$r AS (
        |  SELECT s[i] AS p1, s[i + 1] AS p2,
