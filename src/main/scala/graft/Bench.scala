@@ -41,7 +41,8 @@ object Bench {
       ("derived:cclabels", operators.NearDupGraph.ccLabels _),
       ("derived:simhashpairs", operators.NearDupGraph.simhashPairs5 _),
       ("derived:lpalabels", operators.Ext28Queries.lpaLabelTable _),
-      ("derived:cdcparsed", operators.CdcQueries.parsedStored _))
+      ("derived:cdcparsed", operators.CdcQueries.parsedStored _),
+      ("derived:cclabelsbase", operators.Ext41Queries.baseCcLabels _))
     val derivedSf: Seq[(String, Double, Double)] =
       derivedBuilds.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -302,7 +303,10 @@ object Bench {
       "sim_ivf_cell_skew", "eval_reliability_bins", "ev_switchback",
       // round-6(this) batch-3: |vocab|-bounded merge folds, edge-list
       // self-join ball growth, |days| rolling-median window
-      "tok_bpe_encode", "graph_2hop_reach", "ts_rolling_median_dev")
+      "tok_bpe_encode", "graph_2hop_reach", "ts_rolling_median_dev",
+      // round-6(this) batch-4: delta-contracted CC relabel, JSON-keys
+      // drift scan, one-shuffle multi-agg pivot
+      "dedup_cc_incremental", "cdc_schema_drift", "q75_pivot_multi")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -108,6 +108,8 @@ object SparkEntry {
       operators.Ext39Queries.oracle),
     ("Ext40Queries", operators.Ext40Queries.queries,
       operators.Ext40Queries.oracle),
+    ("Ext41Queries", operators.Ext41Queries.queries,
+      operators.Ext41Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
