@@ -306,7 +306,10 @@ object Bench {
       "tok_bpe_encode", "graph_2hop_reach", "ts_rolling_median_dev",
       // round-6(this) batch-4: delta-contracted CC relabel, JSON-keys
       // drift scan, one-shuffle multi-agg pivot
-      "dedup_cc_incremental", "cdc_schema_drift", "q75_pivot_multi")
+      "dedup_cc_incremental", "cdc_schema_drift", "q75_pivot_multi",
+      // round-6(this) batch-5: pair-set recall join, merge-sweep
+      // range frame, narrow chunk explode
+      "eval_lsh_recall", "q76_range_window", "tok_chunk_overlap")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

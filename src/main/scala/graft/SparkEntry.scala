@@ -110,6 +110,8 @@ object SparkEntry {
       operators.Ext40Queries.oracle),
     ("Ext41Queries", operators.Ext41Queries.queries,
       operators.Ext41Queries.oracle),
+    ("Ext42Queries", operators.Ext42Queries.queries,
+      operators.Ext42Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
