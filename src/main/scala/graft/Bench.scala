@@ -309,7 +309,10 @@ object Bench {
       "dedup_cc_incremental", "cdc_schema_drift", "q75_pivot_multi",
       // round-6(this) batch-5: pair-set recall join, merge-sweep
       // range frame, narrow chunk explode
-      "eval_lsh_recall", "q76_range_window", "tok_chunk_overlap")
+      "eval_lsh_recall", "q76_range_window", "tok_chunk_overlap",
+      // round-6(this) batch-6: disc-percentile shuffle, broadcast
+      // Tukey fences, 10-cell concentration rollup
+      "q77_percentile_disc", "dq_iqr_outliers", "ev_lorenz_curve")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -112,6 +112,8 @@ object SparkEntry {
       operators.Ext41Queries.oracle),
     ("Ext42Queries", operators.Ext42Queries.queries,
       operators.Ext42Queries.oracle),
+    ("Ext43Queries", operators.Ext43Queries.queries,
+      operators.Ext43Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
