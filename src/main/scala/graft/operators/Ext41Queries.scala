@@ -100,13 +100,16 @@ object Ext41Queries {
   // cdc_schema_drift
   // ---------------------------------------------------------------
 
-  private val ExpectedKeys = Seq("user_id", "event_type", "value_milli")
+  private[graft] val ExpectedKeys =
+    Seq("user_id", "event_type", "value_milli")
 
-  def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
+  /** The drifted update-payload JSON (every 17th envelope carries an
+    * undeclared `region_code`) — shared by the batch query and the
+    * streaming monitor's spec so both watch the identical stream.
+    */
+  private[graft] def driftedUpdateJson: org.apache.spark.sql.Column = {
     val id = col("event_id")
-    // envelope with a drifted upstream: every 17th update payload
-    // carries a column the pipeline schema does not declare
-    val payload = concat(
+    concat(
       lit("{\"user_id\":"), col("user_id").cast("string"),
       lit(",\"event_type\":\""), col("event_type"),
       lit("\",\"value_milli\":"),
@@ -115,18 +118,19 @@ object Ext41Queries {
         concat(lit(",\"region_code\":"), (id % 50).cast("string")))
         .otherwise(lit("")),
       lit("}"))
-    val keys = t(spark, dir, "events")
-      .select(id.as("event_id"), payload.as("update_json"))
+  }
+
+  def schemaDrift(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), driftedUpdateJson.as("update_json"))
       .select(col("event_id"),
         explode(json_object_keys(col("update_json"))).as("key"))
-    keys
       .filter(!col("key").isInCollection(ExpectedKeys))
       .groupBy("key")
       .agg(count(lit(1)).as("n_msgs"),
         min("event_id").as("first_seq"),
         max("event_id").as("last_seq"))
       .orderBy("key")
-  }
 
   // ---------------------------------------------------------------
   // q75_pivot_multi
