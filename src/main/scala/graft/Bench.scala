@@ -312,7 +312,10 @@ object Bench {
       "eval_lsh_recall", "q76_range_window", "tok_chunk_overlap",
       // round-6(this) batch-6: disc-percentile shuffle, broadcast
       // Tukey fences, 10-cell concentration rollup
-      "q77_percentile_disc", "dq_iqr_outliers", "ev_lorenz_curve")
+      "q77_percentile_disc", "dq_iqr_outliers", "ev_lorenz_curve",
+      // round-6(this) batch-7: span inverted index, broadcast bloom
+      // bits, feature-hash rollup
+      "dedup_substring_spans", "sketch_bloom_fpr", "text_hashed_bow")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

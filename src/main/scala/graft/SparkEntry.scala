@@ -114,6 +114,8 @@ object SparkEntry {
       operators.Ext42Queries.oracle),
     ("Ext43Queries", operators.Ext43Queries.queries,
       operators.Ext43Queries.oracle),
+    ("Ext44Queries", operators.Ext44Queries.queries,
+      operators.Ext44Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
