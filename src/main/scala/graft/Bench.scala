@@ -315,7 +315,10 @@ object Bench {
       "q77_percentile_disc", "dq_iqr_outliers", "ev_lorenz_curve",
       // round-6(this) batch-7: span inverted index, broadcast bloom
       // bits, feature-hash rollup
-      "dedup_substring_spans", "sketch_bloom_fpr", "text_hashed_bow")
+      "dedup_substring_spans", "sketch_bloom_fpr", "text_hashed_bow",
+      // round-6(this) batch-8: splittable-format scans (write charged
+      // to the first cold run per JVM)
+      "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -116,6 +116,8 @@ object SparkEntry {
       operators.Ext43Queries.oracle),
     ("Ext44Queries", operators.Ext44Queries.queries,
       operators.Ext44Queries.oracle),
+    ("Ext45Queries", operators.Ext45Queries.queries,
+      operators.Ext45Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
