@@ -318,7 +318,10 @@ object Bench {
       "dedup_substring_spans", "sketch_bloom_fpr", "text_hashed_bow",
       // round-6(this) batch-8: splittable-format scans (write charged
       // to the first cold run per JVM)
-      "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip")
+      "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip",
+      // round-6(this) batch-9: decorrelated scalar agg, per-partition
+      // lag audit, 64-cell gap histogram
+      "q78_scalar_subquery", "cdc_gap_audit", "ev_interarrival_hist")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -118,6 +118,8 @@ object SparkEntry {
       operators.Ext44Queries.oracle),
     ("Ext45Queries", operators.Ext45Queries.queries,
       operators.Ext45Queries.oracle),
+    ("Ext46Queries", operators.Ext46Queries.queries,
+      operators.Ext46Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
