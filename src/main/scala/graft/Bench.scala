@@ -321,7 +321,10 @@ object Bench {
       "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip",
       // round-6(this) batch-9: decorrelated scalar agg, per-partition
       // lag audit, 64-cell gap histogram
-      "q78_scalar_subquery", "cdc_gap_audit", "ev_interarrival_hist")
+      "q78_scalar_subquery", "cdc_gap_audit", "ev_interarrival_hist",
+      // round-6(this) batch-10: modern-agg rollup, 4-step adjacency
+      // joins, bounded-offset cooccurrence
+      "q79_modern_aggs", "graph_random_walks", "text_window_cooccur")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

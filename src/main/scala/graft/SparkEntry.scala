@@ -120,6 +120,8 @@ object SparkEntry {
       operators.Ext45Queries.oracle),
     ("Ext46Queries", operators.Ext46Queries.queries,
       operators.Ext46Queries.oracle),
+    ("Ext47Queries", operators.Ext47Queries.queries,
+      operators.Ext47Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
