@@ -324,7 +324,10 @@ object Bench {
       "q78_scalar_subquery", "cdc_gap_audit", "ev_interarrival_hist",
       // round-6(this) batch-10: modern-agg rollup, 4-step adjacency
       // joins, bounded-offset cooccurrence
-      "q79_modern_aggs", "graph_random_walks", "text_window_cooccur")
+      "q79_modern_aggs", "graph_random_walks", "text_window_cooccur",
+      // round-6(this) batch-11: window group-limit pushdown, argmax
+      // hash agg, deletion-neighborhood blocked join
+      "q80_qualify", "q81_distinct_on", "dq_fuzzy_match")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -122,6 +122,8 @@ object SparkEntry {
       operators.Ext46Queries.oracle),
     ("Ext47Queries", operators.Ext47Queries.queries,
       operators.Ext47Queries.oracle),
+    ("Ext48Queries", operators.Ext48Queries.queries,
+      operators.Ext48Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
