@@ -327,7 +327,10 @@ object Bench {
       "q79_modern_aggs", "graph_random_walks", "text_window_cooccur",
       // round-6(this) batch-11: window group-limit pushdown, argmax
       // hash agg, deletion-neighborhood blocked join
-      "q80_qualify", "q81_distinct_on", "dq_fuzzy_match")
+      "q80_qualify", "q81_distinct_on", "dq_fuzzy_match",
+      // round-6(this) batch-12: 3 hash-join rank iterations, per-user
+      // sort-agg + codegen regex, 256-register sketch rollup
+      "text_textrank_keywords", "ev_pattern_regex", "sketch_hll_merge")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -124,6 +124,8 @@ object SparkEntry {
       operators.Ext47Queries.oracle),
     ("Ext48Queries", operators.Ext48Queries.queries,
       operators.Ext48Queries.oracle),
+    ("Ext49Queries", operators.Ext49Queries.queries,
+      operators.Ext49Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
