@@ -330,7 +330,10 @@ object Bench {
       "q80_qualify", "q81_distinct_on", "dq_fuzzy_match",
       // round-6(this) batch-12: 3 hash-join rank iterations, per-user
       // sort-agg + codegen regex, 256-register sketch rollup
-      "text_textrank_keywords", "ev_pattern_regex", "sketch_hll_merge")
+      "text_textrank_keywords", "ev_pattern_regex", "sketch_hll_merge",
+      // round-6(this) batch-13: directory-pruned partitioned scan,
+      // zero-shuffle bucketed merge join, one |E| Louvain sweep
+      "src_hive_partitioned", "src_bucketed_join", "graph_louvain_round")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -126,6 +126,8 @@ object SparkEntry {
       operators.Ext48Queries.oracle),
     ("Ext49Queries", operators.Ext49Queries.queries,
       operators.Ext49Queries.oracle),
+    ("Ext50Queries", operators.Ext50Queries.queries,
+      operators.Ext50Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
