@@ -333,7 +333,10 @@ object Bench {
       "text_textrank_keywords", "ev_pattern_regex", "sketch_hll_merge",
       // round-6(this) batch-13: directory-pruned partitioned scan,
       // zero-shuffle bucketed merge join, one |E| Louvain sweep
-      "src_hive_partitioned", "src_bucketed_join", "graph_louvain_round")
+      "src_hive_partitioned", "src_bucketed_join", "graph_louvain_round",
+      // round-6(this) batch-14: two-stage group-limit rank, txid
+      // completeness semi-join, piggybacked metrics pass
+      "sim_topk_shard_merge", "cdc_txn_assembly", "dq_observe_metrics")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

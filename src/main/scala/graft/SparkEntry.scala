@@ -128,6 +128,8 @@ object SparkEntry {
       operators.Ext49Queries.oracle),
     ("Ext50Queries", operators.Ext50Queries.queries,
       operators.Ext50Queries.oracle),
+    ("Ext51Queries", operators.Ext51Queries.queries,
+      operators.Ext51Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
