@@ -336,7 +336,10 @@ object Bench {
       "src_hive_partitioned", "src_bucketed_join", "graph_louvain_round",
       // round-6(this) batch-14: two-stage group-limit rank, txid
       // completeness semi-join, piggybacked metrics pass
-      "sim_topk_shard_merge", "cdc_txn_assembly", "dq_observe_metrics")
+      "sim_topk_shard_merge", "cdc_txn_assembly", "dq_observe_metrics",
+      // round-6(this) batch-15: codegen TRY lanes, distributive
+      // fingerprint fold, 7-lag bounded alignment join
+      "q82_try_arithmetic", "dq_table_checksum", "mm_av_sync")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

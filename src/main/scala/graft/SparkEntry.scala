@@ -130,6 +130,8 @@ object SparkEntry {
       operators.Ext50Queries.oracle),
     ("Ext51Queries", operators.Ext51Queries.queries,
       operators.Ext51Queries.oracle),
+    ("Ext52Queries", operators.Ext52Queries.queries,
+      operators.Ext52Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
