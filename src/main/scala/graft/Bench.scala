@@ -339,7 +339,10 @@ object Bench {
       "sim_topk_shard_merge", "cdc_txn_assembly", "dq_observe_metrics",
       // round-6(this) batch-15: codegen TRY lanes, distributive
       // fingerprint fold, 7-lag bounded alignment join
-      "q82_try_arithmetic", "dq_table_checksum", "mm_av_sync")
+      "q82_try_arithmetic", "dq_table_checksum", "mm_av_sync",
+      // round-6(this) batch-16: 32-cell butterfly over a pre-agg,
+      // 3-step |E| power iteration
+      "ts_hadamard_energy", "graph_power_partition")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -132,6 +132,8 @@ object SparkEntry {
       operators.Ext51Queries.oracle),
     ("Ext52Queries", operators.Ext52Queries.queries,
       operators.Ext52Queries.oracle),
+    ("Ext53Queries", operators.Ext53Queries.queries,
+      operators.Ext53Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
