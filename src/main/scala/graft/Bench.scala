@@ -342,7 +342,10 @@ object Bench {
       "q82_try_arithmetic", "dq_table_checksum", "mm_av_sync",
       // round-6(this) batch-16: 32-cell butterfly over a pre-agg,
       // 3-step |E| power iteration
-      "ts_hadamard_energy", "graph_power_partition")
+      "ts_hadamard_energy", "graph_power_partition",
+      // round-6(this) batch-17: per-day group-limit sketch, no-shuffle
+      // schema union, 2-rows-per-session sweep
+      "sketch_kmv_jaccard", "q83_union_by_name", "ev_littles_law")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

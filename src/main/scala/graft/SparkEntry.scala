@@ -134,6 +134,8 @@ object SparkEntry {
       operators.Ext52Queries.oracle),
     ("Ext53Queries", operators.Ext53Queries.queries,
       operators.Ext53Queries.oracle),
+    ("Ext54Queries", operators.Ext54Queries.queries,
+      operators.Ext54Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
