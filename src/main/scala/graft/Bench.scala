@@ -345,7 +345,10 @@ object Bench {
       "ts_hadamard_energy", "graph_power_partition",
       // round-6(this) batch-17: per-day group-limit sketch, no-shuffle
       // schema union, 2-rows-per-session sweep
-      "sketch_kmv_jaccard", "q83_union_by_name", "ev_littles_law")
+      "sketch_kmv_jaccard", "q83_union_by_name", "ev_littles_law",
+      // round-6(this) batch-18: splittable line scan, whole-file
+      // binary scan, null-preserving lateral
+      "src_text_roundtrip", "src_binaryfile_scan", "q84_explode_outer")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -136,6 +136,8 @@ object SparkEntry {
       operators.Ext53Queries.oracle),
     ("Ext54Queries", operators.Ext54Queries.queries,
       operators.Ext54Queries.oracle),
+    ("Ext55Queries", operators.Ext55Queries.queries,
+      operators.Ext55Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
