@@ -348,7 +348,9 @@ object Bench {
       "sketch_kmv_jaccard", "q83_union_by_name", "ev_littles_law",
       // round-6(this) batch-18: splittable line scan, whole-file
       // binary scan, null-preserving lateral
-      "src_text_roundtrip", "src_binaryfile_scan", "q84_explode_outer")
+      "src_text_roundtrip", "src_binaryfile_scan", "q84_explode_outer",
+      // round-6(this) batch-19: |types|x|days| pre-agg then constant
+      "ts_ar1_fit")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

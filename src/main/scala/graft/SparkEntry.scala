@@ -138,6 +138,8 @@ object SparkEntry {
       operators.Ext54Queries.oracle),
     ("Ext55Queries", operators.Ext55Queries.queries,
       operators.Ext55Queries.oracle),
+    ("Ext56Queries", operators.Ext56Queries.queries,
+      operators.Ext56Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
