@@ -107,7 +107,29 @@ class PlanSweepSpec extends AnyFunSuite {
     "text_ppl_buckets",
     "text_sketch_overlap", "text_sketch_shingles", "text_tfidf",
     "text_unigram_nll", "text_bm25_topk", "layout_rangeparts",
-    "dq_drift")
+    "dq_drift",
+    // round-6 additions, each a bounded broadcast by construction:
+    //  - dq_iqr_outliers: 1-row Tukey-fence quartile aggregate
+    //  - ev_lorenz_curve / text_window_cooccur / graph_louvain_round
+    //    / sketch_bloom_fpr: 1-row total/m2/bloom-bits broadcast
+    //  - ev_switchback: 1-row baseline-arm aggregate
+    //  - sim_ivf_cell_skew: |cells|-bounded literal-centroid scoring
+    //    (sim_ann_ivf's shape)
+    //  - tok_bpe_encode: per-round 1-row argmax merge broadcast
+    //    (tok_bpe_train3's shape)
+    //  - mm_av_sync: 7-row lag spine broadcast
+    //  - ts_hadamard_energy: 32-row frequency spine broadcast
+    //  - sim_topk_shard_merge: broadcast 8-row probe table with the
+    //    non-equi self-exclusion (sim_cosine_topk's shape)
+    //  - sketch_hll_merge: day=-1 literal equi-key const-folds to a
+    //    trivially-true join of two 1-row aggregates
+    //  - ev_littles_law: two 1-row aggregates (session totals x
+    //    sweep integral) cross-joined
+    "dq_iqr_outliers", "ev_lorenz_curve", "text_window_cooccur",
+    "graph_louvain_round", "sketch_bloom_fpr", "ev_switchback",
+    "sim_ivf_cell_skew", "tok_bpe_encode", "mm_av_sync",
+    "ts_hadamard_energy", "sim_topk_shard_merge", "sketch_hll_merge",
+    "ev_littles_law")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
