@@ -350,7 +350,10 @@ object Bench {
       // binary scan, null-preserving lateral
       "src_text_roundtrip", "src_binaryfile_scan", "q84_explode_outer",
       // round-6(this) batch-19: |types|x|days| pre-agg then constant
-      "ts_ar1_fit")
+      "ts_ar1_fit",
+      // round-6(this) batch-20: |keys|+|delta| switchover re-merge,
+      // three |E| walk joins
+      "cdc_bootstrap_tail", "graph_katz3")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -140,6 +140,8 @@ object SparkEntry {
       operators.Ext55Queries.oracle),
     ("Ext56Queries", operators.Ext56Queries.queries,
       operators.Ext56Queries.oracle),
+    ("Ext57Queries", operators.Ext57Queries.queries,
+      operators.Ext57Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),

@@ -129,7 +129,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "graph_louvain_round", "sketch_bloom_fpr", "ev_switchback",
     "sim_ivf_cell_skew", "tok_bpe_encode", "mm_av_sync",
     "ts_hadamard_energy", "sim_topk_shard_merge", "sketch_hll_merge",
-    "ev_littles_law")
+    "ev_littles_law",
+    // cdc_bootstrap_tail: 1-row sequence-cutoff broadcast (the
+    // cdc_snapshot_at shape)
+    "cdc_bootstrap_tail")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
