@@ -353,7 +353,10 @@ object Bench {
       "ts_ar1_fit",
       // round-6(this) batch-20: |keys|+|delta| switchover re-merge,
       // three |E| walk joins
-      "cdc_bootstrap_tail", "graph_katz3")
+      "cdc_bootstrap_tail", "graph_katz3",
+      // round-6(this) batch-21: beam×k hops over the knn graph,
+      // two lag self-joins on the daily pre-agg
+      "sim_graph_greedy", "ts_variance_ratio")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

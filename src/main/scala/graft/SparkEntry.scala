@@ -142,6 +142,8 @@ object SparkEntry {
       operators.Ext56Queries.oracle),
     ("Ext57Queries", operators.Ext57Queries.queries,
       operators.Ext57Queries.oracle),
+    ("Ext58Queries", operators.Ext58Queries.queries,
+      operators.Ext58Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),

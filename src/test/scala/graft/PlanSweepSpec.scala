@@ -132,7 +132,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "ev_littles_law",
     // cdc_bootstrap_tail: 1-row sequence-cutoff broadcast (the
     // cdc_snapshot_at shape)
-    "cdc_bootstrap_tail")
+    "cdc_bootstrap_tail",
+    // sim_graph_greedy: 8-row broadcast query table (the
+    // sim_cosine_topk shape) — entry seeding and the brute-force
+    // audit pass both cross the bounded query side
+    "sim_graph_greedy")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
