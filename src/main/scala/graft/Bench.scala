@@ -356,7 +356,10 @@ object Bench {
       "cdc_bootstrap_tail", "graph_katz3",
       // round-6(this) batch-21: beam×k hops over the knn graph,
       // two lag self-joins on the daily pre-agg
-      "sim_graph_greedy", "ts_variance_ratio")
+      "sim_graph_greedy", "ts_variance_ratio",
+      // round-6(this) batch-22: k corpus scans with 1-row argmins,
+      // 15/16-pruned sampled scan
+      "sim_diverse_subset", "tok_count_sampled")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

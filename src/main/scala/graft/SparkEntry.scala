@@ -144,6 +144,8 @@ object SparkEntry {
       operators.Ext57Queries.oracle),
     ("Ext58Queries", operators.Ext58Queries.queries,
       operators.Ext58Queries.oracle),
+    ("Ext59Queries", operators.Ext59Queries.queries,
+      operators.Ext59Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),

@@ -136,7 +136,9 @@ class PlanSweepSpec extends AnyFunSuite {
     // sim_graph_greedy: 8-row broadcast query table (the
     // sim_cosine_topk shape) — entry seeding and the brute-force
     // audit pass both cross the bounded query side
-    "sim_graph_greedy")
+    "sim_graph_greedy",
+    // tok_count_sampled: two 1-row aggregates cross-joined
+    "tok_count_sampled")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
