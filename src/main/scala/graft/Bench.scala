@@ -359,7 +359,9 @@ object Bench {
       "sim_graph_greedy", "ts_variance_ratio",
       // round-6(this) batch-22: k corpus scans with 1-row argmins,
       // 15/16-pruned sampled scan
-      "sim_diverse_subset", "tok_count_sampled")
+      "sim_diverse_subset", "tok_count_sampled",
+      // round-6(this) batch-23: |types|x|days| pyramid, one word agg
+      "ts_haar_dwt", "text_word_burstiness")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -146,6 +146,8 @@ object SparkEntry {
       operators.Ext58Queries.oracle),
     ("Ext59Queries", operators.Ext59Queries.queries,
       operators.Ext59Queries.oracle),
+    ("Ext60Queries", operators.Ext60Queries.queries,
+      operators.Ext60Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
