@@ -361,7 +361,9 @@ object Bench {
       // 15/16-pruned sampled scan
       "sim_diverse_subset", "tok_count_sampled",
       // round-6(this) batch-23: |types|x|days| pyramid, one word agg
-      "ts_haar_dwt", "text_word_burstiness")
+      "ts_haar_dwt", "text_word_burstiness",
+      // round-6(this) batch-24: two |E| joins, islands window + aggs
+      "graph_hits2", "text_rake_phrases")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -148,6 +148,8 @@ object SparkEntry {
       operators.Ext59Queries.oracle),
     ("Ext60Queries", operators.Ext60Queries.queries,
       operators.Ext60Queries.oracle),
+    ("Ext61Queries", operators.Ext61Queries.queries,
+      operators.Ext61Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
