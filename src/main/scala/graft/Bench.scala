@@ -363,7 +363,9 @@ object Bench {
       // round-6(this) batch-23: |types|x|days| pyramid, one word agg
       "ts_haar_dwt", "text_word_burstiness",
       // round-6(this) batch-24: two |E| joins, islands window + aggs
-      "graph_hits2", "text_rake_phrases")
+      "graph_hits2", "text_rake_phrases",
+      // round-6(this) batch-25: x40 narrow generator into one agg
+      "ev_bootstrap_ci")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

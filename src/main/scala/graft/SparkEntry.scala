@@ -150,6 +150,8 @@ object SparkEntry {
       operators.Ext60Queries.oracle),
     ("Ext61Queries", operators.Ext61Queries.queries,
       operators.Ext61Queries.oracle),
+    ("Ext62Queries", operators.Ext62Queries.queries,
+      operators.Ext62Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),
