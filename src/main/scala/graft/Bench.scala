@@ -365,7 +365,9 @@ object Bench {
       // round-6(this) batch-24: two |E| joins, islands window + aggs
       "graph_hits2", "text_rake_phrases",
       // round-6(this) batch-25: x40 narrow generator into one agg
-      "ev_bootstrap_ci")
+      "ev_bootstrap_ci",
+      // round-6(this) batch-26: support-domain sweep, map-lane agg
+      "dq_ks_test", "q85_map_functions")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -152,6 +152,8 @@ object SparkEntry {
       operators.Ext61Queries.oracle),
     ("Ext62Queries", operators.Ext62Queries.queries,
       operators.Ext62Queries.oracle),
+    ("Ext63Queries", operators.Ext63Queries.queries,
+      operators.Ext63Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),

@@ -138,7 +138,9 @@ class PlanSweepSpec extends AnyFunSuite {
     // audit pass both cross the bounded query side
     "sim_graph_greedy",
     // tok_count_sampled: two 1-row aggregates cross-joined
-    "tok_count_sampled")
+    "tok_count_sampled",
+    // dq_ks_test: 1-row day-midpoint broadcast
+    "dq_ks_test")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
