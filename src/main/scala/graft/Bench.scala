@@ -367,7 +367,10 @@ object Bench {
       // round-6(this) batch-25: x40 narrow generator into one agg
       "ev_bootstrap_ci",
       // round-6(this) batch-26: support-domain sweep, map-lane agg
-      "dq_ks_test", "q85_map_functions")
+      "dq_ks_test", "q85_map_functions",
+      // round-6(this) batch-27: filter-join + broadcast-query rank,
+      // held-out broadcast-query vote
+      "sim_filtered_ann", "eval_knn_classify")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

@@ -154,6 +154,8 @@ object SparkEntry {
       operators.Ext62Queries.oracle),
     ("Ext63Queries", operators.Ext63Queries.queries,
       operators.Ext63Queries.oracle),
+    ("Ext64Queries", operators.Ext64Queries.queries,
+      operators.Ext64Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),

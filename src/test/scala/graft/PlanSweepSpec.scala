@@ -140,7 +140,10 @@ class PlanSweepSpec extends AnyFunSuite {
     // tok_count_sampled: two 1-row aggregates cross-joined
     "tok_count_sampled",
     // dq_ks_test: 1-row day-midpoint broadcast
-    "dq_ks_test")
+    "dq_ks_test",
+    // sim_filtered_ann / eval_knn_classify: bounded broadcast query
+    // tables with the non-equi self-exclusion (sim_cosine_topk shape)
+    "sim_filtered_ann", "eval_knn_classify")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
