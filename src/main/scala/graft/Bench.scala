@@ -430,6 +430,14 @@ object Bench {
               // they are storage, charged above as derived:* entries)
               spark.catalog.clearCache()
               graft.operators.Ext9Queries.clearFitCache()
+              // measurement isolation: after ~200 probes in one JVM,
+              // unreferenced broadcasts/accumulators awaiting the
+              // ContextCleaner's weak-ref GC inflate shuffle-heavy
+              // probes 4-10x (graph_link_predict measured 31 s here
+              // vs 7.7 s isolated, identical plan). An explicit GC
+              // lets the cleaner drain so each probe measures its
+              // PLAN, not the harness's accumulated heap state.
+              System.gc()
               def once(): Double = {
                 val t0 = System.nanoTime()
                 try { fn(spark, sf1Dir).count()
