@@ -370,7 +370,10 @@ object Bench {
       "dq_ks_test", "q85_map_functions",
       // round-6(this) batch-27: filter-join + broadcast-query rank,
       // held-out broadcast-query vote
-      "sim_filtered_ann", "eval_knn_classify")
+      "sim_filtered_ann", "eval_knn_classify",
+      // round-6(this) batch-28: |versions|x|keys| key-set diff,
+      // per-user agg + 1-row prior broadcast
+      "cdc_schema_compat", "ev_eb_shrinkage")
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old

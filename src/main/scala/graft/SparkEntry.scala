@@ -156,6 +156,8 @@ object SparkEntry {
       operators.Ext63Queries.oracle),
     ("Ext64Queries", operators.Ext64Queries.queries,
       operators.Ext64Queries.oracle),
+    ("Ext65Queries", operators.Ext65Queries.queries,
+      operators.Ext65Queries.oracle),
     ("EventTimeQueries", operators.EventTimeQueries.queries,
       operators.EventTimeQueries.oracle),
     ("Pq", operators.Pq.queries, operators.Pq.oracle),

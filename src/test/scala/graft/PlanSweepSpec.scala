@@ -143,7 +143,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "dq_ks_test",
     // sim_filtered_ann / eval_knn_classify: bounded broadcast query
     // tables with the non-equi self-exclusion (sim_cosine_topk shape)
-    "sim_filtered_ann", "eval_knn_classify")
+    "sim_filtered_ann", "eval_knn_classify",
+    // ev_eb_shrinkage: 1-row global-prior broadcast
+    "ev_eb_shrinkage")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
