@@ -442,6 +442,11 @@ object Bench {
               // PLAN, not the harness's accumulated heap state.
               System.gc()
               def once(): Double = {
+                // also before the warm run: the cold run's own
+                // shuffle buffers are part of the same heap-state
+                // artifact (graph_link_predict measured warm 37 s >
+                // cold 15 s in-suite vs 7.7 s isolated)
+                System.gc()
                 val t0 = System.nanoTime()
                 try { fn(spark, sf1Dir).count()
                   (System.nanoTime() - t0) / 1e9 }
