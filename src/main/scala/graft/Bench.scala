@@ -17,6 +17,17 @@ import scala.util.control.NonFatal
   * excluded from the total.
   */
 object Bench {
+  /** Cumulative stop-the-world GC milliseconds across all collectors —
+    * the per-query delta of this is recorded next to each timing so a
+    * noisy host's pause time is separable from plan time in the record
+    * (round-6 verdict ask #6: noise telemetry, not guesswork).
+    */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -43,13 +54,14 @@ object Bench {
       ("derived:lpalabels", operators.Ext28Queries.lpaLabelTable _),
       ("derived:cdcparsed", operators.CdcQueries.parsedStored _),
       ("derived:cclabelsbase", operators.Ext41Queries.baseCcLabels _))
-    val derivedSf: Seq[(String, Double, Double)] =
+    val derivedSf: Seq[(String, Double, Double, Double)] =
       derivedBuilds.map { case (name, fn) =>
+        val g0 = gcMillis
         val t0 = System.nanoTime()
         val sec = try { fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9 }
         catch { case NonFatal(_) => -1.0 }
-        (name, sec, 0.0)
+        (name, sec, 0.0, (gcMillis - g0) / 1e3)
       }
     val derivedBuildSec = derivedSf.map(_._2).filter(_ >= 0).sum
     // Warmup pass: run every query once so each query's whole-stage
@@ -69,8 +81,12 @@ object Bench {
     // min of two runs per query; cache cleared BETWEEN queries (not
     // between the two runs) so a query keeps its own intra-query cache
     // but cached/checkpointed blocks never accumulate across the suite
-    // and skew later queries via memory pressure.
-    val results = derivedSf ++ SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // and skew later queries via memory pressure. An explicit GC rides
+    // with the clear — the same ContextCleaner-backlog mitigation the
+    // sf1 probe loop validated (343->285 s; round-6 verdict ask #1):
+    // without it, heap-heavy late-alphabet families (embed_*/mm_*)
+    // read 3-9x inflated on aged-JVM driver runs, on identical code.
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -84,17 +100,28 @@ object Bench {
         // only when no run succeeded. The second run is skipped after
         // a first-run failure — deterministic failures should not pay
         // their time-to-failure twice.
+        val g0 = gcMillis
         val r1 = once()
         val r2 = if (r1 < 0) -1.0 else once()
+        val gcSec = (gcMillis - g0) / 1e3
         spark.catalog.clearCache()
-    graft.operators.Ext9Queries.clearFitCache()
+        graft.operators.Ext9Queries.clearFitCache()
+        System.gc()
         val valid = Seq(r1, r2).filter(_ >= 0)
         val best = if (valid.isEmpty) -1.0 else valid.min
         val noise = if (valid.size == 2) math.abs(r1 - r2) else 0.0
-        (name, best, noise)
+        (name, best, noise, gcSec)
     }
+    val results = derivedSf ++ queryResults
     val failed = results.filter(_._2 < 0).map(_._1)
-    // headline: end-to-end changelog-apply throughput (rows/s)
+    // headline: end-to-end changelog-apply throughput (rows/s).
+    // Same heap hygiene before the throughput sections: on the driver
+    // these run immediately after the 2x-suite loop and read 20-35%
+    // low when the ContextCleaner backlog is left to drain lazily
+    // (round-6: 30.0k vs the builder's 37.6k same-code cdc rows/s).
+    spark.catalog.clearCache()
+    graft.operators.Ext9Queries.clearFitCache()
+    System.gc()
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
     val t0 = System.nanoTime()
     SparkEntry.queries("cdc_apply_upsert")(spark, sfDir).count()
@@ -103,6 +130,7 @@ object Bench {
     // full streaming pipeline rows/s: changelog files -> readStream ->
     // parse -> LWW -> transform -> keyed sink (one merge cycle);
     // never let this section take down the JSON contract line
+    System.gc()
     val streamRps = try {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench")
       val clog = s"$tmp/changelog"
@@ -135,12 +163,19 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f",
         java.lang.Double.valueOf(v))
-    val total = results.filter(_._2 >= 0).map(_._2).sum
-    val noiseSum = results.map(_._3).sum
-    val detail = results.map { case (k, v, _) =>
+    // `total`/`n_queries` cover the CATALOG only (round-6 ADVICE: the
+    // 8 derived:* build entries must not silently change the meaning
+    // of either field round-over-round) — build cost stays broken out
+    // under derived_build_sec and the labeled derived:* detail rows.
+    val total = queryResults.filter(_._2 >= 0).map(_._2).sum
+    val noiseSum = queryResults.map(_._3).sum
+    val gcSum = queryResults.map(_._4).sum
+    val detail = results.map { case (k, v, _, _) =>
       s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val noiseDetail = results.map { case (k, _, n) =>
+    val noiseDetail = results.map { case (k, _, n, _) =>
       s"\"" + k + "\":" + fmt(n) }.mkString("{", ",", "}")
+    val gcDetail = results.map { case (k, _, _, g) =>
+      s"\"" + k + "\":" + fmt(g) }.mkString("{", ",", "}")
     // Scaling evidence: the same queries at 1/100th and 1/10th of the
     // bench SF — near-flat small-SF floor + sublinear growth is the
     // direct signature of scan-bound plans (vs superlinear shuffles).
@@ -174,206 +209,36 @@ object Bench {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "sf1data")
     val sf1Exists =
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))
-    val sf1Probes = Seq("q42_recursive_chains", "q54_chain_windowed",
-      "dedup_clusters", "graph_triangles", "graph_pagerank",
-      "cdc_agg_view", "cdc_mat_view2", "cdc_typed_assembly",
-      "cdc_lww_dedup", "cdc_scd2", "cdc_parse_route", "dedup_keep_best",
-      "dedup_simhash_pairs", "sim_ann_ivf", "sim_ann_pq",
-      "sim_pq_rerank", "dedup_minhash_lsh",
-      "dedup_ngram_jaccard", "cdc_apply_upsert", "pipeline_prepare",
-      // breadth: one representative per light family, so the probe
-      // also witnesses the scan-bound shapes staying ~flat at 10x
-      "q1_pricing_summary", "q3_join_agg", "q5_window",
-      "q22_interval_join", "q26_topk_per_key", "ev_window_session",
-      "text_token_stats", "text_tfidf", "text_bigram_nll",
-      "sketch_cms", "layout_rangeparts", "sim_cosine_topk",
-      "embed_near_dups", "text_pack_sequences", "mm_features",
-      "sim_ann_ivfpq", "dq_profile_columns", "dq_checks", "dq_drift",
-      // round-4 batch-3 additions: Dim^2 moment fan-out (pca), the
-      // bigram-bucket LLR pipeline (dsir), broadcast-anchor BNLJ
-      // (hard negatives), retraction IVM, vocab pair explode (bpe)
-      "embed_pca_power", "text_dsir_select", "text_kn_bigram",
-      "text_quality_model", "sim_hard_negatives", "cdc_ivm_agg",
-      "cdc_ivm_join", "tok_bpe_first_merge", "ev_markov_transitions",
-      // round-4 batch-4/5 additions: decode-stub fingerprint groupBy,
-      // banded calibration join, 8-lag window, grid interpolation,
-      // fused retrieval legs
-      "mm_phash_dups", "eval_minhash_err", "ts_ewma",
-      "ts_resample_linear", "text_rrf_fusion",
-      // round-5 additions: IVM top-k (delta-bounded rank windows),
-      // session trigram mining, bounded-round peel, frequency-spectrum
-      // OLS, frame-island merge, CC histogram; the day-series trio
-      // (cusum/holt/skew) witnesses the aggregate-first floor
-      "cdc_ivm_topk", "ev_top_paths", "graph_kcore", "text_zipf_fit",
-      "text_readability", "mm_vad_spans", "dedup_cluster_sizes",
-      "q63_mode", "ts_cusum", "ts_holt", "q62_skew_kurtosis",
-      "sim_knn_graph", "eval_auc", "ts_seasonality_strength",
-      "graph_degree_histogram", "ev_session_stats",
-      "q64_rollup_share", "tok_vocab_growth", "graph_assortativity",
-      "q65_asof_nearest", "graph_bfs_layers", "cdc_op_mix",
-      "embed_cluster_radius",
-      // this round's batch: near-dup graph wedge metrics, bipartite
-      // link wedges, multi-query retrieval eval, cutoff apply, support
-      // IVM, per-media islands, whole-set rank windows, |days|² pairs,
-      // catalog-wide key audit, money-lattice reconciliation
-      "graph_clustering_coeff", "graph_link_predict", "eval_mrr_ndcg",
-      "cdc_snapshot_at", "cdc_ivm_distinct", "mm_shot_boundaries",
-      "ev_gini", "ts_theil_sen", "ev_markov_entropy", "ts_burst_days",
-      "dq_uniqueness", "dq_reconciliation", "sim_query_routing",
-      "ts_mann_kendall", "text_diversity", "tok_bpe_train3",
-      "embed_outliers", "eval_ivf_recall", "q67_interval_union",
-      "ev_new_vs_returning", "graph_modularity", "sim_mmr_rerank",
-      "cdc_tombstone_gc", "cdc_partition_lag", "mm_tile_grid",
-      "text_prefix_families", "q68_topk_planned", "dq_referential",
-      "embed_pq_distortion", "ev_audience_overlap",
-      "layout_curve_compare",
-      // round-6 batch-1: size-table skyline, MAX-IVM refetch branch,
-      // seeded pagerank iterations, segment-lattice SAX windows
-      "q69_skyline", "cdc_ivm_minmax", "graph_ppr", "ts_paa_sax",
-      // round-6 batch-2: basket pair fan-out, 3-ball ring expansion,
-      // narrow JSON classification
-      "ev_assoc_rules", "graph_harmonic3", "cdc_dead_letter",
-      // planned band join: merge sweep, buffer bounded by occupancy
-      "q70_band_planned",
-      // round-6 batch-3: step-latency rank windows, marginal-cross
-      // chi-square grid, piggyback compaction report
-      "ev_funnel_latency", "dq_chi2_independence",
-      "cdc_compaction_plan",
-      // round-6 batch-4: conditional-aggregate moments, band-join
-      // attribution fan-out, sweep-line prefix sums
-      "ev_ab_ttest", "ev_attrib_touch", "ev_peak_concurrency",
-      "q71_band_sql",
-      // round-6 batch-5: shifted-key self-join backtest, gap-moment
-      // screening, redelivery union
-      "ts_backtest_snaive", "dq_bot_users", "cdc_redelivery_audit",
-      // round-6 batch-6: cohort lattice windows, bin-span explode,
-      // dimension self-audit window
-      "ev_cohort_ltv", "tok_packing_report", "cdc_scd2_audit",
-      // round-6 batch-7: cell-merge histogram, tokenizer economics,
-      // per-segment rank over frame windows
-      "sketch_histogram", "tok_fertility", "mm_keyframes",
-      // round-6 batch-8: distinct-free sliding-window decomposition,
-      // directional batch-probes-corpus banding
-      "ev_stickiness", "dedup_incremental",
-      // round-6 batch-9: tolerance band + rank, per-doc run windows
-      "q72_asof_tolerance", "text_script_runs",
-      // round-6 batch-10: lattice-bounded backtest, bucket histogram
-      "eval_markov_acc", "sim_bucket_stats",
-      // round-6 batch-11: per-arm rank windows, one-row SRM gate
-      "eval_ab_qte", "dq_srm_check",
-      // round-6 batch-12: bounded-heap hot keys, 168-cell matrix,
-      // left-outer band coverage
-      "cdc_hot_keys", "ev_dow_hod_matrix", "ev_attrib_coverage",
-      // round-5 batch-1/2/3: rule-battery scan, moment CUPED, card
-      // rollup, hash-agg LPA iterations, capped bipartite pair
-      // fan-out, day-series drawdown windows, int8-code BNLJ scan +
-      // re-rank, one-pass recall curve, ntile backfill chunking
-      "text_gopher_rules", "ev_ab_cuped", "dataset_card",
-      "graph_label_prop", "graph_bipartite_project", "ts_drawdown",
-      "sim_ann_sq8", "eval_recall_curve", "cdc_backfill_plan",
-      // round-5 batch-4: narrow featurize + id join, Derived-label
-      // rollup, 1-row argmax policy broadcast
-      "mm_clip_align", "dedup_survivorship", "ev_bandit_replay",
-      // round-5 batch-5: second-moment IVM retraction, one-pass
-      // multi-window band coverage, cumulative-moment z trajectory
-      "cdc_ivm_moments", "ev_attrib_window_curve", "ev_ab_sequential",
-      // round-5 batch-6: 5-row spine sweep over the stored pair
-      // table, prefix-sum SSE change-point, composed curation gates
-      "sim_threshold_sweep", "ts_changepoint_mean", "pipeline_curate3",
-      // round-5 batch-7: dim-lattice energy explode, 5-row rich-club
-      // spine, frame-hash shuffle
-      "embed_dim_energy", "graph_rich_club", "mm_shared_frames",
-      // round-5 batch-8: 4-row MDE grid over one moment aggregate,
-      // per-arm exact-percentile rank windows
-      "ev_power_analysis", "ev_ab_winsorized",
-      // round-5 batch-9: 2x2 conditional cells, 3-config re-banding
-      // over one signature table, |partitions| assignment sort
-      "ev_ab_did", "dedup_lsh_tuning", "cdc_rebalance_plan",
-      // round-5 batch-10: measure-stack flatMap, decorrelated
-      // lateral, outer-join IVM touched-key recompute
-      "q73_unpivot", "q74_lateral_topn", "cdc_ivm_outer",
-      // round-5 batch-11: 3-row K spine over one frequency table,
-      // per-partition lag window, Derived-LPA conductance rollup
-      "tok_oov_curve", "cdc_order_inversions", "graph_conductance",
-      // round-6(this) batch-1: eval-shingle semi-join decontamination,
-      // codegen regex scan, containment over stored candidates
-      "text_contamination", "text_pii_scrub", "dedup_containment_lsh",
-      // round-6(this) batch-2: |cells| rollup over the narrow
-      // assignment, 10-bin reliability rollup, (hour,arm) cells
-      "sim_ivf_cell_skew", "eval_reliability_bins", "ev_switchback",
-      // round-6(this) batch-3: |vocab|-bounded merge folds, edge-list
-      // self-join ball growth, |days| rolling-median window
-      "tok_bpe_encode", "graph_2hop_reach", "ts_rolling_median_dev",
-      // round-6(this) batch-4: delta-contracted CC relabel, JSON-keys
-      // drift scan, one-shuffle multi-agg pivot
-      "dedup_cc_incremental", "cdc_schema_drift", "q75_pivot_multi",
-      // round-6(this) batch-5: pair-set recall join, merge-sweep
-      // range frame, narrow chunk explode
-      "eval_lsh_recall", "q76_range_window", "tok_chunk_overlap",
-      // round-6(this) batch-6: disc-percentile shuffle, broadcast
-      // Tukey fences, 10-cell concentration rollup
-      "q77_percentile_disc", "dq_iqr_outliers", "ev_lorenz_curve",
-      // round-6(this) batch-7: span inverted index, broadcast bloom
-      // bits, feature-hash rollup
-      "dedup_substring_spans", "sketch_bloom_fpr", "text_hashed_bow",
-      // round-6(this) batch-8: splittable-format scans (write charged
-      // to the first cold run per JVM)
-      "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip",
-      // round-6(this) batch-9: decorrelated scalar agg, per-partition
-      // lag audit, 64-cell gap histogram
-      "q78_scalar_subquery", "cdc_gap_audit", "ev_interarrival_hist",
-      // round-6(this) batch-10: modern-agg rollup, 4-step adjacency
-      // joins, bounded-offset cooccurrence
-      "q79_modern_aggs", "graph_random_walks", "text_window_cooccur",
-      // round-6(this) batch-11: window group-limit pushdown, argmax
-      // hash agg, deletion-neighborhood blocked join
-      "q80_qualify", "q81_distinct_on", "dq_fuzzy_match",
-      // round-6(this) batch-12: 3 hash-join rank iterations, per-user
-      // sort-agg + codegen regex, 256-register sketch rollup
-      "text_textrank_keywords", "ev_pattern_regex", "sketch_hll_merge",
-      // round-6(this) batch-13: directory-pruned partitioned scan,
-      // zero-shuffle bucketed merge join, one |E| Louvain sweep
-      "src_hive_partitioned", "src_bucketed_join", "graph_louvain_round",
-      // round-6(this) batch-14: two-stage group-limit rank, txid
-      // completeness semi-join, piggybacked metrics pass
-      "sim_topk_shard_merge", "cdc_txn_assembly", "dq_observe_metrics",
-      // round-6(this) batch-15: codegen TRY lanes, distributive
-      // fingerprint fold, 7-lag bounded alignment join
-      "q82_try_arithmetic", "dq_table_checksum", "mm_av_sync",
-      // round-6(this) batch-16: 32-cell butterfly over a pre-agg,
-      // 3-step |E| power iteration
-      "ts_hadamard_energy", "graph_power_partition",
-      // round-6(this) batch-17: per-day group-limit sketch, no-shuffle
-      // schema union, 2-rows-per-session sweep
-      "sketch_kmv_jaccard", "q83_union_by_name", "ev_littles_law",
-      // round-6(this) batch-18: splittable line scan, whole-file
-      // binary scan, null-preserving lateral
-      "src_text_roundtrip", "src_binaryfile_scan", "q84_explode_outer",
-      // round-6(this) batch-19: |types|x|days| pre-agg then constant
-      "ts_ar1_fit",
-      // round-6(this) batch-20: |keys|+|delta| switchover re-merge,
-      // three |E| walk joins
-      "cdc_bootstrap_tail", "graph_katz3",
-      // round-6(this) batch-21: beam×k hops over the knn graph,
-      // two lag self-joins on the daily pre-agg
-      "sim_graph_greedy", "ts_variance_ratio",
-      // round-6(this) batch-22: k corpus scans with 1-row argmins,
-      // 15/16-pruned sampled scan
-      "sim_diverse_subset", "tok_count_sampled",
-      // round-6(this) batch-23: |types|x|days| pyramid, one word agg
-      "ts_haar_dwt", "text_word_burstiness",
-      // round-6(this) batch-24: two |E| joins, islands window + aggs
-      "graph_hits2", "text_rake_phrases",
-      // round-6(this) batch-25: x40 narrow generator into one agg
-      "ev_bootstrap_ci",
-      // round-6(this) batch-26: support-domain sweep, map-lane agg
-      "dq_ks_test", "q85_map_functions",
-      // round-6(this) batch-27: filter-join + broadcast-query rank,
-      // held-out broadcast-query vote
-      "sim_filtered_ann", "eval_knn_classify",
-      // round-6(this) batch-28: |versions|x|keys| key-set diff,
-      // per-user agg + 1-row prior broadcast
-      "cdc_schema_compat", "ev_eb_shrinkage")
+    // sf1 probe order (round-6 verdict asks #2/#3/#5):
+    //  1. a pinned head of known heap-heavy / evidence-gap probes that
+    //     must run FIRST, on a fresh heap, so their recorded numbers
+    //     measure the plan and not the harness's accumulated state
+    //     (graph_link_predict read 39 s in-suite vs 7.7-10.4 s
+    //     isolated; sketch_cms read warm > cold; embed_kmeans_clusters
+    //     is the suite's heaviest query and had no probe at all);
+    //  2. the ENTIRE catalog, ordered longest-unprobed-first via a
+    //     last-probed stamp persisted in SF1_PROBE_HISTORY.json —
+    //     never-probed queries come first (alphabetical among
+    //     themselves), so if the budget ever clips the tail, the -2
+    //     skips land on the entries probed most recently and coverage
+    //     round-robins instead of permanently starving the oldest
+    //     entries (newest-first starved the 9 oldest CDC probes for
+    //     two consecutive rounds).
+    val histPath = java.nio.file.Paths.get("SF1_PROBE_HISTORY.json")
+    val hist: Map[String, Long] =
+      if (!java.nio.file.Files.isRegularFile(histPath)) Map.empty
+      else try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(histPath), "UTF-8")
+        "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      } catch { case NonFatal(_) => Map.empty }
+    val pinnedFirst = Seq("graph_link_predict", "sketch_cms",
+      "embed_kmeans_clusters").filter(SparkEntry.queries.contains)
+    val sf1Probes: Seq[String] = pinnedFirst ++
+      SparkEntry.queries.keys.toSeq
+        .filterNot(pinnedFirst.contains)
+        .sortBy(n => (hist.getOrElse(n, -1L), n))
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old
@@ -387,9 +252,16 @@ object Bench {
     // (below) so every probe runs warm-indexed, and the r5 run showed
     // 900 s leaves ~50 back-catalog probes unprobed (-2) — the extra
     // 300 s buys the whole list at ~4 s/probe.
+    // 2400 (vs r6's 1200): the probe list is now the ENTIRE catalog
+    // (round-6 ask #3: 144/389 queries had no sf1 entry at all,
+    // including the suite's heaviest) — r6 spent ~1200 s on 253
+    // probes, so ~397 needs roughly double; anything still clipped
+    // lands on the most-recently-probed tail and rotates back in next
+    // round via SF1_PROBE_HISTORY.json.
     val sf1Budget =
-      sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "1200").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "2400").toDouble
     val sf1Start = System.nanoTime()
+    val probedNow = scala.collection.mutable.ListBuffer.empty[String]
     // the budget is charged WALL-CLOCK — a probe that fails after ten
     // minutes must count against the cap exactly like a slow success,
     // or failures could run the section away with the bench slot
@@ -419,10 +291,10 @@ object Bench {
           }
         s"\"$name\":$entry"
       }
-      // newest-first: the list is append-ordered by round, so if the
-      // budget ever runs short the entries guaranteed a slot are the
-      // ones no prior round recorded
-      (derivedEntries ++ sf1Probes.reverse.flatMap { name =>
+      // the list is already ordered pinned-heavy-first, then
+      // longest-unprobed-first (see sf1Probes above) — budget
+      // exhaustion clips only the most-recently-probed tail
+      (derivedEntries ++ sf1Probes.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           val entry =
             if (sf1Elapsed > sf1Budget)
@@ -456,11 +328,25 @@ object Bench {
               val warm = if (cold < 0) -1.0 else once()
               if (warm > 0) sf1Total += warm
               if (cold > 0) sf1ColdTotal += cold
+              probedNow += name
               s"""{"cold":${fmt(cold)},"warm":${fmt(warm)}}"""
             }
           s"\"$name\":$entry"
         }
       }).mkString("{", ",", "}")
+    }
+    // Persist the last-probed stamp for every probe that actually ran
+    // (skips keep their old stamp), so the next round's ordering puts
+    // whatever this run clipped at the FRONT of its list — coverage
+    // round-robins across rounds instead of starving a fixed tail.
+    if (sf1Exists && probedNow.nonEmpty) {
+      val stamp = (hist.values ++ Seq(0L)).max + 1
+      val merged = hist ++ probedNow.map(_ -> stamp)
+      val body = merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      try java.nio.file.Files.write(histPath, body.getBytes("UTF-8"))
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench] history write failed: ${e.getMessage}") }
     }
     // Full per-query detail goes to stderr AND a file: the driver
     // records only the trailing ~2000 chars of stdout, so the single
@@ -469,7 +355,7 @@ object Bench {
     System.err.println(s"""[bench-detail] $detail""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","n_queries":${results.size},"total_sec":${fmt(total)},"derived_build_sec":${fmt(derivedBuildSec)},"runs_per_query":2,"noise_sum_sec":${fmt(noiseSum)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"scaling":$scaling,"sf1_probe":$sf1,"sf1_warm_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)},"noise":$noiseDetail,"queries":$detail}""".getBytes("UTF-8"))
+      s"""{"sf":"$sfDir","n_queries":${queryResults.size},"n_entries":${results.size},"total_sec":${fmt(total)},"derived_build_sec":${fmt(derivedBuildSec)},"runs_per_query":2,"noise_sum_sec":${fmt(noiseSum)},"gc_sum_sec":${fmt(gcSum)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"scaling":$scaling,"sf1_probe":$sf1,"sf1_warm_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)},"noise":$noiseDetail,"gc":$gcDetail,"queries":$detail}""".getBytes("UTF-8"))
     catch { case NonFatal(e) =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // Curated headline subset (one per operator family + every query
@@ -493,7 +379,7 @@ object Bench {
     val sf1Head = if (sf1Exists)
       s""","sf1_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)}"""
       else ""
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"derived_build_sec":${fmt(derivedBuildSec)},"runs_per_query":2,"noise_sum_sec":${fmt(noiseSum)}$sf1Head,"queries":$qs,"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"value":${fmt(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${queryResults.size},"derived_build_sec":${fmt(derivedBuildSec)},"runs_per_query":2,"noise_sum_sec":${fmt(noiseSum)},"gc_sum_sec":${fmt(gcSum)}$sf1Head,"queries":$qs,"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"value":${fmt(total)}}""")
     spark.stop()
   }
 }

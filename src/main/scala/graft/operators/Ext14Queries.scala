@@ -967,7 +967,11 @@ object Ext14Queries {
     val picks = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long)] // (rank, n_id, score)
     var chosen = List.empty[Long]
-    for (r <- 1 to 5) {
+    // never ask for more picks than the shortlist holds: a degenerate
+    // corpus whose cosineTopK shortlist has < 5 rows returns a short
+    // result (like the pre-driver-loop DataFrame form did) instead of
+    // minBy throwing on an exhausted iterator
+    for (r <- 1 to math.min(5, simq.size)) {
       // round 1: max simq; later: max(simq - max_{j in chosen} pm);
       // ties broken by id — the identical rule as the SQL oracle
       val (id, score) = simq.keysIterator

@@ -87,8 +87,13 @@ object Ext47Queries {
       .select(col("a").as("node"), col("idx"), col("b").as("nbr"),
         col("deg"))
       .cache()
+    // every round's frontier has TWO consumers (the next step's join
+    // and the `frames` buffer) — cache each one, like the other
+    // iterative loops (Ext53/57/58), so lineage is O(1) per step
+    // instead of the adjacency join re-evaluating up to 2^steps times
     var cur = adj.select(col("node").as("walk_id")).distinct()
       .withColumn("node", col("walk_id"))
+      .cache()
     val frames = scala.collection.mutable.Buffer(
       cur.select(col("walk_id"), lit(0L).as("step"), col("node")))
     for (s <- 1 to WalkSteps) {
@@ -98,6 +103,7 @@ object Ext47Queries {
       cur = cur.join(adj, Seq("node"))
         .filter(col("idx") === pick(col("node"), s) % col("deg"))
         .select(col("walk_id"), col("nbr").as("node"))
+        .cache()
       frames += cur.select(col("walk_id"), lit(s.toLong).as("step"),
         col("node"))
     }
