@@ -57,16 +57,10 @@ object Pq {
   private def fitCodebooks(corpus: DataFrame, idCol: String,
       vecCol: String, nSub: Int, k: Int, iters: Int,
       sampleMod: Int): Array[Array[Array[Double]]] = {
-    val keep = pmod(conv(substring(md5(concat(lit("ivfs:"),
-      col(idCol).cast("long").cast("string"))), 1, 2), 16, 10)
-      .cast("long"), lit(sampleMod.toLong)) === 0L
-    val sample = corpus
-      .filter(if (sampleMod > 1) keep else lit(true))
-      .select(col(idCol).cast("long").as("vec_id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    // the shared bounded sampler (Similarity.fitSample): identical
+    // keep rule to the previous inline form at every test/oracle SF,
+    // plus the corpus-size-independent collect cap for the 100 TB path
+    val sample = Similarity.fitSample(corpus, idCol, vecCol, sampleMod)
     require(sample.nonEmpty,
       s"PQ fit: hash sample (mod $sampleMod) kept no vectors")
     fitCodebooksFromSample(sample, nSub, k, iters)
