@@ -251,4 +251,80 @@ class TopicSourceSpec extends AnyFunSuite {
     assert(sink.load().count() === 25L)
     TopicBroker.delete(topic)
   }
+
+  test("partition sessions resume from committed offsets across a " +
+      "mid-flight stop UNDER PUBLISH LOAD (O1 lifecycle, O10)") {
+    // the reference's partition-session lifecycle (CdcReader.java:
+    // 82-115): sessions stop with their committed offsets confirmed
+    // and later sessions resume from exactly there, while producers
+    // keep appending throughout. Spark analog: per-partition offsets
+    // in the checkpoint survive a mid-flight q.stop(); the restarted
+    // query's new partition readers pick up at the commit, and the
+    // final state is exactly-once whatever interleaving occurred.
+    val topic = s"cdc-load-${System.nanoTime()}"
+    TopicBroker.create(topic, 4)
+    val keys = 40
+    val rounds = 60 // 2400 messages, stretched over ~1.5 s of publish
+    @volatile var published = 0
+    @volatile var pubErr: Option[Throwable] = None
+    val publisher = new Thread(() => {
+      try {
+        for (r <- 0 until rounds) {
+          for (k <- 0 until keys) {
+            TopicBroker.sendKeyed(topic, k.toLong,
+              s"""{"key":[$k],"update":{"event_type":"r$r","value_milli":${r * 1000 + k}}}""")
+            published += 1
+          }
+          Thread.sleep(25)
+        }
+      } catch { case t: Throwable => pubErr = Some(t) }
+    })
+    val ckpt = freshDir("ckpt-load")
+    val sink = new KeyedTableSink(spark, freshDir("sink-load"),
+      Seq("user_id"), schema.columns)
+    def pipeline = CdcPipeline.Pipeline("topic-load", "/unused", ckpt,
+      schema, updateSql = Some(
+        "SELECT user_id, event_type, value_milli FROM rows"),
+      deleteSql = None, sink = sink)
+    def src = Changelog.readTopicStream(spark, topic,
+      maxOffsetsPerTrigger = 64)
+    publisher.start()
+    Thread.sleep(100) // let some records land before the first session
+    // session 1: capped micro-batches, killed mid-flight while the
+    // publisher is live (if the AvailableNow snapshot drains first,
+    // the stop is graceful — both are valid session-stop paths and
+    // the exactly-once contract must hold either way)
+    val q1 = CdcPipeline.startWithSource(spark, pipeline, src)
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.isActive && q1.recentProgress.length < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.stop()
+    publisher.join(120000)
+    assert(pubErr.isEmpty, s"publisher failed: $pubErr")
+    assert(published === rounds * keys)
+    // session 2: resumes from the committed offsets and drains the
+    // rest (including everything published after the stop)
+    CdcPipeline.startWithSource(spark, pipeline, src)
+      .awaitTermination(120000)
+    // all four partitions carried traffic — the multi-session case
+    assert(TopicBroker.endOffsets(topic).count(_ > 0) === 4)
+    assert(TopicBroker.endOffsets(topic).sum === (rounds * keys).toLong)
+    // exactly-once RESULT: per-key LWW must land on the final round's
+    // value — a lost batch shows a stale round, a reset offset would
+    // double-apply old rounds over new (value regression)
+    val got = sink.load().collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got.size === keys)
+    (0 until keys).foreach { k =>
+      assert(got(k.toLong) ===
+        ((s"r${rounds - 1}", (rounds - 1) * 1000L + k)), s"key $k")
+    }
+    // a further restart with NO new data consumes nothing and changes
+    // nothing (committed offsets are the whole truth)
+    val before = sinkRows(sink)
+    CdcPipeline.startWithSource(spark, pipeline, src)
+      .awaitTermination(120000)
+    assert(sinkRows(sink) === before)
+    TopicBroker.delete(topic)
+  }
 }
