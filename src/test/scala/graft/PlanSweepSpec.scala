@@ -73,6 +73,9 @@ class PlanSweepSpec extends AnyFunSuite {
   //    1-row SQ8 [min,max] bounds broadcast
   private val allowCross = Set(
     "sim_ann_sq8", "eval_recall_curve",
+    // ts_locf_fill: 1-row day-bounds broadcast building the series x
+    // day spine; dq_benford: 1-row total broadcast into 9 digit cells
+    "ts_locf_fill", "dq_benford",
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
     // post-period conditional aggregate
     "ev_bandit_replay",
