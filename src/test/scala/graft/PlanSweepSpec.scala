@@ -76,6 +76,9 @@ class PlanSweepSpec extends AnyFunSuite {
     // ts_locf_fill: 1-row day-bounds broadcast building the series x
     // day spine; dq_benford: 1-row total broadcast into 9 digit cells
     "ts_locf_fill", "dq_benford",
+    // sim_ann_binary: 8-row packed-query broadcast BNLJ over the
+    // 16-byte word table (the BQ scan itself, like sim_ann_sq8)
+    "sim_ann_binary",
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
     // post-period conditional aggregate
     "ev_bandit_replay",
