@@ -79,6 +79,8 @@ class PlanSweepSpec extends AnyFunSuite {
     // sim_ann_binary: 8-row packed-query broadcast BNLJ over the
     // 16-byte word table (the BQ scan itself, like sim_ann_sq8)
     "sim_ann_binary",
+    // pipeline_mix_weights: 1-row totals broadcast into |langs| cells
+    "pipeline_mix_weights",
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
     // post-period conditional aggregate
     "ev_bandit_replay",
