@@ -251,6 +251,51 @@ object CdcQueries {
       .orderBy("partition")
   }
 
+  /** Snapshot DIFF (time-travel compare): the keyed state at T1 =
+    * max(seq)/4 versus T2 = max(seq)/2, full-outer joined and
+    * classified added / removed / changed / unchanged per key — the
+    * "what changed between these two points" audit a changefeed
+    * consumer runs after an incident, costing two changelog applies
+    * and one key-equi join, never a table rescan per question. The
+    * snapshots here are pure FULL-stream LWW reconstructions (unlike
+    * snapshotAt's state0+odd-delta convention) because the full stream
+    * is the one that carries erase markers — without them "added" and
+    * "removed" could never occur. Null payload columns surface as
+    * -1 / "-" sentinels so the report is join-stable. Built on the
+    * STORED parsed changelog (derived:cdcparsed).
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def snapAt(denom: Int): DataFrame = {
+      val deltas = parsedStored(spark, dir)
+        .crossJoin(broadcast(t(spark, dir, "events").agg(
+          expr(s"max(event_id) div $denom").as("cut"))))
+        .filter(col("event_id") <= col("cut")
+          && col("op") =!= CdcParse.OpDrop)
+        .drop("cut")
+      KeyedMerge.lww(deltas, Seq("user_id"), "event_id")
+        .filter(col("op") =!= CdcParse.OpErase)
+    }
+    // rename one side wholesale: the two snapshots derive from ONE
+    // parent lineage and an un-renamed key join would trip Spark's
+    // ambiguous-self-join detection
+    val a = snapAt(4).select(col("user_id").as("k1"),
+      col("event_type").as("et1"), col("value_milli").as("vm1"))
+    val b = snapAt(2).select(col("user_id").as("k2"),
+      col("event_type").as("et2"), col("value_milli").as("vm2"))
+    a.join(b, col("k1") === col("k2"), "full_outer")
+      .select(coalesce(col("k1"), col("k2")).as("user_id"),
+        when(col("k1").isNull, lit("added"))
+          .when(col("k2").isNull, lit("removed"))
+          .when(!(col("et1") <=> col("et2"))
+            || !(col("vm1") <=> col("vm2")), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("et1"), lit("-")).as("et1"),
+        coalesce(col("vm1"), lit(-1L)).as("vm1"),
+        coalesce(col("et2"), lit("-")).as("et2"),
+        coalesce(col("vm2"), lit(-1L)).as("vm2"))
+      .orderBy("user_id")
+  }
+
   /** snapshotAt with an explicit 1-row (cut BIGINT) cutoff frame —
     * the spec drives this with cut = max and cut = -1 to prove the
     * endpoints collapse to apply-all and state0.
@@ -461,6 +506,7 @@ object CdcQueries {
     "cdc_lww_dedup" -> lwwDedup _,
     "cdc_apply_upsert" -> applyUpsert _,
     "cdc_snapshot_at" -> snapshotAt _,
+    "cdc_snapshot_diff" -> snapshotDiff _,
     "cdc_tombstone_gc" -> tombstoneGc _,
     "cdc_partition_lag" -> partitionLag _,
     "cdc_apply_insert" -> applyInsert _,
@@ -724,6 +770,39 @@ object CdcQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM odd_lww_cut b WHERE b.user_id = s.user_id)
         |  UNION ALL
         |  SELECT user_id, event_type, value_milli FROM odd_lww_cut WHERE op <> 'erase') f
+        |ORDER BY user_id""".stripMargin),
+    "cdc_snapshot_diff" -> (baseCte +
+      """, cut1 AS (SELECT MAX(event_id) // 4 AS cut FROM events
+        |), cut2 AS (SELECT MAX(event_id) // 2 AS cut FROM events
+        |), lww1 AS (
+        |  SELECT user_id, op, event_type, value_milli FROM (
+        |    SELECT t.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM typed t, cut1 c
+        |    WHERE op <> 'drop' AND event_id <= c.cut) x
+        |  WHERE rn = 1
+        |), s1 AS (
+        |  SELECT user_id, event_type, value_milli FROM lww1 WHERE op <> 'erase'
+        |), lww2 AS (
+        |  SELECT user_id, op, event_type, value_milli FROM (
+        |    SELECT t.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM typed t, cut2 c
+        |    WHERE op <> 'drop' AND event_id <= c.cut) x
+        |  WHERE rn = 1
+        |), s2 AS (
+        |  SELECT user_id, event_type, value_milli FROM lww2 WHERE op <> 'erase'
+        |)
+        |SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        |  CASE WHEN a.user_id IS NULL THEN 'added'
+        |    WHEN b.user_id IS NULL THEN 'removed'
+        |    WHEN a.event_type IS DISTINCT FROM b.event_type
+        |      OR a.value_milli IS DISTINCT FROM b.value_milli
+        |      THEN 'changed'
+        |    ELSE 'unchanged' END AS status,
+        |  COALESCE(a.event_type, '-') AS et1,
+        |  CAST(COALESCE(a.value_milli, -1) AS BIGINT) AS vm1,
+        |  COALESCE(b.event_type, '-') AS et2,
+        |  CAST(COALESCE(b.value_milli, -1) AS BIGINT) AS vm2
+        |FROM s1 a FULL OUTER JOIN s2 b ON b.user_id = a.user_id
         |ORDER BY user_id""".stripMargin),
     "cdc_tombstone_gc" -> (baseCte +
       """, perkey AS (

@@ -81,6 +81,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "sim_ann_binary",
     // pipeline_mix_weights: 1-row totals broadcast into |langs| cells
     "pipeline_mix_weights",
+    // cdc_snapshot_diff: two 1-row seq-cutoff broadcasts (the
+    // snapshotAtCut convention, same as cdc_snapshot_at)
+    "cdc_snapshot_diff",
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
     // post-period conditional aggregate
     "ev_bandit_replay",
