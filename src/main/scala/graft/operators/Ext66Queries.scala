@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-7 batch 1: gap-filled series and first-digit forensics.
+/** Round-7 batch 1: gap-filled regular series.
   *
   *  - `ts_locf_fill`: last-observation-carried-forward gap fill over a
   *    dense (series, day) spine — the feature-store primitive that
@@ -16,24 +16,12 @@ import org.apache.spark.sql.functions._
   *    the last observation — the freshness SLA a serving layer
   *    monitors). Leading cells before a series' first observation
   *    carry -1 sentinels, never nulls.
-  *  - `dq_benford`: Benford first-significant-digit audit over the
-  *    money lattice — the classic fabricated-data screen. Expected
-  *    shares are integer-micro CONSTANTS (round(log10(1+1/d)·1e6),
-  *    summing to exactly 1e6), so no engine transcendental enters the
-  *    comparison; the report carries observed count, observed share,
-  *    expected share, and |deviation| per digit 1-9.
   *
-  * 100 TB shapes: locf is one |events| aggregate down to |series|·|days|
-  * cells, a broadcast-able 1-row bounds crossJoin to build the spine,
-  * and a per-series window over ≤|days| rows — never a per-event
-  * window. Benford is one scan collapsed to ≤9 digit cells joined to a
-  * 9-row literal spine.
+  * 100 TB shape: one |events| aggregate down to |series|·|days| cells,
+  * a broadcast-able 1-row bounds crossJoin to build the spine, and a
+  * per-series window over ≤|days| rows — never a per-event window.
   */
 object Ext66Queries {
-
-  // ---------------------------------------------------------------
-  // ts_locf_fill
-  // ---------------------------------------------------------------
 
   def locfFill(spark: SparkSession, dir: String): DataFrame = {
     val daily = t(spark, dir, "events")
@@ -67,42 +55,8 @@ object Ext66Queries {
       .orderBy("t", "g", "day")
   }
 
-  // ---------------------------------------------------------------
-  // dq_benford
-  // ---------------------------------------------------------------
-
-  /** round(log10(1 + 1/d) * 1e6) for d = 1..9 — integer constants that
-    * sum to exactly 1_000_000, so both engines compare against the
-    * identical lattice with zero transcendental math.
-    */
-  private val benfordMicro = Seq(301030L, 176091L, 124939L, 96910L,
-    79181L, 66947L, 57992L, 51153L, 45757L)
-
-  def benford(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val obs = t(spark, dir, "events")
-      .select(expr("cast(round(value * 1000) as bigint)").as("vm"))
-      .filter(col("vm") > 0)
-      .select(substring(col("vm").cast("string"), 1, 1).cast("long")
-        .as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n"))
-    val total = broadcast(obs.agg(sum("n").as("total")))
-    val spine = benfordMicro.zipWithIndex
-      .map { case (b, i) => (i + 1L, b) }
-      .toDF("digit", "benford_micro")
-    spine.join(obs, Seq("digit"), "left")
-      .na.fill(0L, Seq("n"))
-      .crossJoin(total)
-      .withColumn("share_micro", expr("n * 1000000 div total"))
-      .select(col("digit"), col("n"), col("share_micro"),
-        col("benford_micro"),
-        abs(col("share_micro") - col("benford_micro")).as("dev_micro"))
-      .orderBy("digit")
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_locf_fill" -> locfFill _,
-    "dq_benford" -> benford _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -138,27 +92,5 @@ object Ext66Queries {
         |  CAST(COALESCE(v_fill, -1) AS BIGINT) AS v_fill,
         |  CAST(COALESCE(day - obs_day, -1) AS BIGINT) AS staleness
         |FROM f ORDER BY t, g, day""".stripMargin,
-    "dq_benford" ->
-      """WITH obs AS (
-        |  SELECT CAST(substr(CAST(CAST(round(value * 1000) AS BIGINT)
-        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM events
-        |  WHERE CAST(round(value * 1000) AS BIGINT) > 0
-        |  GROUP BY 1
-        |), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs),
-        |spine(digit, benford_micro) AS (VALUES
-        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910),
-        |  (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
-        |SELECT CAST(s.digit AS BIGINT) AS digit,
-        |  CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
-        |  CAST(COALESCE(o.n, 0) * 1000000 // t.total AS BIGINT)
-        |    AS share_micro,
-        |  CAST(s.benford_micro AS BIGINT) AS benford_micro,
-        |  CAST(abs(COALESCE(o.n, 0) * 1000000 // t.total
-        |    - s.benford_micro) AS BIGINT) AS dev_micro
-        |FROM spine s LEFT JOIN obs o ON o.digit = s.digit
-        |CROSS JOIN tot t
-        |ORDER BY digit""".stripMargin,
   )
 }

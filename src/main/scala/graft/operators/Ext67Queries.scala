@@ -4,26 +4,18 @@ import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-7 batch 2: cohort retention and corpus-novelty accounting.
+/** Round-7 batch 2: cohort retention.
   *
-  *  - `ev_retention_matrix`: the classic cohort-retention triangle —
-  *    users bucketed by first-PURCHASE week, each later week's
+  *  - `ev_retention_matrix`: the cohort-retention TRIANGLE — users
+  *    bucketed by first-PURCHASE week, each later week's
   *    distinct-purchasing count expressed as an integer-micro share of
-  *    the cohort's size. The curve every growth dashboard draws; here
-  *    it is exact (distinct users, floor division), not sampled.
-  *  - `text_ngram_novelty`: per-document contribution to corpus
-  *    diversity — of a doc's distinct 3-gram shingles, how many does
-  *    it OWN (smallest doc_id among all docs containing the shingle)?
-  *    High-novelty docs introduce new n-grams; near-zero novelty means
-  *    the doc is assembled from other docs' phrasing — the curation
-  *    signal between exact-dup (0 novel) and boilerplate. Built on the
-  *    STORED sh3 shingle index (derived:sh3), so the corpus explode is
-  *    paid once per corpus, not per query.
+  *    the cohort's size. Distinct from `ev_retention` (Ext3Queries:
+  *    daily any-event cohort counts, no normalization): weekly
+  *    purchase granularity is what shows real churn at every SF, and
+  *    the per-cohort share column is what a growth dashboard plots.
   *
-  * 100 TB shapes: retention is two aggregates collapsing |events| to a
-  * |weeks|² triangle (cohort sizes ride a |weeks|-row join); novelty is
-  * one groupBy over the stored shingle table (min owner per shingle)
-  * joined back shingle-equi — no doc-pair fan-out anywhere.
+  * 100 TB shape: two aggregates collapse |events| to a |weeks|²
+  * triangle; cohort sizes ride a |weeks|-row join.
   */
 object Ext67Queries {
 
@@ -59,32 +51,8 @@ object Ext67Queries {
       .orderBy("cohort_week", "age")
   }
 
-  // ---------------------------------------------------------------
-  // text_ngram_novelty
-  // ---------------------------------------------------------------
-
-  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = NearDupGraph.shingleTable(spark, dir) // (id, shingle)
-    val owner = sh.groupBy("shingle").agg(min("id").as("first_id"))
-    val per = sh.join(owner, Seq("shingle"))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
-          .as("n_novel"))
-    t(spark, dir, "documents").select(col("doc_id"))
-      .join(per.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
-        "left")
-      .na.fill(0L, Seq("n_shingles", "n_novel"))
-      .withColumn("novelty_micro",
-        when(col("n_shingles") === 0, lit(0L))
-          .otherwise(expr("n_novel * 1000000 div n_shingles")))
-      .select("doc_id", "n_shingles", "n_novel", "novelty_micro")
-      .orderBy("doc_id")
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_retention_matrix" -> retentionMatrix _,
-    "text_ngram_novelty" -> ngramNovelty _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -114,30 +82,5 @@ object Ext67Queries {
         |    AS retained_micro
         |FROM m JOIN sizes s ON s.cohort_week = m.cohort_week
         |ORDER BY cohort_week, age""".stripMargin,
-    "text_ngram_novelty" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id AS id,
-        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
-        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i)
-        |), own AS (
-        |  SELECT shingle, MIN(id) AS first_id FROM sh GROUP BY shingle
-        |), per AS (
-        |  SELECT s.id, CAST(count(*) AS BIGINT) AS n_shingles,
-        |    CAST(SUM(CASE WHEN o.first_id = s.id THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_novel
-        |  FROM sh s JOIN own o ON o.shingle = s.shingle
-        |  GROUP BY s.id
-        |)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
-        |  CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
-        |  CAST(CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0
-        |    ELSE p.n_novel * 1000000 // p.n_shingles END AS BIGINT)
-        |    AS novelty_micro
-        |FROM documents d LEFT JOIN per p ON p.id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
   )
 }

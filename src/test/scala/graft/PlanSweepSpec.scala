@@ -74,8 +74,8 @@ class PlanSweepSpec extends AnyFunSuite {
   private val allowCross = Set(
     "sim_ann_sq8", "eval_recall_curve",
     // ts_locf_fill: 1-row day-bounds broadcast building the series x
-    // day spine; dq_benford: 1-row total broadcast into 9 digit cells
-    "ts_locf_fill", "dq_benford",
+    // day spine
+    "ts_locf_fill",
     // sim_ann_binary: 8-row packed-query broadcast BNLJ over the
     // 16-byte word table (the BQ scan itself, like sim_ann_sq8)
     "sim_ann_binary",
@@ -84,6 +84,8 @@ class PlanSweepSpec extends AnyFunSuite {
     // cdc_snapshot_diff: two 1-row seq-cutoff broadcasts (the
     // snapshotAtCut convention, same as cdc_snapshot_at)
     "cdc_snapshot_diff",
+    // ev_survival_km: 1-row horizon broadcast into per-user durations
+    "ev_survival_km",
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
     // post-period conditional aggregate
     "ev_bandit_replay",
