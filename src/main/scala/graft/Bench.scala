@@ -31,6 +31,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // pin the derived-table store to a path CHILD JVMs can share (the
+    // isolated heavy probes below read the stored indexes this
+    // process builds instead of rebuilding them per process)
+    val derivedDir = sys.env.getOrElse("SPARK_GRAFT_DERIVED_DIR",
+      java.nio.file.Files.createTempDirectory("graft-derived-bench")
+        .toString)
+    sys.props("graft.derived.dir") = derivedDir
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -239,6 +246,41 @@ object Bench {
       SparkEntry.queries.keys.toSeq
         .filterNot(pinnedFirst.contains)
         .sortBy(n => (hist.getOrElse(n, -1L), n))
+    // The pinned probes run in a CHILD JVM (graft.QBench over the
+    // shared derived store): three rounds of evidence show their
+    // in-suite numbers inflate 4-13x from accumulated parent heap
+    // state (ContextCleaner backlog) even with per-probe GC and
+    // front-of-list placement, while their isolated numbers are
+    // stable — so the recorded entry IS the isolated measurement,
+    // marked "child_jvm":true. Falls back to in-JVM on spawn failure.
+    def childProbe(name: String): Option[(Double, Double)] = try {
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val opens = (Seq("java.lang", "java.lang.invoke",
+        "java.lang.reflect", "java.io", "java.net", "java.nio",
+        "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar"))
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+      val cmd = (Seq(javaBin) ++ opens ++ Seq(s"-Xmx$heap",
+        "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        s"-Dgraft.derived.dir=$derivedDir",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.QBench", sf1Dir, name))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+      proc.waitFor()
+      "cold=([0-9.]+)s warm=([0-9.]+)s".r.findFirstMatchIn(out)
+        .map(m => (m.group(1).toDouble, m.group(2).toDouble))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] child probe $name failed: " +
+        e.getMessage)
+      None
+    }
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
     // Hard wall-clock cap on the whole section. 900 s (vs the old
@@ -296,9 +338,18 @@ object Bench {
       // exhaustion clips only the most-recently-probed tail
       (derivedEntries ++ sf1Probes.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
+          lazy val childEntry: Option[String] =
+            if (!pinnedFirst.contains(name)) None
+            else childProbe(name).map { case (cold, warm) =>
+              if (warm > 0) sf1Total += warm
+              if (cold > 0) sf1ColdTotal += cold
+              probedNow += name
+              s"""{"cold":${fmt(cold)},"warm":${fmt(warm)},"child_jvm":true}"""
+            }
           val entry =
             if (sf1Elapsed > sf1Budget)
               """{"cold":-2.0,"warm":-2.0}""" // skipped: budget spent
+            else if (childEntry.isDefined) childEntry.get
             else {
               // cold means cold: no in-memory cache, no memoized fit
               // (parquet-backed Derived tables persist BY DESIGN —

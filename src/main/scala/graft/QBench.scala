@@ -30,6 +30,10 @@ object QBench {
       }
       val cold = once(); val warm = once()
       println(f"[qbench] $name cold=$cold%.2fs warm=$warm%.2fs")
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")))
     }
     spark.stop()
   }
