@@ -266,7 +266,12 @@ object Bench {
         "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
         "sun.security.action", "sun.util.calendar"))
         .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
-      val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+      // the child heap is CAPPED independent of the parent's: a
+      // single sf1 probe needs ~8-12g, and a child inheriting the
+      // parent's 96g next to the parent's still-committed heap
+      // thrashes the box (measured q32 warm 65 s > cold 23 s that way
+      // vs 3.8 s isolated at 8g)
+      val heap = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "12g")
       val cmd = (Seq(javaBin) ++ opens ++ Seq(s"-Xmx$heap",
         "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
