@@ -130,9 +130,15 @@ object Bench {
     graft.operators.Ext9Queries.clearFitCache()
     System.gc()
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val t0 = System.nanoTime()
-    SparkEntry.queries("cdc_apply_upsert")(spark, sfDir).count()
-    val applySec = (System.nanoTime() - t0) / 1e9
+    // min-of-3: the apply is a ~1.5 s operation whose single-shot
+    // timing jittered 19.7k-27.8k rows/s across same-code runs;
+    // steady-state throughput is the MIN time, like the suite's
+    // min-of-2 discipline
+    val applySec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries("cdc_apply_upsert")(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val rps = (nEvents / 2) / applySec // odd half is the changelog
     // full streaming pipeline rows/s: changelog files -> readStream ->
     // parse -> LWW -> transform -> keyed sink (one merge cycle);
