@@ -114,6 +114,44 @@ class StreamingTemporalJoinSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("out-of-order delivery WITHIN the lateness window still " +
+      "yields the exact batch as-of") {
+    val fDir = Files.createTempDirectory("tj3-f").toString
+    val dDir = Files.createTempDirectory("tj3-d").toString
+    // time-ordered thirds (the watermark contract), but each slice is
+    // SHUFFLED internally by md5 — rows arrive out of order inside
+    // the lateness window, which is exactly the disorder a real
+    // changelog delivers and the operator's buffering must absorb
+    def third(c: org.apache.spark.sql.Column, i: Int) =
+      if (i == 0) dayofmonth(c) <= 10
+      else if (i == 1) dayofmonth(c) > 10 && dayofmonth(c) <= 20
+      else dayofmonth(c) > 20
+    (0 until 3).foreach { i =>
+      facts.filter(third(col("ft"), i))
+        .orderBy(md5(concat_ws(":", col("fact_id"), col("key"))))
+        .coalesce(1).write.mode("append").parquet(fDir)
+      dims.filter(third(col("vt"), i))
+        .orderBy(md5(concat_ws(":", col("vt"), col("key"))))
+        .coalesce(1).write.mode("append").parquet(dDir)
+    }
+    val fs = spark.readStream.schema(spark.read.parquet(fDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(fDir)
+    val ds = spark.readStream.schema(spark.read.parquet(dDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dDir)
+    val q = StreamingTemporalJoin.enrich(fs, ds, "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tj3_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("tj3-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val cutoff = finalCutoffMs
+    val got = norm(spark.table("tj3_out"), cutoff)
+    val want = norm(batchAsOf(facts, dims), cutoff)
+    assert(got === want,
+      "in-window disorder must not change the finalized enrichments")
+  }
+
   test("enrichment state survives a checkpointed kill-and-restart " +
       "without loss or duplication") {
     val fDir = Files.createTempDirectory("tj2-f").toString
