@@ -9,12 +9,27 @@ import scala.util.control.NonFatal
   * reference's rows/s self-measurement (YqlWriter.java:217-231) over
   * the full parse->route->LWW->apply path.
   *
-  * Variance hygiene (round-3 verdict item 8): every query is timed
-  * min-of-2, and the spread between the two runs is accumulated into
-  * `noise_sum_sec` on the driver-visible line — a noise floor the
-  * judge can read directly instead of cross-referencing BASELINE.md
-  * prose. A failed query records -1 (never its time-to-failure) and is
-  * excluded from the total.
+  * Variance hygiene (round-3 verdict item 8, trimmed in round 8 per
+  * the r7 verdict's ask #5): the fixed HEADLINE subset is timed
+  * min-of-2 with the spread accumulated into `noise_sum_sec` (the
+  * noise floor the judge reads directly); the back catalog is timed
+  * single-run — r7 telemetry showed its min-of-2 spread (164 s
+  * noise_sum) dwarfed the signal while doubling the suite's wall
+  * clock. A failed query records -1 (never its time-to-failure) and
+  * is excluded from the total.
+  *
+  * Timeout-proofing (round-7 verdict ask #1 — BENCH_r07.json was
+  * rc=124/parsed:null): the headline JSON line is printed and FLUSHED
+  * immediately after the sf0.1 suite + throughput sections, BEFORE any
+  * sf1 probing, so a wall-clock kill during the probe phase still
+  * leaves a parsed artifact in the stdout tail; a second (final) line
+  * with the sf1 totals replaces it when the run completes. The whole
+  * bench also runs under a TOTAL wall-clock budget
+  * (SPARK_GRAFT_TOTAL_BUDGET, default 1800 s): the sf1 section gets
+  * only what remains of it, and the per-run sf1 budget is back to
+  * 750 s — the longest-unprobed-first rotation (SF1_PROBE_HISTORY
+  * .json) spreads full-catalog coverage across rounds instead of one
+  * run probing all 400+ entries cold+warm.
   */
 object Bench {
   /** Cumulative stop-the-world GC milliseconds across all collectors —
@@ -29,14 +44,35 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val benchStart = System.nanoTime()
+    // TOTAL wall-clock budget for the whole bench (suite + throughput
+    // + sf1 probes). The driver's slot is finite — r7's run outgrew it
+    // (rc=124) — so the sf1 section below is capped at
+    // min(SF1_BUDGET, what remains of this).
+    val totalBudget =
+      sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET", "1800").toDouble
+    def benchElapsed: Double = (System.nanoTime() - benchStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // pin the derived-table store to a path CHILD JVMs can share (the
     // isolated heavy probes below read the stored indexes this
     // process builds instead of rebuilding them per process)
-    val derivedDir = sys.env.getOrElse("SPARK_GRAFT_DERIVED_DIR",
-      java.nio.file.Files.createTempDirectory("graft-derived-bench")
-        .toString)
+    val derivedDir = sys.env.get("SPARK_GRAFT_DERIVED_DIR").getOrElse {
+      // self-created temp store: Derived treats pinned roots as shared
+      // state and skips its own cleanup, so register a deletion hook
+      // here — it only needs to outlive the child probes, not the
+      // machine (round-7 ADVICE: every bench run leaked its store).
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-derived-bench").toString
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          val kids = p.listFiles(); if (kids != null) kids.foreach(rm)
+          p.delete(): Unit
+        }
+        try rm(new java.io.File(d)) catch { case NonFatal(_) => () }
+      }
+      d
+    }
     sys.props("graft.derived.dir") = derivedDir
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,9 +121,27 @@ object Bench {
     // via ContextCleaner on GC — nudge it so the first timed queries
     // don't absorb the collection pause
     System.gc()
-    // min of two runs per query; cache cleared BETWEEN queries (not
-    // between the two runs) so a query keeps its own intra-query cache
-    // but cached/checkpointed blocks never accumulate across the suite
+    // Curated headline subset (one per operator family + every query
+    // that has ever been hot) — fixed list so rounds stay comparable.
+    // Defined BEFORE the suite loop because only these queries keep
+    // the min-of-2 discipline (round-7 verdict ask #5: the 401×2 loop
+    // with per-query GC became the dominant bench cost while its
+    // noise_sum dwarfed the min-of-2 signal).
+    val headline = Seq("q1_pricing_summary", "q3_join_agg", "q5_window",
+      "q11_distinct_having", "q22_interval_join", "q25_sql_surface",
+      "q26_topk_per_key", "q42_recursive_chains", "q54_chain_windowed",
+      "cdc_apply_upsert",
+      "cdc_parse_route", "cdc_lww_dedup", "cdc_mat_view2", "cdc_agg_view",
+      "pipeline_prepare", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard", "dedup_clusters", "dedup_simhash",
+      "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf", "embed_near_dups",
+      "text_corpus_stats", "text_langid", "ev_window_session",
+      "ev_funnel", "mm_features", "q32_only_late_supplier")
+    val headlineSet = headline.toSet
+    // Headline queries: min of two runs. Back catalog: single run.
+    // Cache cleared BETWEEN queries (not between a headline query's
+    // two runs) so a query keeps its own intra-query cache but
+    // cached/checkpointed blocks never accumulate across the suite
     // and skew later queries via memory pressure. An explicit GC rides
     // with the clear — the same ContextCleaner-backlog mitigation the
     // sf1 probe loop validated (343->285 s; round-6 verdict ask #1):
@@ -109,7 +163,8 @@ object Bench {
         // their time-to-failure twice.
         val g0 = gcMillis
         val r1 = once()
-        val r2 = if (r1 < 0) -1.0 else once()
+        val r2 =
+          if (r1 < 0 || !headlineSet.contains(name)) -1.0 else once()
         val gcSec = (gcMillis - g0) / 1e3
         spark.catalog.clearCache()
         graft.operators.Ext9Queries.clearFitCache()
@@ -210,6 +265,20 @@ object Bench {
         }
       }.mkString("{", ",", "}")
     }
+    // ---- EARLY HEADLINE FLUSH (round-7 verdict ask #1) ----
+    // The suite + throughput sections are done; everything after this
+    // point is sf1 probing, which is exactly the phase that outgrew
+    // the driver's wall clock in round 7 (rc=124, parsed:null). Print
+    // and flush the contract line NOW so a timeout mid-probe still
+    // leaves a parsed artifact in the stdout tail; the final line at
+    // the end of main (with sf1 totals) supersedes it on a clean run.
+    val byName = results.map(r => r._1 -> r._2).toMap
+    val qs = headline.flatMap(n => byName.get(n).map(v =>
+      s"\"" + n + "\":" + fmt(v))).mkString("{", ",", "}")
+    def headlineLine(sf1Head: String): String =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${queryResults.size},"derived_build_sec":${fmt(derivedBuildSec)},"runs_headline":2,"runs_other":1,"noise_sum_sec":${fmt(noiseSum)},"gc_sum_sec":${fmt(gcSum)}$sf1Head,"queries":$qs,"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"value":${fmt(total)}}"""
+    println(headlineLine(""))
+    System.out.flush()
     spark.catalog.clearCache()
     graft.operators.Ext9Queries.clearFitCache()
     // sf1 probe (round-3 verdict item 1): if a 10x dataset exists
@@ -237,6 +306,11 @@ object Bench {
     //     round-robins instead of permanently starving the oldest
     //     entries (newest-first starved the 9 oldest CDC probes for
     //     two consecutive rounds).
+    // FORMAT CONTRACT: SF1_PROBE_HISTORY.json is a FLAT string->integer
+    // map ({"name":stamp,...}) written only by the persist block below;
+    // the regex parse here is exact for that shape. If the format ever
+    // grows nesting or non-integer values, the parse degrades to
+    // Map.empty (alphabetical rotation) — keep the writer flat.
     val histPath = java.nio.file.Paths.get("SF1_PROBE_HISTORY.json")
     val hist: Map[String, Long] =
       if (!java.nio.file.Files.isRegularFile(histPath)) Map.empty
@@ -263,7 +337,15 @@ object Bench {
     // front-of-list placement, while their isolated numbers are
     // stable — so the recorded entry IS the isolated measurement,
     // marked "child_jvm":true. Falls back to in-JVM on spawn failure.
-    def childProbe(name: String): Option[(Double, Double)] = try {
+    // timeoutSec (round-7 ADVICE): a hung child JVM must not stall
+    // the whole bench — the budget is only checked between probes and
+    // an un-timed waitFor would hold it forever. The stream is drained
+    // on a daemon thread (readAllBytes on the calling thread would
+    // block before waitFor ever saw the timeout), the child is
+    // destroyForcibly'd on expiry, and the caller falls through to the
+    // None/in-JVM fallback.
+    def childProbe(name: String,
+        timeoutSec: Double): Option[(Double, Double)] = try {
       val javaBin = java.nio.file.Paths
         .get(System.getProperty("java.home"), "bin", "java").toString
       val opens = (Seq("java.lang", "java.lang.invoke",
@@ -287,10 +369,25 @@ object Bench {
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
-      proc.waitFor()
-      "cold=([0-9.]+)s warm=([0-9.]+)s".r.findFirstMatchIn(out)
-        .map(m => (m.group(1).toDouble, m.group(2).toDouble))
+      val buf = new java.io.ByteArrayOutputStream()
+      val drain = new Thread(() =>
+        try proc.getInputStream.transferTo(buf)
+        catch { case NonFatal(_) => () })
+      drain.setDaemon(true)
+      drain.start()
+      val done = proc.waitFor(math.max(30.0, timeoutSec).toLong,
+        java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) {
+        proc.destroyForcibly()
+        System.err.println(s"[bench] child probe $name timed out " +
+          s"after ${timeoutSec.toLong}s, killed")
+        None
+      } else {
+        drain.join(5000)
+        val out = new String(buf.toByteArray, "UTF-8")
+        "cold=([0-9.]+)s warm=([0-9.]+)s".r.findFirstMatchIn(out)
+          .map(m => (m.group(1).toDouble, m.group(2).toDouble))
+      }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] child probe $name failed: " +
         e.getMessage)
@@ -298,25 +395,19 @@ object Bench {
     }
     var sf1Total = 0.0
     var sf1ColdTotal = 0.0
-    // Hard wall-clock cap on the whole section. 900 s (vs the old
-    // 420) because every probe now runs TWICE (cold + warm) — the
-    // round-4 verdict's ask: the cold number carries JIT/codegen/
-    // derived-table-build state, the warm number is the plan's
-    // steady-state shape, and reporting both is what lets the reader
-    // distinguish plan defects from cache state. Overridable for dev
-    // loops via SPARK_GRAFT_SF1_BUDGET.
-    // 1200 (vs r5's 900): the derived builds are now charged up-front
-    // (below) so every probe runs warm-indexed, and the r5 run showed
-    // 900 s leaves ~50 back-catalog probes unprobed (-2) — the extra
-    // 300 s buys the whole list at ~4 s/probe.
-    // 2400 (vs r6's 1200): the probe list is now the ENTIRE catalog
-    // (round-6 ask #3: 144/389 queries had no sf1 entry at all,
-    // including the suite's heaviest) — r6 spent ~1200 s on 253
-    // probes, so ~397 needs roughly double; anything still clipped
-    // lands on the most-recently-probed tail and rotates back in next
-    // round via SF1_PROBE_HISTORY.json.
-    val sf1Budget =
-      sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "2400").toDouble
+    // Per-run wall-clock cap on the probe section, AND capped by what
+    // remains of the bench's TOTAL budget. Back to 750 s (from r7's
+    // 2400, which blew the driver's slot — BENCH_r07.json rc=124):
+    // each probe still runs cold + warm (round-4 ask — the cold number
+    // carries JIT/codegen state, the warm number is the plan's
+    // steady-state shape), but one run no longer tries to cover the
+    // whole 400+ catalog; the longest-unprobed-first rotation below
+    // (SF1_PROBE_HISTORY.json) converges to full coverage across
+    // rounds, with budget-clipped skips always landing on the
+    // most-recently-probed tail. Overridable via SPARK_GRAFT_SF1_BUDGET.
+    val sf1Budget = math.max(0.0, math.min(
+      sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "750").toDouble,
+      totalBudget - benchElapsed))
     val sf1Start = System.nanoTime()
     val probedNow = scala.collection.mutable.ListBuffer.empty[String]
     // the budget is charged WALL-CLOCK — a probe that fails after ten
@@ -355,7 +446,8 @@ object Bench {
         SparkEntry.queries.get(name).map { fn =>
           lazy val childEntry: Option[String] =
             if (!pinnedFirst.contains(name)) None
-            else childProbe(name).map { case (cold, warm) =>
+            else childProbe(name, sf1Budget - sf1Elapsed)
+              .map { case (cold, warm) =>
               if (warm > 0) sf1Total += warm
               if (cold > 0) sf1ColdTotal += cold
               probedNow += name
@@ -421,31 +513,17 @@ object Bench {
     System.err.println(s"""[bench-detail] $detail""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","n_queries":${queryResults.size},"n_entries":${results.size},"total_sec":${fmt(total)},"derived_build_sec":${fmt(derivedBuildSec)},"runs_per_query":2,"noise_sum_sec":${fmt(noiseSum)},"gc_sum_sec":${fmt(gcSum)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"scaling":$scaling,"sf1_probe":$sf1,"sf1_warm_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)},"noise":$noiseDetail,"gc":$gcDetail,"queries":$detail}""".getBytes("UTF-8"))
+      s"""{"sf":"$sfDir","n_queries":${queryResults.size},"n_entries":${results.size},"total_sec":${fmt(total)},"derived_build_sec":${fmt(derivedBuildSec)},"runs_headline":2,"runs_other":1,"noise_sum_sec":${fmt(noiseSum)},"gc_sum_sec":${fmt(gcSum)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"scaling":$scaling,"sf1_probe":$sf1,"sf1_warm_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)},"noise":$noiseDetail,"gc":$gcDetail,"queries":$detail}""".getBytes("UTF-8"))
     catch { case NonFatal(e) =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    // Curated headline subset (one per operator family + every query
-    // that has ever been hot) — fixed list so rounds stay comparable.
-    val headline = Seq("q1_pricing_summary", "q3_join_agg", "q5_window",
-      "q11_distinct_having", "q22_interval_join", "q25_sql_surface",
-      "q26_topk_per_key", "q42_recursive_chains", "q54_chain_windowed",
-      "cdc_apply_upsert",
-      "cdc_parse_route", "cdc_lww_dedup", "cdc_mat_view2", "cdc_agg_view",
-      "pipeline_prepare", "dedup_exact", "dedup_minhash_lsh",
-      "dedup_ngram_jaccard", "dedup_clusters", "dedup_simhash",
-      "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf", "embed_near_dups",
-      "text_corpus_stats", "text_langid", "ev_window_session",
-      "ev_funnel", "mm_features", "q32_only_late_supplier")
-    val byName = results.map(r => r._1 -> r._2).toMap
-    val qs = headline.flatMap(n => byName.get(n).map(v =>
-      s"\"" + n + "\":" + fmt(v))).mkString("{", ",", "}")
     // sf1_total_sec = sum of WARM probe seconds (steady-state shape);
     // the cold sum (JIT + derived-table builds included) rides next to
     // it so the two states stay distinguishable at the top line too
     val sf1Head = if (sf1Exists)
       s""","sf1_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)}"""
       else ""
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${queryResults.size},"derived_build_sec":${fmt(derivedBuildSec)},"runs_per_query":2,"noise_sum_sec":${fmt(noiseSum)},"gc_sum_sec":${fmt(gcSum)}$sf1Head,"queries":$qs,"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"value":${fmt(total)}}""")
+    println(headlineLine(sf1Head))
+    System.out.flush()
     spark.stop()
   }
 }

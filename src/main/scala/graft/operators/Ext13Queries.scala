@@ -60,6 +60,7 @@ object Ext13Queries {
     */
   def cusum(spark: SparkSession, dir: String): DataFrame = {
     val all = Window.partitionBy()
+    // bounded domain: dailySeries is one row per DAY (horizon-bounded)
     val seq = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dailySeries(spark, dir)
@@ -197,6 +198,8 @@ object Ext13Queries {
     val sess = sessionized(spark, dir, Seq("event_type"))
     val wPath = Window.partitionBy("user_id", "sess")
       .orderBy("ts", "event_id")
+    // bounded domain: one row per distinct 3-step path over the
+    // event-type alphabet (≤ |types|³) — not corpus-sized
     val wRank = Window.orderBy(col("n").desc, col("path"))
     sess
       .withColumn("t2", lead(col("event_type"), 1).over(wPath))
@@ -279,13 +282,16 @@ object Ext13Queries {
     * unchanged.
     */
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    // sort-limit FIRST (TakeOrderedAndProject), then rank only the
+    // 1000 survivors — ranking the whole vocabulary in one global
+    // window task was the r7-verdict-ask-#4 shape
     val wRank = Window.orderBy(col("cnt").desc, col("tok"))
     t(spark, dir, "documents")
       .select(explode(transform(TextAnalysis.tokens(col("text")),
         w => lower(w))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(1000)
       .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 1000)
       .select(
         expr("cast(round(ln(rank) * 1000000) as bigint)").as("lx"),
         expr("cast(round(ln(cnt) * 1000000) as bigint)").as("ly"))
@@ -581,6 +587,7 @@ object Ext13Queries {
     * engines.
     */
   def seasonalityStrength(spark: SparkSession, dir: String): DataFrame = {
+    // bounded domain: one row per HOUR (horizon-bounded)
     val w25 = Window.orderBy("hr").rangeBetween(-12, 12)
     val det = t(spark, dir, "events")
       .select(expr("(ts div 1000) div 3600000000").as("hr"))
@@ -693,8 +700,9 @@ object Ext13Queries {
     * micro-nat lattice before the exact-integer regression sums.
     *
     * 100 TB shape: one token count per doc (narrow), one (token)
-    * min-aggregate for first owners, one join back, then windows and
-    * the regression over the |docs|-bounded table.
+    * min-aggregate for first owners, one join back, then DistRank's
+    * partitioned two-pass prefix sums (the |docs| table is
+    * corpus-sized — no global window) and a 1-row regression.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val toks = t(spark, dir, "documents")
@@ -706,12 +714,13 @@ object Ext13Queries {
     val newTypes = toks.groupBy("tok")
       .agg(min("doc_id").as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
-    val wCum = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perDoc.join(newTypes, Seq("doc_id"), "left")
+    // running totals over the |docs|-sized table: a global cum-sum
+    // window would single-partition the corpus (r7 verdict ask #4) —
+    // DistRank's two-pass prefix sum keeps it range-partitioned
+    val withNew = perDoc.join(newTypes, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_new"))
-      .withColumn("cum_n", sum("n_toks").over(wCum))
-      .withColumn("cum_v", sum("n_new").over(wCum))
+    DistRank.globalPrefixSums(withNew,
+      Seq("n_toks" -> "cum_n", "n_new" -> "cum_v"), 32, col("doc_id"))
       .select(
         expr("cast(round(ln(cum_n) * 1000000) as bigint)").as("lx"),
         expr("cast(round(ln(cum_v) * 1000000) as bigint)").as("ly"))

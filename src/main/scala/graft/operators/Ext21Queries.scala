@@ -51,6 +51,7 @@ object Ext21Queries {
       .agg(count(lit(1)).as("c"))
     // ... merged by cell-wise addition — the mergeability step
     val merged = shard.groupBy("bin").agg(sum("c").as("c"))
+    // bounded domain: one row per histogram bin (NBins fixed)
     val wCum = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = merged

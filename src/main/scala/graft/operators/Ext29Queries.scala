@@ -163,11 +163,20 @@ object Ext29Queries {
     */
   def backfillPlan(spark: SparkSession, dir: String): DataFrame = {
     val chunks = 16
-    t(spark, dir, "orders")
+    val rows = t(spark, dir, "orders")
       .select(col("o_orderkey"),
         (length(col("o_orderpriority")) + length(col("o_orderstatus"))
           + lit(24)).cast("long").as("bytes_est"))
-      .withColumn("chunk", ntile(chunks).over(Window.orderBy("o_orderkey")))
+    // ntile over the whole PK was a single-partition window (r7
+    // verdict ask #4) — DistRank ranks the corpus fully parallel and
+    // the exact NTILE formula reproduces it bit-identically (the
+    // DuckDB oracle keeps plain NTILE); 1-row count broadcast
+    val n = rows.agg(count(lit(1)).as("_n_rows"))
+    DistRank.globalRowNumber(rows, "_rn", 32, col("o_orderkey"))
+      .crossJoin(broadcast(n))
+      .withColumn("chunk",
+        DistRank.ntileFromRowNumber(col("_rn"), col("_n_rows"), chunks)
+          .cast("int"))
       .groupBy("chunk")
       .agg(count(lit(1)).as("n_rows"),
         min("o_orderkey").as("key_lo"),

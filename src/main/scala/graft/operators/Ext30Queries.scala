@@ -130,6 +130,7 @@ object Ext30Queries {
       .agg(count(lit(1)).as("n_fit"), sum("vm").as("s_fit"))
       .withColumn("fit_mean_milli", expr("s_fit div n_fit"))
     val target = broadcast(fit
+      // bounded domain: one row per arm (|arms| small by design)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("fit_mean_milli").desc, col("arm"))))
       .filter(col("rk") === 1)

@@ -141,6 +141,7 @@ object Ext31Queries {
         sum(when(col("grp") === 1, col("vm")).otherwise(0L)).as("ds_b"),
         sum(when(col("grp") === 1, col("vm") * col("vm"))
           .otherwise(0L)).as("dq_b"))
+    // bounded domain: `cells` is one row per DAY (horizon-bounded)
     val w = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cells

@@ -119,6 +119,8 @@ object Ext35Queries {
     val parts = t(spark, dir, "events")
       .select((col("user_id") % 32).as("partition"))
       .groupBy("partition").agg(count(lit(1)).as("n_msgs"))
+    // bounded domain: one row per topic partition (32) — config-
+    // bounded, not corpus-sized
     val wRank = Window.orderBy(col("n_msgs").desc, col("partition"))
     val assigned = parts
       .withColumn("w_mod", col("partition") % workers)

@@ -44,26 +44,32 @@ object Ext37Queries {
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(lower(col("tok")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("n")).cache()
-    val wRank = Window.orderBy(col("n").desc, col("tok"))
-    val ranked = freq.withColumn("rk", row_number().over(wRank))
     val ks = Seq(50L, 100L, 200L)
+    val kMax = ks.max.toInt
+    // sort-limit FIRST (TakeOrderedAndProject, per-partition heaps),
+    // then rank only the kMax survivors — ranking the whole vocab in
+    // one global window task was the r7-verdict-ask-#4 shape; the
+    // OOV tail falls out of the 1-row totals by complement
+    // (oov_occ = total − in-vocab, oov_types = total − min(k, total))
+    val wRank = Window.orderBy(col("n").desc, col("tok"))
+    val top = freq.orderBy(col("n").desc, col("tok")).limit(kMax)
+      .withColumn("rk", row_number().over(wRank))
     val spine = broadcast(spark.range(1)
       .select(explode(array(ks.map(lit): _*)).as("k")))
     val tot = broadcast(freq.agg(sum("n").as("total_occ"),
       count(lit(1)).as("total_types")))
-    ranked.crossJoin(spine)
+    top.crossJoin(spine)
       .groupBy("k")
       .agg(
         sum(when(col("rk") <= col("k"), col("n")).otherwise(0L))
-          .as("in_vocab_occ"),
-        sum(when(col("rk") > col("k"), col("n")).otherwise(0L))
-          .as("oov_occ"),
-        sum(when(col("rk") > col("k"), 1L).otherwise(0L))
-          .as("oov_types"))
+          .as("in_vocab_occ"))
       .crossJoin(tot)
       .select(col("k"), col("total_occ"), col("total_types"),
-        col("oov_occ"), col("oov_types"),
-        expr("oov_occ * 1000000 div total_occ").as("oov_rate_micro"))
+        (col("total_occ") - col("in_vocab_occ")).as("oov_occ"),
+        (col("total_types") - least(col("k"), col("total_types")))
+          .as("oov_types"),
+        expr("(total_occ - in_vocab_occ) * 1000000 div total_occ")
+          .as("oov_rate_micro"))
       .orderBy("k")
   }
 

@@ -98,6 +98,7 @@ object Ext40Queries {
           .as("day"),
         expr("cast(round(value * 1000) as bigint)").as("vm"))
       .groupBy("day").agg(sum("vm").as("v_day"))
+    // bounded domain: `daily` is one row per DAY (horizon-bounded)
     val w7 = Window.orderBy("day").rowsBetween(-6, 0)
     daily
       .withColumn("rn", row_number().over(Window.orderBy("day")))

@@ -99,9 +99,15 @@ object Ext43Queries {
       .select(col("user_id"),
         expr("cast(round(value * 1000) as bigint)").as("vm"))
       .groupBy("user_id").agg(sum("vm").as("v_user"))
-    val d = per
+    // |users| is corpus-sized: global-window ntile(10) would
+    // single-partition it (r7 verdict ask #4) — DistRank rank + the
+    // exact NTILE formula, 1-row count broadcast (oracle keeps NTILE)
+    val nUsers = per.agg(count(lit(1)).as("_n_users"))
+    val d = DistRank.globalRowNumber(per, "_rn", 32,
+      col("v_user"), col("user_id"))
+      .crossJoin(broadcast(nUsers))
       .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("v_user"), col("user_id")))
+        DistRank.ntileFromRowNumber(col("_rn"), col("_n_users"), 10)
           .cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"), sum("v_user").as("v_decile"))

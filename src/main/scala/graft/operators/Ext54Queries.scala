@@ -160,11 +160,41 @@ object Ext54Queries {
     val bounds = sess.select(col("s_start").as("t"), lit(1L).as("d"))
       .unionByName(sess.select(col("s_end").as("t"), lit(-1L).as("d")))
       .groupBy("t").agg(sum("d").as("d"))
-    val wT = Window.orderBy("t")
-    val sweep = bounds
-      .withColumn("conc", sum("d").over(
-        wT.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("dt", lead("t", 1).over(wT) - col("t"))
+      // the two-level sweep below reads this three times (in-bucket
+      // ranks, per-bucket totals) — one materialization
+      .cache()
+    // Concurrency sweep as a PARTITIONED two-pass prefix sum (round-7
+    // verdict ask #4: the old `Window.orderBy("t")` ran every session
+    // boundary in the corpus through ONE task). Level 1: boundaries
+    // bucket by hour; running sums and the next-boundary lead stay
+    // inside each hour's partition. Level 2: per-hour delta totals and
+    // min timestamps — a table bounded by the HORIZON (hours of data,
+    // not rows: 100 TB of one year is still ~8.8k buckets) — carry the
+    // cross-bucket offsets and the lead fallback through one bounded
+    // window, broadcast back. Identical arithmetic to the global scan:
+    // conc(t) = offset(bucket) + running-in-bucket, dt bridges bucket
+    // boundaries via the next bucket's first t.
+    val hourUs = 3600000000L
+    val wB = Window.partitionBy("b").orderBy("t")
+    val inBucket = bounds
+      .withColumn("b", expr(s"t div ${hourUs}L"))
+      .withColumn("run_in_b", sum("d").over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lead_in_b", lead("t", 1).over(wB))
+    val wBk = Window.orderBy("b") // horizon-bounded: one row per hour
+    val bucketOff = bounds
+      .withColumn("b", expr(s"t div ${hourUs}L"))
+      .groupBy("b")
+      .agg(sum("d").as("d_tot"), min("t").as("t_min"))
+      .withColumn("off", coalesce(sum("d_tot").over(
+        wBk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("next_min", lead("t_min", 1).over(wBk))
+      .select("b", "off", "next_min")
+    val sweep = inBucket
+      .join(broadcast(bucketOff), "b")
+      .withColumn("conc", col("off") + col("run_in_b"))
+      .withColumn("dt",
+        coalesce(col("lead_in_b"), col("next_min")) - col("t"))
       .filter(col("dt").isNotNull)
       .agg(sum(col("conc") * col("dt")).as("integral_us"))
     val perSess = sess.agg(count(lit(1)).as("n_sessions"),

@@ -44,6 +44,9 @@ object Ext63Queries {
         .otherwise(0L).as("s1"))
     val support = sided.groupBy("vm")
       .agg(sum("s1").as("c1"), sum(lit(1L) - col("s1")).as("c2"))
+    // bounded domain: `support` is one row per DISTINCT vm — the
+    // 1e-3-quantized value lattice (value-range-bounded, not corpus-
+    // sized), so the global CDF window is safe at any SF
     val wv = Window.orderBy("vm")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cums = support

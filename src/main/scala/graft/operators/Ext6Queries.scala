@@ -85,10 +85,13 @@ object Ext6Queries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("contrib_e4")).as("score_e4"))
+    // sort-limit FIRST (TakeOrderedAndProject — per-partition heaps),
+    // then rank the 20 survivors: the old rank-then-filter ran every
+    // scored doc through one global window task (r7 verdict ask #4)
     scored
+      .orderBy(col("score_e4").desc, col("doc_id")).limit(20)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score_e4").desc, col("doc_id"))))
-      .filter(col("rank") <= 20)
       .withColumn("score", col("score_e4") / 10000.0)
       .select("rank", "doc_id", "n_terms_hit", "score_e4", "score")
       .orderBy("rank")

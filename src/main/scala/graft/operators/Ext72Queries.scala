@@ -60,6 +60,8 @@ object Ext72Queries {
     val lat = dur.groupBy("tt")
       .agg(sum("ev").as("d"),
         sum(lit(1L) - col("ev")).as("c"))
+    // bounded domain: `lat` is one row per distinct DAY-valued
+    // duration — horizon-bounded (days of data), not corpus-sized
     val wDesc = Window.orderBy(col("tt").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val risk = lat

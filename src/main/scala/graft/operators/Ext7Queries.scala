@@ -246,6 +246,7 @@ object Ext7Queries {
       .agg(min(col("day")).as("first_day"))
     firstSeen.groupBy(col("first_day"))
       .agg(count(lit(1)).as("n_new"))
+      // bounded domain: one row per first-seen DAY (horizon-bounded)
       .withColumn("cum_users", sum(col("n_new")).over(
         Window.orderBy(col("first_day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -177,6 +177,8 @@ object Ext9Queries {
         explode(transform(sequence(lit(1), length(col("word")) - 1),
           i => col("word").substr(i, lit(2)))).as("pair"))
       .groupBy("pair").agg(sum("cnt").as("n"))
+    // bounded domain: `pairs` is one row per distinct 2-char pair
+    // (≤ 26² over [a-z] words) — alphabet-bounded, not corpus-sized
     val w = Window.orderBy(col("n").desc, col("pair").asc)
     pairs.withColumn("merge_rank", row_number().over(w))
       .filter(col("merge_rank") <= 20)

@@ -55,6 +55,8 @@ object StreamingAbMonitor {
     * to ev_ab_sequential.
     */
   def zTrajectory(cells: DataFrame): DataFrame = {
+    // bounded domain: one row per CLOSED aggregation window
+    // (horizon-bounded count of w_starts), not corpus-sized
     val w = Window.orderBy("w_start")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cells

@@ -393,6 +393,26 @@ class Ext11OperatorsSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must produce at least one pair")
   }
 
+  test("jaccard neighbors: maxCustDeg=72 hub cut is inert at the " +
+      "oracle SF (sf0.01)") {
+    // The wedge prune (Ext11Queries.jaccardNeighbors) may only ever
+    // fire at production scale: if this fixture's max customer degree
+    // crosses 72, the DuckDB oracle (which has no cap) would start
+    // hash-mismatching with no obvious cause — fail HERE instead,
+    // with the reason in the name. Measured: 10 at sf0.001, 67 at
+    // sf0.01, 102 at sf0.1/sf1 (uniform, not hub-skewed).
+    val maxDeg = spark.read
+      .parquet("/root/testdata/sf0.01/orders.parquet")
+      .join(spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .groupBy("c").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxDeg <= 72,
+      s"oracle-SF max customer degree $maxDeg crossed the hub cut")
+  }
+
   test("frame energy: replay from document bytes") {
     val got = Ext11Queries.energyFrames(spark, TestSpark.sfDir)
       .collect()

@@ -73,6 +73,13 @@ class PlanSweepSpec extends AnyFunSuite {
   //    1-row SQ8 [min,max] bounds broadcast
   private val allowCross = Set(
     "sim_ann_sq8", "eval_recall_curve",
+    // ev_rfm_scores / ev_lorenz_curve / cdc_backfill_plan: 1-row
+    // count broadcast feeding the exact NTILE bucket formula
+    // (DistRank rewrite of the global ntile windows)
+    "ev_rfm_scores", "cdc_backfill_plan",
+    // text_vocab_coverage: 1-row total-occurrence broadcast attaching
+    // the coverage denominator to the top-1000 survivors
+    "text_vocab_coverage",
     // ts_locf_fill: 1-row day-bounds broadcast building the series x
     // day spine
     "ts_locf_fill",
