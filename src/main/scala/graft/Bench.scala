@@ -82,6 +82,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev-only fast path: SPARK_GRAFT_THROUGHPUT_ONLY=1 skips the
+    // suite/probes and measures just the two rows/s headline numbers
+    // on a quiet box (the round-7 19.7k-vs-37k question needs a
+    // measurement that is not preceded by 400 queries of heap churn).
+    val throughputOnly =
+      sys.env.get("SPARK_GRAFT_THROUGHPUT_ONLY").contains("1")
     // Derived-table builds, timed as their own labeled bench entries
     // BEFORE the warmup pass (r5 verdict asks #5/#6: the stored-index
     // build cost was previously paid invisibly inside warmup at sf0.1
@@ -98,7 +104,8 @@ object Bench {
       ("derived:cdcparsed", operators.CdcQueries.parsedStored _),
       ("derived:cclabelsbase", operators.Ext41Queries.baseCcLabels _))
     val derivedSf: Seq[(String, Double, Double, Double)] =
-      derivedBuilds.map { case (name, fn) =>
+      (if (throughputOnly) Seq.empty else derivedBuilds)
+        .map { case (name, fn) =>
         val g0 = gcMillis
         val t0 = System.nanoTime()
         val sec = try { fn(spark, sfDir).count()
@@ -112,9 +119,12 @@ object Bench {
     // then measures steady-state, which is what a long-running engine
     // delivers. Cache is cleared after the pass so the timed runs do
     // their own IO.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
-    }
+    (if (throughputOnly) Map.empty[String,
+        (SparkSession, String) => org.apache.spark.sql.DataFrame]
+      else SparkEntry.queries)
+      .toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
+      }
     spark.catalog.clearCache()
     graft.operators.Ext9Queries.clearFitCache()
     // localCheckpoint blocks from the warmup pass are only reclaimed
@@ -147,7 +157,10 @@ object Bench {
     // sf1 probe loop validated (343->285 s; round-6 verdict ask #1):
     // without it, heap-heavy late-alphabet families (embed_*/mm_*)
     // read 3-9x inflated on aged-JVM driver runs, on identical code.
-    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val queryResults = (if (throughputOnly)
+        Map.empty[String,
+          (SparkSession, String) => org.apache.spark.sql.DataFrame]
+      else SparkEntry.queries).toSeq.sortBy(_._1).map {
       case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -200,10 +213,6 @@ object Bench {
     // never let this section take down the JSON contract line
     System.gc()
     val streamRps = try {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bench")
-      val clog = s"$tmp/changelog"
-      val nn = graft.sources.Changelog.writeFromEvents(spark,
-        s"$sfDir/events.parquet", clog, numFiles = 4)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id",
           org.apache.spark.sql.types.LongType),
@@ -211,17 +220,42 @@ object Bench {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("value_milli",
           org.apache.spark.sql.types.LongType)))
-      val sink = new graft.sinks.KeyedTableSink(spark, s"$tmp/sink",
-        Seq("user_id"), schema, numBuckets = 32)
-      val p = graft.streaming.CdcPipeline.Pipeline("bench", clog,
-        s"$tmp/ckpt", graft.operators.CdcParse.CdcSchema(schema,
-          Seq("user_id")),
-        Some("SELECT user_id, event_type, value_milli FROM rows"),
-        None, sink, maxFilesPerTrigger = 4)
-      val t1 = System.nanoTime()
-      graft.streaming.CdcPipeline.start(spark, p)
-        .awaitTermination(600000)
-      nn / ((System.nanoTime() - t1) / 1e9)
+      // one full pipeline cycle: changelog files -> readStream ->
+      // parse -> LWW -> transform -> keyed sink merge, fresh dirs
+      def cycle(srcParquet: String): (Long, Double) = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bench")
+        val clog = s"$tmp/changelog"
+        val nn = graft.sources.Changelog.writeFromEvents(spark,
+          srcParquet, clog, numFiles = 4)
+        val sink = new graft.sinks.KeyedTableSink(spark, s"$tmp/sink",
+          Seq("user_id"), schema, numBuckets = 32)
+        val p = graft.streaming.CdcPipeline.Pipeline("bench", clog,
+          s"$tmp/ckpt", graft.operators.CdcParse.CdcSchema(schema,
+            Seq("user_id")),
+          Some("SELECT user_id, event_type, value_milli FROM rows"),
+          None, sink, maxFilesPerTrigger = 4)
+        val t1 = System.nanoTime()
+        graft.streaming.CdcPipeline.start(spark, p)
+          .awaitTermination(600000)
+        (nn, (System.nanoTime() - t1) / 1e9)
+      }
+      // Warm the STREAMING machinery on a tiny slice first (measured:
+      // the first cycle in a JVM pays ~5-6 s of one-time stream/state
+      // init + JIT regardless of row count — 1k rows took 6.2 s, the
+      // immediately following 100k-row cycles 2.8-3.3 s). The suite's
+      // warmup pass covers batch plans only, so without this the
+      // single measured cycle reported cold-start, not throughput —
+      // the r7 "19.7k rows/s" mystery. Then min-of-2 full cycles, the
+      // same discipline as the apply probe.
+      val warmTmp = java.nio.file.Files
+        .createTempDirectory("graft-bench-warm")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .filter(org.apache.spark.sql.functions.col("event_id") < 1000)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$warmTmp/events.parquet")
+      cycle(s"$warmTmp/events.parquet")
+      val runs = (1 to 2).map(_ => cycle(s"$sfDir/events.parquet"))
+      runs.map { case (nn, sec) => nn / sec }.max
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] stream section failed: ${e.getMessage}")
       0.0
@@ -248,7 +282,7 @@ object Bench {
     // bench SF — near-flat small-SF floor + sublinear growth is the
     // direct signature of scan-bound plans (vs superlinear shuffles).
     // A failed probe records -1, never its time-to-failure.
-    val scaling = {
+    val scaling = if (throughputOnly) "{}" else {
       val probes = Seq("q1_pricing_summary", "q3_join_agg",
         "dedup_exact", "text_token_stats")
       val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
@@ -289,7 +323,7 @@ object Bench {
     // section is budget-capped so it can never run away with the
     // driver's bench slot.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "sf1data")
-    val sf1Exists =
+    val sf1Exists = !throughputOnly &&
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))
     // sf1 probe order (round-6 verdict asks #2/#3/#5):
     //  1. a pinned head of known heap-heavy / evidence-gap probes that
@@ -511,6 +545,7 @@ object Bench {
     // stdout JSON line must stay SHORT enough to survive whole (r1/r2
     // both came back parsed=null because the line outgrew the tail).
     System.err.println(s"""[bench-detail] $detail""")
+    if (!throughputOnly)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"sf":"$sfDir","n_queries":${queryResults.size},"n_entries":${results.size},"total_sec":${fmt(total)},"derived_build_sec":${fmt(derivedBuildSec)},"runs_headline":2,"runs_other":1,"noise_sum_sec":${fmt(noiseSum)},"gc_sum_sec":${fmt(gcSum)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"scaling":$scaling,"sf1_probe":$sf1,"sf1_warm_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)},"noise":$noiseDetail,"gc":$gcDetail,"queries":$detail}""".getBytes("UTF-8"))

@@ -169,10 +169,21 @@ object CdcQueries {
       .select("user_id", "op", "event_type", "value_milli", "event_id")
       .orderBy("user_id")
 
+  /** The LWW'd odd-half batch, CACHED (plan-keyed): every apply query
+    * consumes it twice — the touched-keys anti-join build side AND the
+    * upsert rows — and without the cache the optimizer prunes the two
+    * consumers into two SEPARATE envelope parses (column pruning
+    * rewrites the keys-only side past the max_by aggregate, so the
+    * exchanges stop matching and ReuseExchange cannot dedup them).
+    * Measured at sf0.1: the double parse held the apply at ~31-35k
+    * rows/s; parsed-once restores the 37-45k anchor band. The parse is
+    * still PAID by the query, exactly once — which is what the apply
+    * family measures.
+    */
   private def oddLww(spark: SparkSession, dir: String): DataFrame =
     KeyedMerge.lww(
       parsed(spark, dir, odd).filter(col("op") =!= CdcParse.OpDrop),
-      Seq("user_id"), "event_id")
+      Seq("user_id"), "event_id").cache()
 
   def applyUpsert(spark: SparkSession, dir: String): DataFrame =
     KeyedMerge.applyCdc(state0(spark, dir), oddLww(spark, dir),
