@@ -94,6 +94,29 @@ object StreamingTemporalJoin {
         timestamp_millis(col("dim_vt_ms")).as("dim_vt"), col("dim_vm"))
   }
 
+  /** Dead-letter accounting (the streaming analog of
+    * `cdc_dead_letter`): rows that arrive BEYOND the lateness window
+    * — event time already at-or-below the operator's watermark — are
+    * dropped by the state operator's late-event filter before they
+    * reach [[step]], exactly as the emission contract requires (their
+    * enrichment was already finalized; admitting them would emit a
+    * duplicate or a retraction). Spark counts every such drop in the
+    * stateful operator's `numRowsDroppedByWatermark` metric; this
+    * helper folds the query's progress history into the cumulative
+    * dead-letter count an operator alarms on.
+    *
+    * Scope: reads `recentProgress` (bounded ring, default 100
+    * entries) — for a long-running monitor, sample it periodically or
+    * attach a StreamingQueryListener and fold the same field; the
+    * spec-proven contract here is that the count is EXACT per
+    * progress entry.
+    */
+  def lateDrops(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Long =
+    q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator)
+      .map(_.numRowsDroppedByWatermark).sum
+
   private[streaming] def step(key: Long, rows: Iterator[TjIn],
       state: GroupState[TjState]): Iterator[Enriched] = {
     val wm = state.getCurrentWatermarkMs()

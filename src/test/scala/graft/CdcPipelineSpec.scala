@@ -148,6 +148,68 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(aggSink.lastEpoch === Some(0L))
   }
 
+  test("agg view survives a checkpointed kill-and-restart: stream-" +
+      "maintained == batch recompute over the final table (IVM O10)") {
+    // stage the changelog in two phases around a kill: the restarted
+    // pipeline must resume delta-maintaining the SAME projection from
+    // its manifest epoch, and the final view must equal a recompute
+    // over the final fact table — the streaming leg of the proven
+    // cdc_ivm_* contract
+    val staging = freshDir("agg-restart-stage")
+    Changelog.writeFromEvents(spark,
+      s"${TestSpark.sfDir}/events.parquet", staging, numFiles = 6)
+    val live = freshDir("agg-restart-live")
+    val files = new java.io.File(staging).listFiles().sortBy(_.getName)
+    def copyIn(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(live, f.getName))
+    }
+    val sink = new KeyedTableSink(spark, freshDir("agg-restart-fact"),
+      Seq("user_id"), sinkSchema)
+    val aggSink = new KeyedTableSink(spark,
+      freshDir("agg-restart-view"), Seq("event_type"),
+      StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("sum_v", LongType))))
+    val ckpt = freshDir("agg-restart-ckpt")
+    def run(): Unit = {
+      val p = CdcPipeline.Pipeline(
+        consumer = "test-agg-restart",
+        changelogDir = live,
+        checkpointDir = ckpt,
+        schema = schema,
+        updateSql = Some(
+          "SELECT user_id, event_type, value_milli FROM rows"),
+        deleteSql = None,
+        sink = sink,
+        maxFilesPerTrigger = 2, // several epochs per run
+        aggView = Some(CdcPipeline.AggView(aggSink, "event_type",
+          "value_milli")))
+      CdcPipeline.start(spark, p).awaitTermination(120000)
+    }
+    def viewRows: Set[(String, Long, Option[Long])] =
+      aggSink.load().collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    def recompute: Set[(String, Long, Option[Long])] =
+      sink.load().groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("value_milli").as("sum_v"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    copyIn(files.take(2).toSeq)
+    run() // phase 1, then the query terminates (the "kill")
+    val partialView = viewRows
+    assert(partialView === recompute,
+      "view must already be exact at the kill point")
+    copyIn(files.drop(2).toSeq)
+    run() // SAME checkpoint: resume mid-changelog
+    val finalView = viewRows
+    assert(finalView === recompute)
+    assert(finalView !== partialView,
+      "the restart must have maintained new deltas")
+    assert(finalView.nonEmpty)
+  }
+
   test("stream replay equals batch golden; multiple micro-batches") {
     val changelog = freshDir("changelog")
     val n = Changelog.writeFromEvents(spark,

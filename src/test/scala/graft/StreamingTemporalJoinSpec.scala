@@ -152,6 +152,51 @@ class StreamingTemporalJoinSpec extends AnyFunSuite {
       "in-window disorder must not change the finalized enrichments")
   }
 
+  test("facts beyond the lateness window are dead-lettered: dropped " +
+      "from output and surfaced in lateDrops") {
+    val fDir = Files.createTempDirectory("tj4-f").toString
+    val dDir = Files.createTempDirectory("tj4-d").toString
+    def third(c: org.apache.spark.sql.Column, i: Int) =
+      if (i == 0) dayofmonth(c) <= 10
+      else if (i == 1) dayofmonth(c) > 10 && dayofmonth(c) <= 20
+      else dayofmonth(c) > 20
+    (0 until 3).foreach { i =>
+      facts.filter(third(col("ft"), i))
+        .coalesce(1).write.mode("append").parquet(fDir)
+      dims.filter(third(col("vt"), i))
+        .coalesce(1).write.mode("append").parquet(dDir)
+    }
+    // phase 4: clones of the EARLIEST facts redelivered after the
+    // watermark moved a month past them — beyond any lateness window.
+    // Re-keyed fact_ids so presence in the output is detectable.
+    val lateClones = facts.orderBy(col("ft")).limit(7)
+      .withColumn("fact_id", col("fact_id") + lit(1000000000L))
+    val nLate = lateClones.count()
+    lateClones.coalesce(1).write.mode("append").parquet(fDir)
+    val fs = spark.readStream.schema(spark.read.parquet(fDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(fDir)
+    val ds = spark.readStream.schema(spark.read.parquet(dDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dDir)
+    val q = StreamingTemporalJoin.enrich(fs, ds, "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tj4_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("tj4-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    // the finalized output is EXACTLY the on-time batch as-of — the
+    // late redeliveries neither appear nor perturb prior enrichments
+    val cutoff = finalCutoffMs
+    val got = norm(spark.table("tj4_out"), cutoff)
+    val want = norm(batchAsOf(facts, dims), cutoff)
+    assert(got === want)
+    assert(!spark.table("tj4_out").collect()
+      .exists(_.getLong(1) >= 1000000000L),
+      "a beyond-lateness fact leaked into the enrichment output")
+    // ...and each one is accounted as a dead-letter drop
+    assert(StreamingTemporalJoin.lateDrops(q) === nLate)
+  }
+
   test("enrichment state survives a checkpointed kill-and-restart " +
       "without loss or duplication") {
     val fDir = Files.createTempDirectory("tj2-f").toString
