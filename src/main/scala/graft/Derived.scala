@@ -38,6 +38,15 @@ object Derived {
     * A pinned root is shared state, so it is NOT auto-deleted, and
     * existing non-empty materializations are trusted on disk.
     */
+  /** OPERATIONAL CONTRACT (round-7 ADVICE): a pinned root is trusted
+    * purely on its `_SUCCESS` markers — the cache key encodes the
+    * source DIRECTORY PATH, not the data's content or mtime. If the
+    * parquet under a source dir is regenerated, a reused pinned root
+    * will silently serve the OLD derived tables: wipe the pinned dir
+    * whenever the underlying data changes. (Key dirs also carry a
+    * 32-bit hashCode suffix over the sanitized key — adequate for the
+    * ~10 keys in use, not a content fingerprint.)
+    */
   private lazy val pinnedRoot: Option[Path] =
     sys.env.get("SPARK_GRAFT_DERIVED_DIR")
       .orElse(sys.props.get("graft.derived.dir"))

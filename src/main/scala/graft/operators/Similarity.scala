@@ -236,10 +236,22 @@ object Similarity {
       : Array[(Long, Array[Double])] = {
     val all = corpus.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    val e = if (fitSampleMod > 1)
-      all.filter(fitKeep(col("vec_id"),
-        effFitMod(all.count(), fitSampleMod)))
-      else all
+    val e = if (fitSampleMod > 1) {
+      val eff = effFitMod(all.count(), fitSampleMod)
+      // Parity tripwire (round-7 ADVICE): the DuckDB oracle SQL keeps
+      // the caller's FIXED mod, so the scaled branch firing during a
+      // correctness run means the oracle SF outgrew FitSampleCap·mod
+      // and every downstream sim_/embed_ oracle would mismatch with no
+      // obvious cause. Shout the reason instead of letting the raw
+      // row diff surface it.
+      if (eff != fitSampleMod)
+        System.err.println(s"[graft] fitSample: corpus outgrew the " +
+          s"fixed-mod contract — effFitMod=$eff != mod=$fitSampleMod" +
+          "; DuckDB oracle parity is BROKEN at this SF (raise the " +
+          "oracle's mod to match, or keep oracle SFs under " +
+          s"FitSampleCap*mod rows)")
+      all.filter(fitKeep(col("vec_id"), eff))
+    } else all
     e.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
