@@ -80,6 +80,9 @@ class PlanSweepSpec extends AnyFunSuite {
     // text_vocab_coverage: 1-row total-occurrence broadcast attaching
     // the coverage denominator to the top-1000 survivors
     "text_vocab_coverage",
+    // text_source_kl: 1-row corpus-total broadcast feeding every
+    // per-token KL term
+    "text_source_kl",
     // ts_locf_fill: 1-row day-bounds broadcast building the series x
     // day spine
     "ts_locf_fill",
