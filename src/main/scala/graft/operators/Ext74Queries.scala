@@ -113,9 +113,103 @@ object Ext74Queries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------
+  // dq_distribution_psi
+  // ---------------------------------------------------------------
+
+  /** Population Stability Index per event_type between the first and
+    * second half of the day range — THE industry drift score a model
+    * monitor alarms on (complements dq_ks_test, which is the
+    * unbinned global two-sample statistic): PSI = Σ_bins (p−q)·
+    * ln(p/q) over 10 fixed value bins (20k-milli wide, top bin
+    * open), Laplace-(+1)-smoothed so empty bins stay finite. Terms
+    * quantize to micro-nats per bin before the order-free BIGINT
+    * sum. Convention: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * broken — the report emits the score, not the verdict.
+    *
+    * 100 TB shape: one (type, bin, half) count aggregate collapses
+    * the corpus to ≤ |types|·10·2 cells; the dense bin spine is a
+    * bounded-domain cross join (the dq_t_closeness shape).
+    */
+  def distributionPsi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(expr("cast(ts div 86400000000000 as bigint)").as("day"),
+        col("event_type"),
+        expr("least(cast(round(value * 1000) as bigint) div 20000, 9)")
+          .as("bin"))
+    val mid = broadcast(ev.agg(
+      expr("(min(day) + max(day)) div 2").as("mid")))
+    val cells = ev.crossJoin(mid)
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("day") <= col("mid"), 1L).otherwise(0L))
+        .as("c1"),
+        sum(when(col("day") > col("mid"), 1L).otherwise(0L)).as("c2"))
+    // dense |types| x 10 spine: empty bins must contribute their
+    // smoothed term
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(
+        spark.range(10).select(col("id").as("bin"))))
+    val tot = cells.groupBy("event_type")
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    spine.join(cells, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("c1", "c2"))
+      .join(broadcast(tot), "event_type")
+      .withColumn("term_micro", expr(
+        """cast(round((cast(c1 + 1 as double) / cast(n1 + 10 as double)
+          |  - cast(c2 + 1 as double) / cast(n2 + 10 as double))
+          |  * ln(cast(c1 + 1 as double) * cast(n2 + 10 as double)
+          |      / (cast(n1 + 10 as double) * cast(c2 + 1 as double)))
+          |  * 1000000) as bigint)""".stripMargin))
+      .groupBy("event_type")
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        sum("term_micro").as("psi_micro"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------
+  // tok_byte_fallback
+  // ---------------------------------------------------------------
+
+  /** Encoding cost under a FIXED 256-type vocabulary with byte
+    * fallback (the tokenizer-budget question tok_oov_curve's
+    * type-level rates don't answer): an in-vocab token emits 1 id, an
+    * OOV token falls back to one id per character. Per language:
+    * whitespace tokens, OOV tokens, emitted ids, and the expansion
+    * ratio — what a fixed-vocab tokenizer actually costs on each
+    * slice of the corpus.
+    *
+    * 100 TB shape: vocabulary = sort-limit top-256
+    * (TakeOrderedAndProject) broadcast; one narrow token explode
+    * joined against it; one |langs| aggregate.
+    */
+  def byteFallback(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok0"))
+      .select(col("lang"), lower(col("tok0")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(256)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("cost", when(col("in_vocab").isNotNull, 1L)
+        .otherwise(length(col("tok")).cast("long")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .as("n_oov"),
+        sum("cost").as("n_emitted"))
+      .withColumn("oov_share_micro",
+        expr("n_oov * 1000000 div n_tokens"))
+      .withColumn("expansion_micro",
+        expr("n_emitted * 1000000 div n_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_regression_metrics" -> regressionMetrics _,
     "text_source_kl" -> sourceKl _,
+    "dq_distribution_psi" -> distributionPsi _,
+    "tok_byte_fallback" -> byteFallback _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -180,5 +274,71 @@ object Ext74Queries {
         |SELECT source, MAX(n_s) AS n_toks, MAX(n_types) AS n_types,
         |  CAST(SUM(term_micro) AS BIGINT) AS kl_micro
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    "dq_distribution_psi" ->
+      """WITH ev AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |    least(CAST(round(value * 1000) AS BIGINT) // 20000, 9)
+        |      AS bin
+        |  FROM events
+        |), cut AS (
+        |  SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ev
+        |), cells AS (
+        |  SELECT event_type, bin,
+        |    CAST(SUM(CASE WHEN day <= c.mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN day > c.mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM ev, cut c GROUP BY event_type, bin
+        |), spine AS (
+        |  SELECT t.event_type, b.bin
+        |  FROM (SELECT DISTINCT event_type FROM ev) t,
+        |    (SELECT CAST(range AS BIGINT) AS bin FROM range(10)) b
+        |), tot AS (
+        |  SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2
+        |  FROM cells GROUP BY event_type
+        |), terms AS (
+        |  SELECT s.event_type, t.n1, t.n2,
+        |    CAST(round((CAST(COALESCE(c.c1, 0) + 1 AS DOUBLE)
+        |        / CAST(t.n1 + 10 AS DOUBLE)
+        |      - CAST(COALESCE(c.c2, 0) + 1 AS DOUBLE)
+        |        / CAST(t.n2 + 10 AS DOUBLE))
+        |      * ln(CAST(COALESCE(c.c1, 0) + 1 AS DOUBLE)
+        |          * CAST(t.n2 + 10 AS DOUBLE)
+        |          / (CAST(t.n1 + 10 AS DOUBLE)
+        |             * CAST(COALESCE(c.c2, 0) + 1 AS DOUBLE)))
+        |      * 1000000) AS BIGINT) AS term_micro
+        |  FROM spine s
+        |  LEFT JOIN cells c
+        |    ON c.event_type = s.event_type AND c.bin = s.bin
+        |  JOIN tot t ON t.event_type = s.event_type)
+        |SELECT event_type, MAX(n1) AS n1, MAX(n2) AS n2,
+        |  CAST(SUM(term_micro) AS BIGINT) AS psi_micro
+        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "tok_byte_fallback" ->
+      """WITH tk AS (
+        |  SELECT lang,
+        |    lower(unnest(string_split_regex(trim(text), '\s+')))
+        |      AS tok
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM tk GROUP BY tok
+        |    ORDER BY n DESC, tok LIMIT 256)
+        |), costed AS (
+        |  SELECT t.lang,
+        |    CASE WHEN v.tok IS NOT NULL THEN 1
+        |      ELSE length(t.tok) END AS cost,
+        |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tk t LEFT JOIN vocab v ON v.tok = t.tok)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(cost) AS BIGINT) AS n_emitted,
+        |  CAST((SUM(oov) * 1000000) // COUNT(*) AS BIGINT)
+        |    AS oov_share_micro,
+        |  CAST((SUM(cost) * 1000000) // COUNT(*) AS BIGINT)
+        |    AS expansion_micro
+        |FROM costed GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -53,6 +53,74 @@ class Ext74QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("PSI: identical halves score ~0; a shifted replay matches " +
+      "the closed form") {
+    val rows = Ext74Queries.distributionPsi(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the synthetic generator is day-stationary: the TRUE PSI is 0,
+      // but at this spec's tiny SF (~100 events per half) sampling
+      // noise of order bins/n ≈ 0.1 is expected — assert the score
+      // stays in the noise band (well under the 0.25 "broken" bar
+      // would be data-dependent; 0.5 catches real regressions), and
+      // never below the -10-term quantization floor
+      assert(r.getLong(3) < 500000L,
+        s"${r.getString(0)} drifted far beyond small-sample noise")
+      assert(r.getLong(3) >= -10L)
+    }
+    // driver replay of one type's PSI, identical smoothing
+    val ev = Tables.t(spark, TestSpark.sfDir, "events")
+      .selectExpr("cast(ts div 86400000000000 as bigint) as day",
+        "event_type",
+        "least(cast(round(value * 1000) as bigint) div 20000, 9) as bin")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mid = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    val et = rows.head.getString(0)
+    val mine = ev.filter(_._2 == et)
+    val c1 = mine.filter(_._1 <= mid).groupBy(_._3)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val c2 = mine.filter(_._1 > mid).groupBy(_._3)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val (n1, n2) = (c1.values.sum, c2.values.sum)
+    val want = (0L until 10L).map { b =>
+      val (a, c) = (c1.getOrElse(b, 0L) + 1, c2.getOrElse(b, 0L) + 1)
+      math.rint((a.toDouble / (n1 + 10) - c.toDouble / (n2 + 10)) *
+        math.log(a.toDouble * (n2 + 10) / ((n1 + 10).toDouble * c)) *
+        1e6).toLong
+    }.sum
+    assert(rows.head.getLong(3) === want)
+  }
+
+  test("byte fallback: replay on a token sample; expansion >= 1") {
+    val rows = Ext74Queries.byteFallback(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(1)) // emitted >= tokens
+      assert(r.getLong(5) >= 1000000L) // expansion ratio >= 1
+      assert(r.getLong(2) <= r.getLong(1)) // oov <= tokens
+    }
+    // replay: per-lang emitted ids from a driver-side recompute
+    val toks = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("lang"), lower(col("tok")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val vocab = toks.groupBy(_._2).map { case (tk, xs) =>
+      tk -> xs.size }.toSeq
+      .sortBy { case (tk, n) => (-n, tk) }.take(256).map(_._1).toSet
+    val emitted = toks.groupBy(_._1).map { case (lang, xs) =>
+      lang -> xs.map { case (_, tk) =>
+        if (vocab(tk)) 1L else tk.length.toLong }.sum
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) === emitted(r.getString(0)),
+        s"emitted for ${r.getString(0)}")
+    }
+  }
+
   test("source KL: a replayed single-source divergence matches") {
     // driver replay for one source, exact same quantization
     val st = Tables.t(spark, TestSpark.sfDir, "documents")

@@ -83,6 +83,9 @@ class PlanSweepSpec extends AnyFunSuite {
     // text_source_kl: 1-row corpus-total broadcast feeding every
     // per-token KL term
     "text_source_kl",
+    // dq_distribution_psi: 1-row mid-day broadcast + the bounded
+    // |types|x10 bin spine (the dq_t_closeness dense-grid shape)
+    "dq_distribution_psi",
     // ts_locf_fill: 1-row day-bounds broadcast building the series x
     // day spine
     "ts_locf_fill",
