@@ -205,11 +205,155 @@ object Ext74Queries {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------
+  // sketch_hll_intersection
+  // ---------------------------------------------------------------
+
+  /** Raw-HLL constant α₂₅₆·m²·2⁴¹ for m=256 registers — the SAME
+    * literal text rides in the DuckDB oracle so the double division
+    * is bit-identical.
+    */
+  private val HllC = "1.0351398986589102e17"
+
+  /** HLL inclusion–exclusion intersection for adjacent day pairs:
+    * |A∩B| ≈ E(A) + E(B) − E(A∪B), where the union sketch is the
+    * registerwise MAX (the merge law sketch_hll_merge proves) and E
+    * is the raw HLL estimate α·m²/Σ2^(−Mᵢ) on the 2⁴¹-scaled integer
+    * denominator. The exact intersection rides along as the audit —
+    * inclusion–exclusion is the textbook way to ask a union-only
+    * sketch an intersection question, and its error (can even go
+    * negative) is exactly what this report surfaces.
+    *
+    * 100 TB shape: one (day, idx) register aggregate (≤ |days|·256
+    * rows) — the corpus collapses before any pairing; day-pair joins
+    * run on the bounded register/day tables.
+    */
+  def hllIntersection(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("hll:"), col("user_id").cast("string")))
+    val du = t(spark, dir, "events")
+      .select(expr("cast(ts div 86400000000000 as bigint)").as("day"),
+        col("user_id"))
+      .distinct()
+      .cache() // feeds registers AND the exact-intersection audit
+    val regs = du
+      .select(col("day"),
+        conv(substring(h, 1, 2), 16, 10).cast("long").as("idx"),
+        conv(substring(h, 3, 10), 16, 10).cast("long").as("v"))
+      .withColumn("rho", when(col("v") === 0, lit(41L))
+        .otherwise(lit(41L) - length(bin(col("v")))))
+      .groupBy("day", "idx").agg(max("rho").as("mr"))
+      .cache() // read three times: est_a, est_b, union
+    // raw estimate denominator: used registers contribute 2^(41-mr),
+    // the (256 - used) empty ones 2^41 each
+    // raw estimate + the standard small-range linear-counting switch:
+    // below 2.5m (=640) with empty registers left, E = m·ln(m/zeros)
+    // — without it the raw harmonic mean is biased high at low fill
+    // and inclusion-exclusion error swamps small intersections
+    def est(grouped: DataFrame, keyCol: String): DataFrame =
+      grouped.groupBy(keyCol)
+        .agg((expr("sum(shiftleft(cast(1 as bigint)," +
+          " cast(41 - mr as int)))")
+          + (lit(256L) - count(lit(1))) * lit(2199023255552L))
+          .as("s_scaled"),
+          (lit(256L) - count(lit(1))).as("zeros"))
+        .withColumn("raw", expr(
+          s"cast(round($HllC / cast(s_scaled as double)) as bigint)"))
+        .withColumn("e", expr(
+          """CASE WHEN zeros > 0 AND raw <= 640
+            |THEN cast(round(256.0d * ln(256.0d
+            |  / cast(zeros as double))) as bigint)
+            |ELSE raw END""".stripMargin))
+        .select(col(keyCol), col("e"))
+    val eDay = est(regs, "day")
+    val pairs = eDay.select(col("day"), col("e").as("est_a"))
+      .join(eDay.select((col("day") - 1).as("day"),
+        col("e").as("est_b")), "day")
+    val unionRegs = regs.select(col("day"), col("idx"), col("mr"))
+      .unionByName(regs.select((col("day") - 1).as("day"), col("idx"),
+        col("mr")))
+      .groupBy("day", "idx").agg(max("mr").as("mr"))
+      // keep only days that actually pair with a successor
+      .join(pairs.select("day"), "day")
+    val eUnion = est(unionRegs, "day")
+      .withColumnRenamed("e", "est_union")
+    val exact = du.select(col("day"), col("user_id"))
+      .join(du.select((col("day") - 1).as("day"), col("user_id")),
+        Seq("day", "user_id"))
+      .groupBy("day").agg(count(lit(1)).as("exact_inter"))
+    pairs.join(eUnion, "day")
+      .join(exact, Seq("day"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .withColumn("est_inter",
+        col("est_a") + col("est_b") - col("est_union"))
+      .select("day", "est_a", "est_b", "est_union", "est_inter",
+        "exact_inter")
+      .orderBy("day")
+  }
+
+  // ---------------------------------------------------------------
+  // mm_audio_fingerprint
+  // ---------------------------------------------------------------
+
+  /** Constellation fingerprint over the frame-energy path (the
+    * audio-dedup primitive: hash landmark PAIRS of energy peaks, then
+    * match media by shared landmarks — robust to offsets the way
+    * byte-equal frame matching, mm_shared_frames, is not). Peaks are
+    * strict local maxima of the mm_energy_frames series above the
+    * activity floor; a landmark is (peak-energy bucket, next-peak
+    * bucket, frame gap ≤ 8) packed into one BIGINT key; media pairs
+    * rank by DISTINCT shared landmark keys, top 25 under a total
+    * order.
+    *
+    * 100 TB shape: per-media windows only (hash-partitioned on
+    * media_id), landmark self-join bounded by the per-media peak
+    * count, and the cross-media match keyed on the landmark hash with
+    * an anti-hub cap (keys on ≤ 32 media) — the LSH band-join
+    * discipline; no all-pairs anywhere.
+    */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_no")
+    val peaks = Ext11Queries.energyFrames(spark, dir)
+      .withColumn("prev_e", lag("energy", 1).over(w))
+      .withColumn("next_e", lead("energy", 1).over(w))
+      .filter(col("prev_e").isNotNull && col("next_e").isNotNull &&
+        col("energy") > col("prev_e") &&
+        col("energy") > col("next_e") &&
+        col("energy") > 64L * 1500L)
+      .select(col("media_id"), col("frame_no"),
+        expr("energy div 20000").as("b"))
+      .cache() // both sides of the landmark self-join
+    val landmarks = peaks
+      .select(col("media_id"), col("frame_no").as("f1"),
+        col("b").as("b1"))
+      .join(peaks.select(col("media_id"), col("frame_no").as("f2"),
+        col("b").as("b2")), Seq("media_id"))
+      .filter(col("f2") - col("f1") >= 2 && col("f2") - col("f1") <= 8)
+      .select(col("media_id"),
+        (col("b1") * 10000L + col("b2") * 100L +
+          (col("f2") - col("f1"))).as("lk"))
+      .distinct()
+    // anti-hub cap: a landmark on >32 media is a stop-word, not a
+    // fingerprint (and the join fan-out bound at any corpus size)
+    val keyed = landmarks.join(
+      landmarks.groupBy("lk").agg(count(lit(1)).as("n_media"))
+        .filter(col("n_media").between(2, 32)).select("lk"), "lk")
+    keyed.select(col("lk"), col("media_id").as("id_a"))
+      .join(keyed.select(col("lk"), col("media_id").as("id_b")), "lk")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_regression_metrics" -> regressionMetrics _,
     "text_source_kl" -> sourceKl _,
     "dq_distribution_psi" -> distributionPsi _,
     "tok_byte_fallback" -> byteFallback _,
+    "sketch_hll_intersection" -> hllIntersection _,
+    "mm_audio_fingerprint" -> audioFingerprint _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -340,5 +484,120 @@ object Ext74Queries {
         |  CAST((SUM(cost) * 1000000) // COUNT(*) AS BIGINT)
         |    AS expansion_micro
         |FROM costed GROUP BY lang ORDER BY lang""".stripMargin,
+    "sketch_hll_intersection" ->
+      (s"""WITH du AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day,
+        |    user_id
+        |  FROM events
+        |), regs AS (
+        |  SELECT day,
+        |    ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+        |      1, 2))::UBIGINT AS idx,
+        |    CASE WHEN ('0x' || substr(
+        |        md5('hll:' || CAST(user_id AS VARCHAR)), 3, 10))
+        |        ::UBIGINT = 0 THEN 41
+        |      ELSE 41 - length(bin(('0x' || substr(
+        |        md5('hll:' || CAST(user_id AS VARCHAR)), 3, 10))
+        |        ::UBIGINT)) END AS rho
+        |  FROM du
+        |), day_regs AS (
+        |  SELECT day, idx, CAST(MAX(rho) AS BIGINT) AS mr
+        |  FROM regs GROUP BY day, idx
+        |), e_day0 AS (
+        |  SELECT day,
+        |    CAST(round($HllC /
+        |      CAST(SUM(2::BIGINT ** (41 - mr))
+        |        + (256 - COUNT(*)) * 2199023255552 AS DOUBLE))
+        |      AS BIGINT) AS raw,
+        |    256 - COUNT(*) AS zeros
+        |  FROM day_regs GROUP BY day
+        |), e_day AS (
+        |  SELECT day, CASE WHEN zeros > 0 AND raw <= 640
+        |    THEN CAST(round(256.0 * ln(256.0
+        |      / CAST(zeros AS DOUBLE))) AS BIGINT)
+        |    ELSE raw END AS e
+        |  FROM e_day0
+        |), pairs AS (
+        |  SELECT a.day, a.e AS est_a, b.e AS est_b
+        |  FROM e_day a JOIN e_day b ON b.day = a.day + 1
+        |), union_regs AS (
+        |  SELECT u.day, u.idx, CAST(MAX(u.mr) AS BIGINT) AS mr FROM (
+        |    SELECT day, idx, mr FROM day_regs
+        |    UNION ALL
+        |    SELECT day - 1 AS day, idx, mr FROM day_regs) u
+        |  JOIN pairs p ON p.day = u.day
+        |  GROUP BY u.day, u.idx
+        |), e_union0 AS (
+        |  SELECT day,
+        |    CAST(round($HllC /
+        |      CAST(SUM(2::BIGINT ** (41 - mr))
+        |        + (256 - COUNT(*)) * 2199023255552 AS DOUBLE))
+        |      AS BIGINT) AS raw,
+        |    256 - COUNT(*) AS zeros
+        |  FROM union_regs GROUP BY day
+        |), e_union AS (
+        |  SELECT day, CASE WHEN zeros > 0 AND raw <= 640
+        |    THEN CAST(round(256.0 * ln(256.0
+        |      / CAST(zeros AS DOUBLE))) AS BIGINT)
+        |    ELSE raw END AS est_union
+        |  FROM e_union0
+        |), exact AS (
+        |  SELECT a.day, CAST(COUNT(*) AS BIGINT) AS exact_inter
+        |  FROM du a JOIN du b
+        |    ON b.day = a.day + 1 AND b.user_id = a.user_id
+        |  GROUP BY a.day)
+        |SELECT p.day, p.est_a, p.est_b, u.est_union,
+        |  p.est_a + p.est_b - u.est_union AS est_inter,
+        |  COALESCE(x.exact_inter, 0) AS exact_inter
+        |FROM pairs p
+        |JOIN e_union u ON u.day = p.day
+        |LEFT JOIN exact x ON x.day = p.day
+        |ORDER BY p.day""").stripMargin,
+    "mm_audio_fingerprint" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, text,
+        |    unnest(range(0, greatest(
+        |      CAST(ceil(n_bytes / 64.0) AS BIGINT), 1), 2)) AS frame_no
+        |  FROM m
+        |), fr AS (
+        |  SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |    CAST(COALESCE(list_sum(list_transform(
+        |      string_split(substring(text,
+        |        CAST(frame_no * 64 + 1 AS BIGINT), 64), ''),
+        |      ch -> CAST((ord(ch) - 32) * (ord(ch) - 32) AS BIGINT))),
+        |      0) AS BIGINT) AS energy
+        |  FROM f
+        |), pk AS (
+        |  SELECT media_id, frame_no, energy // 20000 AS b
+        |  FROM (
+        |    SELECT media_id, frame_no, energy,
+        |      lag(energy) OVER w AS prev_e,
+        |      lead(energy) OVER w AS next_e
+        |    FROM fr
+        |    WINDOW w AS (PARTITION BY media_id ORDER BY frame_no))
+        |  WHERE prev_e IS NOT NULL AND next_e IS NOT NULL
+        |    AND energy > prev_e AND energy > next_e
+        |    AND energy > 64 * 1500
+        |), lm AS (
+        |  SELECT DISTINCT p1.media_id,
+        |    p1.b * 10000 + p2.b * 100 + (p2.frame_no - p1.frame_no)
+        |      AS lk
+        |  FROM pk p1 JOIN pk p2 ON p2.media_id = p1.media_id
+        |    AND p2.frame_no - p1.frame_no BETWEEN 2 AND 8
+        |), keyed AS (
+        |  SELECT l.media_id, l.lk FROM lm l
+        |  JOIN (SELECT lk FROM lm GROUP BY lk
+        |        HAVING COUNT(*) BETWEEN 2 AND 32) g ON g.lk = l.lk)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM keyed a JOIN keyed b
+        |  ON b.lk = a.lk AND a.media_id < b.media_id
+        |GROUP BY a.media_id, b.media_id
+        |ORDER BY n_shared DESC, id_a, id_b
+        |LIMIT 25""".stripMargin,
   )
 }

@@ -121,6 +121,61 @@ class Ext74QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL intersection: estimates track exact within raw-HLL " +
+      "error; union sketch bounds both sides") {
+    val rows = Ext74Queries.hllIntersection(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ea, eb, eu) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (ei, exact) = (r.getLong(4), r.getLong(5))
+      assert(ei === ea + eb - eu) // inclusion-exclusion identity
+      // the union sketch is the registerwise max, so its estimate
+      // sits at-or-above each side's up to the LC/raw regime switch
+      // (10% slack covers the boundary)
+      assert(eu * 10 >= ea * 9 && eu * 10 >= eb * 9)
+      // with the linear-counting small-range switch, each estimate
+      // carries ~6.5%-of-cardinality error; inclusion-exclusion sums
+      // three of them — accept 25% of the union plus small-set slack
+      assert(math.abs(ei - exact) <= eu / 4 + 30L,
+        s"day ${r.getLong(0)}: est $ei vs exact $exact (union $eu)")
+    }
+  }
+
+  test("audio fingerprint: shared-landmark counts replay for the " +
+      "top pair") {
+    val rows = Ext74Queries.audioFingerprint(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // driver replay of the full landmark pipeline
+    val energies = graft.operators.Ext11Queries
+      .energyFrames(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val lms: Map[Long, Set[Long]] = energies.map { case (m, fs) =>
+      val s = fs.sortBy(_._2)
+      val peaks = s.indices.drop(1).dropRight(1).collect {
+        case i if s(i)._3 > s(i - 1)._3 && s(i)._3 > s(i + 1)._3 &&
+          s(i)._3 > 64L * 1500L => (s(i)._2, s(i)._3 / 20000)
+      }
+      m -> (for {
+        (f1, b1) <- peaks; (f2, b2) <- peaks
+        dt = f2 - f1 if dt >= 2 && dt <= 8
+      } yield b1 * 10000L + b2 * 100L + dt).toSet
+    }
+    val keyCount = lms.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).map { case (k, xs) => k -> xs.size }
+    val good = keyCount.filter { case (_, n) => n >= 2 && n <= 32 }
+      .keySet
+    val top = rows.head
+    val (a, b) = (top.getLong(0), top.getLong(1))
+    val want = (lms(a).intersect(lms(b)).intersect(good)).size.toLong
+    assert(top.getLong(2) === want)
+    assert(rows.map(_.getLong(2)).toSeq ===
+      rows.map(_.getLong(2)).toSeq.sorted.reverse)
+  }
+
   test("source KL: a replayed single-source divergence matches") {
     // driver replay for one source, exact same quantization
     val st = Tables.t(spark, TestSpark.sfDir, "documents")
