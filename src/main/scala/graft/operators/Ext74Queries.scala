@@ -347,6 +347,95 @@ object Ext74Queries {
       .limit(25)
   }
 
+  // ---------------------------------------------------------------
+  // graph_boruvka_hook
+  // ---------------------------------------------------------------
+
+  /** One Borůvka HOOK round over the simhash near-dup graph (hamming
+    * = edge weight): every node picks its lexicographic-min (w,
+    * neighbor) incident edge — the distributed-MST primitive, and the
+    * single-linkage "best-match merge" step a dedup pipeline runs
+    * before transitive collapse — then contracts one star level
+    * (label = min over the picked partner's own hook). Deterministic
+    * end-to-end: ties break on neighbor id.
+    *
+    * 100 TB shape: the pair set is the banded (pigeonhole-exact)
+    * simhash candidate search — never all-pairs; the hook is one
+    * keyed min-aggregate; the star contraction one self-join. A full
+    * MST iterates this round O(log n) times with the ccLabels loop
+    * discipline (per-round cache) — this query IS that round, oracle-
+    * exact.
+    */
+  def boruvkaHook(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = NearDupGraph.simhashPairs5(spark, dir)
+    val sym = pairs
+      .select(col("id_a").as("v"), col("id_b").as("u"),
+        col("hamming").as("w"))
+      .unionByName(pairs.select(col("id_b").as("v"),
+        col("id_a").as("u"), col("hamming").as("w")))
+    val mate = sym.groupBy("v")
+      .agg(min(struct(col("w"), col("u"))).as("m"))
+      .select(col("v"), col("m.u").as("mate"), col("m.w").as("w"))
+      .cache() // both sides of the star-contraction self-join
+    val l1 = mate.select(col("v"),
+      least(col("v"), col("mate")).as("l1"), col("mate"), col("w"))
+    l1.join(l1.select(col("v").as("mate"), col("l1").as("l1_mate")),
+        "mate")
+      .select(col("v").as("node"), col("mate"), col("w"),
+        least(col("l1"), col("l1_mate")).as("star_label"))
+      .orderBy("node")
+  }
+
+  // ---------------------------------------------------------------
+  // ev_user_similarity
+  // ---------------------------------------------------------------
+
+  /** Behavioral user similarity: each user's event-type count vector
+    * (the 5-dim "user2vec-lite" a personalization pipeline starts
+    * from), cosine-scored for 8 anchor users against the whole user
+    * base over a type-keyed equi-join — dot products and squared
+    * norms are exact BIGINTs; only the final cosine touches doubles
+    * (identical expression text in the oracle). Top-5 matches per
+    * anchor under a total order.
+    *
+    * 100 TB shape: one (user, type) count aggregate collapses the
+    * corpus; the 40-row anchor side broadcasts; per-anchor top-k is
+    * a partitioned window over |anchors|·|users| scored rows — at
+    * production scale the same query routes through the ANN ladder
+    * instead of exact scoring, exactly like sim_cosine_topk's note.
+    */
+  def userSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // anchors + corpus side + norms share it
+    val norms = counts.groupBy("user_id")
+      .agg(sum(col("c") * col("c")).as("n2"))
+    val anchors = counts.filter(col("user_id") < 8)
+      .select(col("user_id").as("q_id"), col("event_type"),
+        col("c").as("qc"))
+    val dots = counts.join(broadcast(anchors), "event_type")
+      .filter(col("user_id") =!= col("q_id"))
+      .groupBy("q_id", "user_id")
+      .agg(sum(col("qc") * col("c")).as("dot"))
+    val scored = dots
+      .join(broadcast(norms.filter(col("user_id") < 8)
+        .select(col("user_id").as("q_id"), col("n2").as("qn2"))),
+        "q_id")
+      .join(norms, "user_id")
+      .withColumn("sim", expr(
+        "round(cast(dot as double) / (sqrt(cast(qn2 as double))" +
+          " * sqrt(cast(n2 as double))), 6)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("user_id"))
+    scored.withColumn("rank",
+        row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("user_id").as("n_id"),
+        col("dot"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_regression_metrics" -> regressionMetrics _,
     "text_source_kl" -> sourceKl _,
@@ -354,6 +443,8 @@ object Ext74Queries {
     "tok_byte_fallback" -> byteFallback _,
     "sketch_hll_intersection" -> hllIntersection _,
     "mm_audio_fingerprint" -> audioFingerprint _,
+    "graph_boruvka_hook" -> boruvkaHook _,
+    "ev_user_similarity" -> userSimilarity _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -599,5 +690,76 @@ object Ext74Queries {
         |GROUP BY a.media_id, b.media_id
         |ORDER BY n_shared DESC, id_a, id_b
         |LIMIT 25""".stripMargin,
+    // banded pair search is pigeonhole-exact at maxHamming=5, so the
+    // brute-force all-pairs filter is the oracle (the
+    // dedup_simhash_pairs convention)
+    "graph_boruvka_hook" ->
+      """WITH tokrows AS (
+        |  SELECT doc_id AS id,
+        |    md5(unnest(string_split_regex(trim(text), '\s+'))) AS h
+        |  FROM documents
+        |), votes AS (
+        |  SELECT id, bit,
+        |    SUM(CASE WHEN
+        |      ((strpos('0123456789abcdef', substr(h, bit // 4 + 1, 1)) - 1)
+        |        & (1 << (3 - bit % 4))) > 0 THEN 1 ELSE -1 END) AS v
+        |  FROM tokrows, UNNEST(range(0, 60)) AS b(bit)
+        |  GROUP BY id, bit
+        |), fps AS (
+        |  SELECT id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (59 - bit)
+        |        ELSE 0 END) AS BIGINT) AS fp
+        |  FROM votes GROUP BY id
+        |), pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS w
+        |  FROM fps a JOIN fps b ON a.id < b.id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= 5
+        |), sym AS (
+        |  SELECT id_a AS v, id_b AS u, w FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS v, id_a AS u, w FROM pairs
+        |), mate AS (
+        |  SELECT v, u AS mate, w FROM (
+        |    SELECT v, u, w,
+        |      ROW_NUMBER() OVER (PARTITION BY v ORDER BY w, u) AS rn
+        |    FROM sym) WHERE rn = 1
+        |), l1 AS (
+        |  SELECT v, least(v, mate) AS l1, mate, w FROM mate)
+        |SELECT a.v AS node, a.mate, a.w,
+        |  least(a.l1, b.l1) AS star_label
+        |FROM l1 a JOIN l1 b ON b.v = a.mate
+        |ORDER BY node""".stripMargin,
+    "ev_user_similarity" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id, event_type
+        |), norms AS (
+        |  SELECT user_id, CAST(SUM(c * c) AS BIGINT) AS n2
+        |  FROM counts GROUP BY user_id
+        |), dots AS (
+        |  SELECT q.user_id AS q_id, e.user_id,
+        |    CAST(SUM(q.c * e.c) AS BIGINT) AS dot
+        |  FROM counts q
+        |  JOIN counts e ON e.event_type = q.event_type
+        |    AND e.user_id <> q.user_id
+        |  WHERE q.user_id < 8
+        |  GROUP BY q.user_id, e.user_id
+        |), scored AS (
+        |  SELECT d.q_id, d.user_id, d.dot,
+        |    round(CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(nq.n2 AS DOUBLE))
+        |         * sqrt(CAST(ne.n2 AS DOUBLE))), 6) AS sim
+        |  FROM dots d
+        |  JOIN norms nq ON nq.user_id = d.q_id
+        |  JOIN norms ne ON ne.user_id = d.user_id
+        |), ranked AS (
+        |  SELECT q_id, user_id, dot, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, user_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, user_id AS n_id,
+        |  dot, sim
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
   )
 }

@@ -176,6 +176,60 @@ class Ext74QueriesSpec extends AnyFunSuite {
       rows.map(_.getLong(2)).toSeq.sorted.reverse)
   }
 
+  test("Borůvka hook: each node's edge is its true minimum; star " +
+      "labels are component-consistent") {
+    val rows = Ext74Queries.boruvkaHook(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    val pairs = graft.operators.NearDupGraph
+      .simhashPairs5(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj = (pairs.map(p => (p._1, (p._3, p._2))) ++
+      pairs.map(p => (p._2, (p._3, p._1))))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).min }
+    rows.foreach { case (node, mate, w, _) =>
+      assert(adj(node) === ((w, mate)), s"hook for $node")
+    }
+    // star label: min over {l1(node), l1(mate)} with l1 = min(v, mate)
+    val l1 = rows.map(r => r._1 -> math.min(r._1, r._2)).toMap
+    rows.foreach { case (node, mate, _, sl) =>
+      assert(sl === math.min(l1(node), l1(mate)), s"label for $node")
+      assert(sl <= node)
+    }
+  }
+
+  test("user similarity: anchor's top match replays exactly") {
+    val rows = Ext74Queries.userSimilarity(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val counts = Tables.t(spark, TestSpark.sfDir, "events")
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def vec(u: Long) = counts.filter(_._1 == u)
+      .map(x => x._2 -> x._3).toMap
+    val users = counts.map(_._1).distinct
+    val q = rows.head.getLong(0)
+    val qv = vec(q)
+    val qn = math.sqrt(qv.values.map(v => v * v).sum.toDouble)
+    val best = users.filter(_ != q).map { u =>
+      val uv = vec(u)
+      val dot = qv.keys.map(k => qv(k) * uv.getOrElse(k, 0L)).sum
+      val sim = math.rint(dot / (qn * math.sqrt(
+        uv.values.map(v => v * v).sum.toDouble)) * 1e6) / 1e6
+      (sim, -u, dot, u)
+    }.max
+    assert(rows.head.getLong(2) === best._4) // n_id
+    assert(rows.head.getLong(3) === best._3) // dot
+    assert(rows.head.getDouble(4) === best._1) // sim
+    // ranks are 1..5 per anchor
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 5L))
+    }
+  }
+
   test("source KL: a replayed single-source divergence matches") {
     // driver replay for one source, exact same quantization
     val st = Tables.t(spark, TestSpark.sfDir, "documents")
