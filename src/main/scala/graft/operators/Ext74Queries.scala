@@ -436,6 +436,43 @@ object Ext74Queries {
       .orderBy("q_id", "rank")
   }
 
+  // ---------------------------------------------------------------
+  // dedup_cluster_medoid
+  // ---------------------------------------------------------------
+
+  /** Distance-based canonical selection: within each connected
+    * component of the simhash near-dup graph, the MEDOID — the member
+    * with the minimum total hamming weight over its incident near-dup
+    * edges (tie: lowest id). The distance-centric complement of
+    * dedup_keep_best's keep-longest heuristic: the medoid is the
+    * member most representative of the cluster, which is what a
+    * dedup pipeline should RETAIN when members differ by noise rather
+    * than by completeness.
+    *
+    * 100 TB shape: edge weights aggregate per node (one keyed sum on
+    * the banded pair set), CC labels come from the shared
+    * large-star/small-star loop, and the medoid is one min-struct
+    * aggregate per cluster — no per-cluster windows, no all-pairs.
+    */
+  def clusterMedoid(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = NearDupGraph.simhashPairs5(spark, dir)
+    val labels = Dedup.connectedComponents(
+      pairs.select("id_a", "id_b"))
+    val sym = pairs
+      .select(col("id_a").as("id"), col("hamming").as("w"))
+      .unionByName(pairs.select(col("id_b").as("id"),
+        col("hamming").as("w")))
+    val wsum = sym.groupBy("id")
+      .agg(sum("w").as("sum_w"), count(lit(1)).as("deg"))
+    labels.join(wsum, "id")
+      .groupBy("cluster")
+      .agg(min(struct(col("sum_w"), col("id"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("m.id").as("medoid_id"),
+        col("m.sum_w").as("medoid_sum_w"), col("n_members"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_regression_metrics" -> regressionMetrics _,
     "text_source_kl" -> sourceKl _,
@@ -445,6 +482,7 @@ object Ext74Queries {
     "mm_audio_fingerprint" -> audioFingerprint _,
     "graph_boruvka_hook" -> boruvkaHook _,
     "ev_user_similarity" -> userSimilarity _,
+    "dedup_cluster_medoid" -> clusterMedoid _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -761,5 +799,51 @@ object Ext74Queries {
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, user_id AS n_id,
         |  dot, sim
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "dedup_cluster_medoid" ->
+      """WITH RECURSIVE tokrows AS (
+        |  SELECT doc_id AS id,
+        |    md5(unnest(string_split_regex(trim(text), '\s+'))) AS h
+        |  FROM documents
+        |), votes AS (
+        |  SELECT id, bit,
+        |    SUM(CASE WHEN
+        |      ((strpos('0123456789abcdef', substr(h, bit // 4 + 1, 1)) - 1)
+        |        & (1 << (3 - bit % 4))) > 0 THEN 1 ELSE -1 END) AS v
+        |  FROM tokrows, UNNEST(range(0, 60)) AS b(bit)
+        |  GROUP BY id, bit
+        |), fps AS (
+        |  SELECT id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (59 - bit)
+        |        ELSE 0 END) AS BIGINT) AS fp
+        |  FROM votes GROUP BY id
+        |), pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS w
+        |  FROM fps a JOIN fps b ON a.id < b.id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= 5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |walk(a, b) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT w.a, e.b FROM walk w JOIN edges e ON e.a = w.b
+        |), labels AS (
+        |  SELECT a AS id, MIN(b) AS cluster FROM walk GROUP BY a
+        |), wsum AS (
+        |  SELECT id, CAST(SUM(w) AS BIGINT) AS sum_w FROM (
+        |    SELECT id_a AS id, w FROM pairs
+        |    UNION ALL SELECT id_b AS id, w FROM pairs)
+        |  GROUP BY id
+        |), members AS (
+        |  SELECT l.cluster, l.id, s.sum_w,
+        |    ROW_NUMBER() OVER (PARTITION BY l.cluster
+        |      ORDER BY s.sum_w, l.id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l.cluster) AS n_members
+        |  FROM labels l JOIN wsum s ON s.id = l.id)
+        |SELECT cluster, id AS medoid_id, sum_w AS medoid_sum_w,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM members WHERE rn = 1 ORDER BY cluster""".stripMargin,
   )
 }

@@ -230,6 +230,45 @@ class Ext74QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster medoid: min total edge weight within each CC, " +
+      "driver-replayed") {
+    val rows = Ext74Queries.clusterMedoid(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    val pairs = graft.operators.NearDupGraph
+      .simhashPairs5(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver CC via union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val wsum = (pairs.map(p => (p._1, p._3)) ++
+      pairs.map(p => (p._2, p._3)))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+    val byCluster = wsum.keys.groupBy(find)
+    val want = byCluster.map { case (_, members) =>
+      val ms = members.toSeq
+      val medoid = ms.map(m => (wsum(m), m)).min
+      (ms.map(find).head, medoid._2, medoid._1, ms.size.toLong)
+    }.toSet
+    // cluster label convention: min member id (both sides)
+    val wantByMin = byCluster.map { case (root, members) =>
+      val ms = members.toSeq
+      val medoid = ms.map(m => (wsum(m), m)).min
+      (ms.min, medoid._2, medoid._1, ms.size.toLong)
+    }.toSet
+    assert(rows.toSet === wantByMin || rows.toSet === want)
+    assert(rows.exists(_._4 > 2), "fixture needs a >2-member cluster")
+  }
+
   test("source KL: a replayed single-source divergence matches") {
     // driver replay for one source, exact same quantization
     val st = Tables.t(spark, TestSpark.sfDir, "documents")
