@@ -80,6 +80,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // StaticSQLConf (JVM-first-session only): the whole-stage-codegen
+      // compiled-class cache is an LRU of 100 entries by default; a
+      // 410-query catalog cycles it completely between a query's warmup
+      // and its timed run, so every single-run timing silently pays
+      // janino recompilation (~0.1-0.5 s/plan — measured as the r8
+      // suite reading 436 s vs 237 s on identical plans, and as r7's
+      // 164 s "noise_sum"). Sized to hold the whole catalog's classes.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Dev-only fast path: SPARK_GRAFT_THROUGHPUT_ONLY=1 skips the

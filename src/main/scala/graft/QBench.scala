@@ -15,6 +15,9 @@ object QBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf, same rationale as Bench: don't let the 100-entry
+      // codegen class cache bill recompilation to the warm run
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { name =>

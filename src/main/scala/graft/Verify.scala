@@ -17,6 +17,9 @@ object Verify {
       // natively; read as nanos-since-epoch long (Tables.eventsTs
       // converts to TimestampType)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf: hold every catalog plan's codegen classes (the
+      // default 100-entry LRU recompiles each of the 400+ queries)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
