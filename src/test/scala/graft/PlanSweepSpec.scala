@@ -97,6 +97,15 @@ class PlanSweepSpec extends AnyFunSuite {
     // cdc_snapshot_diff: two 1-row seq-cutoff broadcasts (the
     // snapshotAtCut convention, same as cdc_snapshot_at)
     "cdc_snapshot_diff",
+    // sketch_ams_f2: 1-row exact-F2 broadcast joined to the 16-row
+    // estimator table
+    "sketch_ams_f2",
+    // layout_zonemap_prune: 1-row bounds broadcast into the file-id
+    // projections + bounded zone-map/day spines x 6 predicates
+    "layout_zonemap_prune",
+    // ev_event_study: 1-row pre-window baseline broadcast into the
+    // <=15 per-relday cells
+    "ev_event_study",
     // ev_survival_km: 1-row horizon broadcast into per-user durations
     "ev_survival_km",
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
