@@ -202,6 +202,19 @@ object CdcQueries {
       oddLww(spark, dir).filter(col("op") === CdcParse.OpErase),
       Seq("user_id")).orderBy("user_id")
 
+  /** Full conditional MERGE: erase deletes, a matched update lands
+    * only when the incoming value is strictly higher (monotone
+    * high-water merge — the "never regress a metric" write rule),
+    * unmatched non-erase rows insert. Keys-only updates carry a NULL
+    * payload, so their matched condition is NULL and the state row
+    * survives — SQL CASE semantics on both engines. Same single
+    * key-shuffled pass as the other apply sinks.
+    */
+  def applyMerge(spark: SparkSession, dir: String): DataFrame =
+    KeyedMerge.applyMerge(state0(spark, dir), oddLww(spark, dir),
+      Seq("user_id"), col("_b_value_milli") > col("value_milli"))
+      .orderBy("user_id")
+
   /** Point-in-time snapshot (time travel): state0 with the odd-delta
     * changelog applied only up to a sequence cutoff — the "what did
     * the table look like at seq T" reconstruction a changefeed
@@ -523,6 +536,7 @@ object CdcQueries {
     "cdc_apply_insert" -> applyInsert _,
     "cdc_apply_update_on" -> applyUpdateOn _,
     "cdc_apply_delete" -> applyDelete _,
+    "cdc_apply_merge" -> applyMerge _,
     "cdc_mat_view1" -> matView1 _,
     "cdc_mat_view2" -> matView2 _,
   )
@@ -765,6 +779,24 @@ object CdcQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM odd_lww b WHERE b.user_id = s.user_id)
         |  UNION ALL
         |  SELECT user_id, event_type, value_milli FROM odd_lww WHERE op <> 'erase') f
+        |ORDER BY user_id""".stripMargin),
+    "cdc_apply_merge" -> (baseCte +
+      """
+        |SELECT user_id, event_type, value_milli FROM (
+        |  SELECT s.user_id,
+        |    CASE WHEN b.user_id IS NOT NULL AND b.op <> 'erase'
+        |           AND b.value_milli > s.value_milli
+        |         THEN b.event_type ELSE s.event_type END AS event_type,
+        |    CASE WHEN b.user_id IS NOT NULL AND b.op <> 'erase'
+        |           AND b.value_milli > s.value_milli
+        |         THEN b.value_milli ELSE s.value_milli END
+        |      AS value_milli
+        |  FROM state0 s LEFT JOIN odd_lww b ON b.user_id = s.user_id
+        |  WHERE b.user_id IS NULL OR b.op <> 'erase'
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_type, b.value_milli FROM odd_lww b
+        |  WHERE b.op <> 'erase' AND NOT EXISTS (
+        |    SELECT 1 FROM state0 s WHERE s.user_id = b.user_id)) f
         |ORDER BY user_id""".stripMargin),
     "cdc_snapshot_at" -> (baseCte +
       """, cut AS (

@@ -282,12 +282,55 @@ object Ext9Queries {
       .orderBy("event_type")
   }
 
+  /** Incremental maintenance of a HISTOGRAM view (32 fixed bins of
+    * value_milli, width 5200, top bin open — the sketch_histogram
+    * lattice) under the same retract-stream contract as [[ivmAgg]]:
+    * touched keys subtract their old binned contribution and add the
+    * new one, so any percentile is read off the maintained bins
+    * without ever rescanning the keyed state — the IVM form of a
+    * quantile dashboard (count + value mass per bin; bins whose live
+    * count hits zero drop out). Oracle = full recompute over the
+    * final LWW state; IVM == full is the invariant.
+    *
+    * 100 TB shape: identical to ivmAgg — semi-join prune on touched
+    * keys (bucket-pruned on a bucketed sink), re-aggregate over
+    * |bins| + 2·|touched| rows.
+    */
+  def ivmHist(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(
+      col("event_id"), col("user_id"),
+      round(col("value") * 1000).cast("long").as("vm"),
+      (col("event_id") % 7 === 0).as("del"))
+    def live(df: DataFrame): DataFrame =
+      KeyedMerge.lww(df, Seq("user_id"), "event_id")
+        .filter(!col("del"))
+    val liveBase = live(ev.filter(col("event_id") % 5 =!= 4)).cache()
+    val touched = ev.filter(col("event_id") % 5 === 4)
+      .select("user_id").distinct()
+    def contrib(df: DataFrame, sign: Int): DataFrame =
+      df.withColumn("bin", least(expr("vm div 5200"), lit(31L)))
+        .groupBy("bin")
+        .agg((count(lit(1)) * sign).as("n_rows"),
+          (sum(col("vm")) * sign).as("sum_milli"))
+    contrib(liveBase, 1)
+      .unionByName(contrib(
+        liveBase.join(touched, Seq("user_id"), "left_semi"), -1))
+      .unionByName(contrib(
+        live(ev.join(touched, Seq("user_id"), "left_semi")), 1))
+      .groupBy("bin")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_milli")).as("sum_milli"))
+      .filter(col("n_rows") > 0)
+      .orderBy("bin")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca_power" -> pcaPower _,
     "embed_pca_project" -> pcaProject _,
     "tok_bpe_first_merge" -> bpeFirstMerge _,
     "cdc_ivm_join" -> ivmJoin _,
     "cdc_ivm_agg" -> ivmAgg _,
+    "cdc_ivm_hist" -> ivmHist _,
   )
 
   /** The PCA oracle replays the identical integer lattice: HUGEINT
@@ -386,6 +429,21 @@ object Ext9Queries {
         |  CAST(SUM(vm) AS BIGINT) AS sum_milli
         |FROM last WHERE rn = 1 AND NOT del
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "cdc_ivm_hist" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CAST(ROUND(value * 1000) AS BIGINT) AS vm,
+        |    event_id % 7 = 0 AS del
+        |  FROM events
+        |), last AS (
+        |  SELECT ev.*, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT least(vm // 5200, 31) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(vm) AS BIGINT) AS sum_milli
+        |FROM last WHERE rn = 1 AND NOT del
+        |GROUP BY least(vm // 5200, 31) ORDER BY bin""".stripMargin,
     "cdc_ivm_join" ->
       """WITH a AS (
         |  SELECT user_id, event_id AS a_seq,

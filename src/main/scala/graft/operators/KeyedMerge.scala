@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,40 @@ object KeyedMerge {
   def applyCdc(state: DataFrame, batch: DataFrame,
       keys: Seq[String]): DataFrame =
     applyUpsert(state, batch, keys) // erase rows drop state, add nothing
+
+  /** SQL MERGE with a CONDITIONAL matched-update clause — the full
+    * merge statement the write-action quartet (upsert / insert /
+    * updateOn / delete) composes into one keyed pass:
+    *
+    *   WHEN MATCHED AND batch.op = erase            THEN DELETE
+    *   WHEN MATCHED AND `updateWhen`                THEN UPDATE
+    *   WHEN MATCHED                                 THEN keep state
+    *   WHEN NOT MATCHED AND batch.op <> erase       THEN INSERT
+    *
+    * `updateWhen` is evaluated on the joined row; the batch's non-key
+    * columns are visible under a `_b_` prefix (e.g.
+    * `col("_b_value_milli") > col("value_milli")`). A NULL condition
+    * (e.g. a keys-only update's NULL payload compared against state)
+    * follows SQL CASE semantics: the state row is kept. One
+    * key-shuffled full-outer join — the same single pass as the
+    * other apply sinks, so MERGE costs nothing extra at scale.
+    */
+  def applyMerge(state: DataFrame, batch: DataFrame, keys: Seq[String],
+      updateWhen: Column): DataFrame = {
+    val payload = state.columns.filterNot(keys.contains).toSeq
+    val b = batch.select((keys.map(col) ++
+        batch.columns.filterNot(keys.contains).toSeq
+          .map(c => col(c).as("_b_" + c))): _*)
+      .withColumn("_b_present", lit(1))
+    val s = state.withColumn("_s_present", lit(1))
+    val take = col("_b_present").isNotNull &&
+      (col("_s_present").isNull || updateWhen)
+    s.join(b, keys, "full_outer")
+      .filter(!(col("_b_present").isNotNull &&
+        col("_b_op") === CdcParse.OpErase))
+      .select((keys.map(col) ++ payload.map(c =>
+        when(take, col("_b_" + c)).otherwise(col(c)).as(c))): _*)
+  }
 
   /** INCREMENTAL AGGREGATE-VIEW MAINTENANCE: update a per-group
     * (row count, value sum) aggregate table under a keyed

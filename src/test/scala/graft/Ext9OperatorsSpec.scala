@@ -147,4 +147,29 @@ class Ext9OperatorsSpec extends AnyFunSuite {
     assert(flipped > 0,
       "no live key is erased by the delta at the gate SF")
   }
+
+  test("ivm hist equals full recompute; bins conserve the live count " +
+      "and value mass") {
+    val dir = TestSpark.sfDir
+    val ivm = Ext9Queries.ivmHist(spark, dir).collect()
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 1000).cast("long").as("vm"),
+        (col("event_id") % 7 === 0).as("del"))
+    val liveRows = KeyedMerge.lww(ev, Seq("user_id"), "event_id")
+      .filter(!col("del"))
+    val full = liveRows
+      .withColumn("bin", least(expr("vm div 5200"), lit(31L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"), sum(col("vm")).as("sum_milli"))
+      .orderBy("bin").collect()
+    assert(ivm.toSeq === full.toSeq)
+    // conservation: the maintained bins account for exactly the live
+    // state, so any percentile read off them is consistent
+    val (liveN, liveSum) = liveRows.agg(count(lit(1)), sum("vm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(ivm.map(_.getLong(1)).sum === liveN)
+    assert(ivm.map(_.getLong(2)).sum === liveSum)
+    assert(ivm.length > 1, "fixture collapses into a single bin")
+  }
 }

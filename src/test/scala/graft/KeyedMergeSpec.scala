@@ -30,6 +30,53 @@ class KeyedMergeSpec extends AnyFunSuite {
       (4L, "D", 400L)))
   }
 
+  test("merge: conditional update, delete, insert, NULL-condition " +
+      "keep, unmatched-erase no-op — every MERGE branch") {
+    import org.apache.spark.sql.functions.col
+    // state: 1..3; batch covers each branch:
+    //   id=2 matched, v 200 > 20 -> UPDATE
+    //   id=1 matched, v 5 < 10  -> condition false, keep state
+    //   id=3 matched erase      -> DELETE
+    //   id=4 unmatched update   -> INSERT
+    //   id=5 unmatched erase    -> no-op
+    //   id=6 unmatched keys-only (null payload) -> INSERT of nulls
+    val mBatch = Seq(
+      (2L, Option("B"), Option(200L), CdcParse.OpUpdate, 101L),
+      (1L, Option("A"), Option(5L), CdcParse.OpUpdate, 102L),
+      (3L, Option.empty[String], Option.empty[Long],
+        CdcParse.OpErase, 103L),
+      (4L, Option("D"), Option(400L), CdcParse.OpUpdate, 104L),
+      (5L, Option.empty[String], Option.empty[Long],
+        CdcParse.OpErase, 105L),
+      (6L, Option.empty[String], Option.empty[Long],
+        CdcParse.OpKeysOnly, 106L)
+    ).toDF("id", "name", "v", "op", "seq")
+    val out = KeyedMerge.applyMerge(state, mBatch, Seq("id"),
+      col("_b_v") > col("v"))
+    val got = out.select("id", "name", "v").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) Option.empty[Long] else Some(r.getLong(2))))
+      .toSet
+    assert(got === Set(
+      (1L, "a", Some(10L)),    // condition false: state kept
+      (2L, "B", Some(200L)),   // conditional update landed
+      (4L, "D", Some(400L)),   // insert
+      (6L, null, None)))       // keys-only insert, null payload
+    // idempotence: re-applying the same LWW batch is a no-op on the
+    // merged state (the at-least-once replay contract)
+    val again = KeyedMerge.applyMerge(out, mBatch, Seq("id"),
+      col("_b_v") > col("v"))
+    assert(rowsNullable(again) === rowsNullable(out))
+  }
+
+  private def rowsNullable(df: DataFrame): Set[(Long, String, Option[Long])] =
+    df.select("id", "name", "v").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) Option.empty[Long] else Some(r.getLong(2))))
+      .toSet
+
   test("agg-view delta maintenance equals recompute over 3 batches") {
     import org.apache.spark.sql.functions._
     val batches = Seq(
