@@ -198,6 +198,15 @@ class KeyedTableSink(spark: SparkSession, val path: String,
     case "updateOn" => KeyedMerge.applyUpdateOn(state, batch, keys)
     case "deleteFrom" => KeyedMerge.applyDelete(state,
       batch.filter(col("op") === CdcParse.OpErase), keys)
+    // conditional MERGE: "mergeGreater:<col>" updates a matched key
+    // only when the batch's <col> is strictly higher (monotone
+    // high-water rule), deletes on erase, inserts unmatched — the
+    // config-string form so an XML pipeline (O12) can select it like
+    // any other action
+    case m if m.startsWith("mergeGreater:") =>
+      val c = m.stripPrefix("mergeGreater:")
+      KeyedMerge.applyMerge(state, batch, keys,
+        col("_b_" + c) > col(c))
     case other =>
       throw new IllegalArgumentException(s"unknown action: $other")
   }

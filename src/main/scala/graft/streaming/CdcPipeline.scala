@@ -267,10 +267,11 @@ object CdcPipeline {
               } }
             }
           }
-          if (p.action == "upsertInto" || p.action == "deleteFrom") {
+          if (p.action == "upsertInto" || p.action == "deleteFrom" ||
+              p.action.startsWith("mergeGreater:")) {
             // these actions consume mixed update+erase batches natively
-            // (upsert drops erased keys; delete ignores update rows) —
-            // one state rewrite handles both
+            // (upsert drops erased keys; delete ignores update rows;
+            // merge deletes on erase) — one state rewrite handles both
             withRetry(p, st) { withTimeout(spark, p) {
               p.sink.apply(transformed.unionByName(erases), p.action)
             } }

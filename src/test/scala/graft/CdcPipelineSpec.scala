@@ -330,6 +330,95 @@ class CdcPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeGreater action: conditional update / keep / delete / " +
+      "insert through the pipeline; replay is a no-op (O8)") {
+    import spark.implicits._
+    def envUpd(id: Long, et: String, vm: Long) =
+      s"""{"key":[$id],"update":{"event_type":"$et","value_milli":$vm}}"""
+    def envDel(id: Long) = s"""{"key":[$id],"erase":{}}"""
+    val sink = new KeyedTableSink(spark, freshDir("sink-mg"),
+      Seq("user_id"), sinkSchema)
+    val seed = Seq((envUpd(1, "a", 10), 1L), (envUpd(2, "b", 20), 2L),
+      (envUpd(3, "c", 30), 3L)).toDF("value", "seq")
+    CdcPipeline.applyBatch(spark, CdcPipeline.Pipeline(
+      "mg-seed", "/none", "/none", schema,
+      Some("SELECT user_id, event_type, value_milli FROM rows"),
+      None, sink, action = "upsertInto"), seed)
+    // raise key 1 (update lands), lower key 2 (state kept), erase
+    // key 3 (delete), fresh key 4 (insert) — all four MERGE branches
+    val batch = Seq((envUpd(1, "A", 100), 4L), (envUpd(2, "b2", 5), 5L),
+      (envDel(3), 6L), (envUpd(4, "d", 40), 7L)).toDF("value", "seq")
+    def applyMg(): Unit =
+      CdcPipeline.applyBatch(spark, CdcPipeline.Pipeline(
+        "mg", "/none", "/none", schema,
+        Some("SELECT user_id, event_type, value_milli FROM rows"),
+        None, sink, action = "mergeGreater:value_milli"), batch)
+    applyMg()
+    val want = Set((1L, "A", Some(100L)), (2L, "b", Some(20L)),
+      (4L, "d", Some(40L)))
+    assert(sinkRows(sink) === want)
+    // at-least-once replay of the same LWW batch is a no-op on the
+    // merged state (high-water updates can never re-land)
+    applyMg()
+    assert(sinkRows(sink) === want)
+  }
+
+  test("mergeGreater stream over a seeded table == batch applyMerge " +
+      "golden (O8)") {
+    val changelog = freshDir("changelog-mg2")
+    Changelog.writeFromEvents(spark,
+      s"${TestSpark.sfDir}/events.parquet", changelog, numFiles = 1)
+    val all = Changelog.readBatch(spark, changelog)
+    val typed = CdcParse.parseEnvelope(all, "value", schema)
+      .filter(col("op") =!= CdcParse.OpDrop)
+    // seed half the keys so matched rows exercise BOTH condition
+    // outcomes: user%4==0 seeds at 0 (every update wins), user%4==2
+    // seeds at a ceiling no update can beat
+    val seed = typed.select("user_id").distinct()
+      .filter(col("user_id") % 2 === 0)
+      .select(col("user_id"), lit("seed").as("event_type"),
+        when(col("user_id") % 4 === 0, 0L)
+          .otherwise(1000000000000L).as("value_milli"))
+    val sink = new KeyedTableSink(spark, freshDir("sink-mg2"),
+      Seq("user_id"), sinkSchema)
+    CdcPipeline.applyBatch(spark, CdcPipeline.Pipeline(
+      "mg2-seed", "/none", "/none", schema,
+      Some("SELECT user_id, event_type, value_milli FROM rows"),
+      None, sink, action = "upsertInto"),
+      seed.select(concat(lit("{\"key\":["), col("user_id"),
+        lit("],\"update\":{\"event_type\":\""), col("event_type"),
+        lit("\",\"value_milli\":"), col("value_milli"), lit("}}"))
+        .as("value"), (-col("user_id")).as("seq")))
+    val seeded = sink.load().collect().map(tuple3).toSet
+    val p = CdcPipeline.Pipeline(
+      consumer = "mg2",
+      changelogDir = changelog,
+      checkpointDir = freshDir("ckpt-mg2"),
+      schema = schema,
+      updateSql = Some(
+        "SELECT user_id, event_type, value_milli FROM rows"),
+      deleteSql = None,
+      sink = sink,
+      action = "mergeGreater:value_milli",
+      maxFilesPerTrigger = 8) // single file -> one micro-batch
+    CdcPipeline.start(spark, p).awaitTermination(120000)
+    val got = sinkRows(sink)
+    val seedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        seeded.toSeq.map(t => org.apache.spark.sql.Row(
+          t._1, t._2, t._3.map(Long.box).orNull))), sinkSchema)
+    val want = KeyedMerge.applyMerge(seedDf,
+      KeyedMerge.lww(typed, Seq("user_id"), "seq"), Seq("user_id"),
+      col("_b_value_milli") > col("value_milli"))
+      .collect().map(tuple3).toSet
+    assert(got === want)
+    // both matched branches actually fired
+    assert(got.exists { case (u, _, v) =>
+      u % 4 == 2 && v == Some(1000000000000L) }, "ceiling seed lost")
+    assert(got.exists { case (u, t, _) =>
+      u % 4 == 0 && t != "seed" }, "no floor seed was updated")
+  }
+
   test("delete query maps erase keys for a re-keyed view (O8/O11)") {
     val changelog = freshDir("changelog6")
     Changelog.writeFromEvents(spark,
