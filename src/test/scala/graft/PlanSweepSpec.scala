@@ -106,6 +106,11 @@ class PlanSweepSpec extends AnyFunSuite {
     // ev_event_study: 1-row pre-window baseline broadcast into the
     // <=15 per-relday cells
     "ev_event_study",
+    // ts_xcorr: 1-row type-pair broadcast picking the two series
+    "ts_xcorr",
+    // sketch_join_size: 1-row exact-join audit broadcast joined to
+    // the 16-row estimator table (the sketch_ams_f2 shape)
+    "sketch_join_size",
     // ev_survival_km: 1-row horizon broadcast into per-user durations
     "ev_survival_km",
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
