@@ -111,6 +111,9 @@ class PlanSweepSpec extends AnyFunSuite {
     // sketch_join_size: 1-row exact-join audit broadcast joined to
     // the 16-row estimator table (the sketch_ams_f2 shape)
     "sketch_join_size",
+    // text_cluster_topics: 1-row corpus-size broadcast feeding the
+    // idf term
+    "text_cluster_topics",
     // ev_survival_km: 1-row horizon broadcast into per-user durations
     "ev_survival_km",
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
