@@ -114,6 +114,9 @@ class PlanSweepSpec extends AnyFunSuite {
     // text_cluster_topics: 1-row corpus-size broadcast feeding the
     // idf term
     "text_cluster_topics",
+    // layout_bloom_prune: 1-row bounds broadcast into file cuts +
+    // probe keys; bounded bloom/needs spines
+    "layout_bloom_prune",
     // ev_survival_km: 1-row horizon broadcast into per-user durations
     "ev_survival_km",
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
