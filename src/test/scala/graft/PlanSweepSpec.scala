@@ -117,6 +117,8 @@ class PlanSweepSpec extends AnyFunSuite {
     // layout_bloom_prune: 1-row bounds broadcast into file cuts +
     // probe keys; bounded bloom/needs spines
     "layout_bloom_prune",
+    // ts_rolling_corr: 1-row type-pair broadcast (the ts_xcorr shape)
+    "ts_rolling_corr",
     // ev_survival_km: 1-row horizon broadcast into per-user durations
     "ev_survival_km",
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
