@@ -119,6 +119,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "layout_bloom_prune",
     // ts_rolling_corr: 1-row type-pair broadcast (the ts_xcorr shape)
     "ts_rolling_corr",
+    // eval_multiprobe_recall: the exact ground-truth leg IS
+    // sim_cosine_topk's broadcast-anchor BNLJ (8-query probe table)
+    "eval_multiprobe_recall",
     // ev_survival_km: 1-row horizon broadcast into per-user durations
     "ev_survival_km",
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
