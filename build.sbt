@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver launches `sbt "runMain graft.Bench"` and parses the
+// trailing stdout for ONE bare JSON line (BENCH_r08.json came back
+// parsed:null because the forked program's output was logged with an
+// "[info] " prefix and followed by sbt's "[success] Total time" line).
+// StdoutOutput passes the forked process's stdout through verbatim;
+// showSuccess/showTiming=false drop the trailing success/time line, so
+// the program's last println IS the last stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// the three keys above are read by the task engine / fork machinery,
+// not by a task body — exclude them from the unused-setting lint so
+// its [warn] lines don't land on the stdout the driver parses
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

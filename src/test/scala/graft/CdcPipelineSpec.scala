@@ -15,7 +15,7 @@ import java.nio.file.Files
   * compare the final table to the batch-computed expectation; prove
   * replay idempotence by re-running with a fresh checkpoint.
   */
-class CdcPipelineSpec extends AnyFunSuite {
+class CdcPipelineSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   val schema = CdcParse.CdcSchema(

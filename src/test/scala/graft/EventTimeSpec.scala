@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * expressions as EventTimeQueries run with readStream + watermark and
   * must produce the batch answer once all data is processed.
   */
-class EventTimeSpec extends AnyFunSuite {
+class EventTimeSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   test("streaming tumbling window + watermark == batch result") {

@@ -23,7 +23,7 @@ import java.nio.file.Files
   * ordering, admission caps, checkpointed restarts — is the
   * production path, exercised for real here.
   */
-class KafkaFrontDoorSpec extends AnyFunSuite {
+class KafkaFrontDoorSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   val schema = CdcParse.CdcSchema(

@@ -16,7 +16,7 @@ import java.nio.file.Files
   * with the transform YQL taken VERBATIM from the reference README and
   * run through YqlTranslate.
   */
-class ReadmeScenarioSpec extends AnyFunSuite {
+class ReadmeScenarioSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   // table_source schema (README.md:20-31), PK order = key array order

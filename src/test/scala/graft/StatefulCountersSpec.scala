@@ -9,7 +9,7 @@ import java.nio.file.Files
 /** transformWithState running counters: stream result == batch
   * groupBy over the same rows, across multiple micro-batches.
   */
-class StatefulCountersSpec extends AnyFunSuite {
+class StatefulCountersSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

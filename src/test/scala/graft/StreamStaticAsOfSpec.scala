@@ -9,7 +9,7 @@ import java.nio.file.Files
   * watermark, no state store) and exactly equal to the batch planned
   * as-of over the same rows.
   */
-class StreamStaticAsOfSpec extends AnyFunSuite {
+class StreamStaticAsOfSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   test("streaming clicks enriched as-of a static view table == batch") {

@@ -11,7 +11,7 @@ import java.nio.file.Files
   * the same user within 10 minutes; result must equal the batch
   * interval join.
   */
-class StreamStreamJoinSpec extends AnyFunSuite {
+class StreamStreamJoinSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   test("purchase -> follow-up events join equals batch answer") {

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * ev_ab_sequential's day rows (same day windows), and a
   * checkpointed restart neither drops nor duplicates cells.
   */
-class StreamingAbMonitorSpec extends AnyFunSuite {
+class StreamingAbMonitorSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   private lazy val ev = Tables.t(spark, TestSpark.sfDir, "events")

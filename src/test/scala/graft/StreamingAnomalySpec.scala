@@ -11,7 +11,7 @@ import java.nio.file.Files
   * same events, double-for-double (identical IEEE expression over
   * identical integer moments).
   */
-class StreamingAnomalySpec extends AnyFunSuite {
+class StreamingAnomalySpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

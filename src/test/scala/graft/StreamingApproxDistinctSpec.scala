@@ -9,7 +9,7 @@ import java.nio.file.Files
   * replay of the identical register rule, accuracy vs exact distinct,
   * and state survival across a kill-and-restart.
   */
-class StreamingApproxDistinctSpec extends AnyFunSuite {
+class StreamingApproxDistinctSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -15,7 +15,7 @@ import java.nio.file.Files
   * at-least-once redelivery contract, reference YqlWriter.java
   * retry-replay semantics, handled natively).
   */
-class StreamingDedupNativeSpec extends AnyFunSuite {
+class StreamingDedupNativeSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   test("a replayed copy of the stream is fully suppressed across a " +

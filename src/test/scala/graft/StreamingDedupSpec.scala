@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
-class StreamingDedupSpec extends AnyFunSuite {
+class StreamingDedupSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -13,7 +13,7 @@ import java.nio.file.Files
   * order, and a retract without a matching add fails LOUDLY instead
   * of reporting a wrong count.
   */
-class StreamingDistinctSpec extends AnyFunSuite {
+class StreamingDistinctSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

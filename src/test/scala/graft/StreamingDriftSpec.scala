@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * (reference window scores ~0 against itself; a shifted synthetic
   * window scores high).
   */
-class StreamingDriftSpec extends AnyFunSuite {
+class StreamingDriftSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   private lazy val ev = Tables.t(spark, TestSpark.sfDir, "events")

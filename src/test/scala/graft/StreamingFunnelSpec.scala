@@ -11,7 +11,7 @@ import java.nio.file.Files
   * machine must absorb it silently). The last update-mode emission
   * per user must equal the batch query's row exactly.
   */
-class StreamingFunnelSpec extends AnyFunSuite {
+class StreamingFunnelSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   test("last emission per user == batch funnel; replay absorbed") {

@@ -10,7 +10,7 @@ import java.nio.file.Files
   * driver-side replay of the same rule, plus the classic guarantees
   * against true counts.
   */
-class StreamingHeavyHittersSpec extends AnyFunSuite {
+class StreamingHeavyHittersSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

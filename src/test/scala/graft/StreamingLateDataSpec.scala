@@ -12,7 +12,7 @@ import java.nio.file.Files
   * production pipeline alerts on. This pins the operational contract
   * the dashboards rely on, not just result correctness.
   */
-class StreamingLateDataSpec extends AnyFunSuite {
+class StreamingLateDataSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   test("late rows are dropped from the windowed aggregate and " +

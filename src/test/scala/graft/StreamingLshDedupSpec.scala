@@ -12,7 +12,7 @@ import java.nio.file.Files
   * Jaccard-verified) — so the stateful operator's output is pinned,
   * not hand-waved.
   */
-class StreamingLshDedupSpec extends AnyFunSuite {
+class StreamingLshDedupSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -11,7 +11,7 @@ import java.nio.file.Files
   * min/max are all mergeable declarative aggregates, so incremental
   * state composes exactly).
   */
-class StreamingOhlcSpec extends AnyFunSuite {
+class StreamingOhlcSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   test("streaming update-mode bars converge to the batch OHLC") {

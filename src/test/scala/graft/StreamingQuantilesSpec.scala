@@ -12,7 +12,7 @@ import java.nio.file.Files
   * sketch convention, and the bin state must survive a checkpointed
   * kill-and-restart.
   */
-class StreamingQuantilesSpec extends AnyFunSuite {
+class StreamingQuantilesSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   def ev: DataFrame = Tables.t(spark, TestSpark.sfDir, "events")

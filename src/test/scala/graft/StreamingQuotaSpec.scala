@@ -7,7 +7,7 @@ import java.nio.file.Files
 /** Streaming per-key quota: cap enforced across micro-batches, with
   * deterministic within-batch admission order.
   */
-class StreamingQuotaSpec extends AnyFunSuite {
+class StreamingQuotaSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -13,7 +13,7 @@ import java.nio.file.Files
   * user who MOVES groups (the case that forces the user-keyed
   * retract stage).
   */
-class StreamingRetractTopKSpec extends AnyFunSuite {
+class StreamingRetractTopKSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -13,7 +13,7 @@ import java.nio.file.Files
   * how the changelog is chunked into micro-batches, and re-delivering
   * an already-applied chunk must emit nothing (the lastSeq guard).
   */
-class StreamingScd2Spec extends AnyFunSuite {
+class StreamingScd2Spec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   test("stream == batch closed intervals across chunked delivery; " +

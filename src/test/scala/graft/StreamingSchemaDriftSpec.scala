@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * the same envelope stream, and survive a checkpointed restart with
   * no duplicate or lost drift counts.
   */
-class StreamingSchemaDriftSpec extends AnyFunSuite {
+class StreamingSchemaDriftSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   // the identical drifted stream the batch query watches

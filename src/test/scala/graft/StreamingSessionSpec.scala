@@ -17,7 +17,7 @@ import java.nio.file.Files
   * streaming session support), complementing the batch
   * gaps-and-islands replica in `ev_window_session`.
   */
-class StreamingSessionSpec extends AnyFunSuite {
+class StreamingSessionSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   test("append-mode streaming session windows converge to the batch " +

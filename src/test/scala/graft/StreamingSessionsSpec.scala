@@ -10,7 +10,7 @@ import java.nio.file.Files
 /** Streaming sessionization must equal the batch sessionizer on
   * finalized sessions and survive a checkpointed kill-and-restart.
   */
-class StreamingSessionsSpec extends AnyFunSuite {
+class StreamingSessionsSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   def ev: DataFrame = Tables.t(spark, TestSpark.sfDir, "events")

@@ -9,7 +9,7 @@ import java.nio.file.Files
 /** Streaming set-similarity join == the batch jaccard join over the
   * same rows, across micro-batches, with append-mode emission.
   */
-class StreamingSimJoinSpec extends AnyFunSuite {
+class StreamingSimJoinSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -11,7 +11,7 @@ import java.nio.file.Files
   * the batch as-of join on finalized rows, and survive a checkpointed
   * kill-and-restart without loss or duplication.
   */
-class StreamingTemporalJoinSpec extends AnyFunSuite {
+class StreamingTemporalJoinSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   // facts = clicks, dimension versions = the user's view events (the

@@ -15,7 +15,7 @@ import java.nio.file.Files
   * maxOffsetsPerTrigger bounding each micro-batch (the reference
   * reader's admission cap, CdcReader.java:43).
   */
-class TopicSourceSpec extends AnyFunSuite {
+class TopicSourceSpec extends AnyFunSuite with StopStreamsAfterAll {
   lazy val spark = TestSpark.spark
 
   val schema = CdcParse.CdcSchema(
