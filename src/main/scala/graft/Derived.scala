@@ -38,14 +38,15 @@ object Derived {
     * A pinned root is shared state, so it is NOT auto-deleted, and
     * existing non-empty materializations are trusted on disk.
     */
-  /** OPERATIONAL CONTRACT (round-7 ADVICE): a pinned root is trusted
-    * purely on its `_SUCCESS` markers — the cache key encodes the
-    * source DIRECTORY PATH, not the data's content or mtime. If the
-    * parquet under a source dir is regenerated, a reused pinned root
-    * will silently serve the OLD derived tables: wipe the pinned dir
-    * whenever the underlying data changes. (Key dirs also carry a
-    * 32-bit hashCode suffix over the sanitized key — adequate for the
-    * ~10 keys in use, not a content fingerprint.)
+  /** OPERATIONAL CONTRACT (round-7/round-8 ADVICE): a pinned root is
+    * trusted on its `_SUCCESS` markers, and the key-dir name folds in
+    * a cheap fingerprint of the source directory (file count + total
+    * bytes + max mtime over a depth-2 listing) — regenerating the
+    * parquet under an unchanged path changes the fingerprint, so a
+    * reused pinned root rebuilds instead of silently serving stale
+    * derived tables. The fingerprint is a listing hash, not a content
+    * hash: an in-place byte-identical-size same-mtime rewrite would
+    * still be trusted (not a case the test harness produces).
     */
   private lazy val pinnedRoot: Option[Path] =
     sys.env.get("SPARK_GRAFT_DERIVED_DIR")
@@ -71,6 +72,35 @@ object Derived {
 
   private val built = new ConcurrentHashMap[String, String]()
 
+  /** Cheap source fingerprint for keys of the form "name:/some/dir":
+    * file count + total size + max mtime over a depth-2 walk of the
+    * dir. Folded into the key-dir suffix so regenerated inputs under
+    * an unchanged path invalidate the pinned materialization. Keys
+    * whose tail is not an existing directory fingerprint to 0.
+    */
+  private def sourceFingerprint(key: String): Long = {
+    val dir = key.indexOf(':') match {
+      case i if i >= 0 => key.substring(i + 1)
+      case _ => return 0L
+    }
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) return 0L
+    try {
+      val s = Files.walk(p, 2)
+      try {
+        var h = 1125899906842597L // large prime seed
+        s.forEach { f =>
+          val a = Files.readAttributes(f,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          // order-independent fold: walk order is fs-dependent
+          h += f.getFileName.toString.hashCode.toLong * 31 +
+            a.size() * 131 + a.lastModifiedTime().toMillis
+        }
+        h
+      } finally s.close()
+    } catch { case _: java.io.IOException => 0L }
+  }
+
   /** True iff `key` has already been materialized in this JVM — lets
     * harnesses label a measurement cold (paid the build) vs warm.
     */
@@ -85,7 +115,8 @@ object Derived {
     val path = built.computeIfAbsent(key, k => {
       val dir = root.resolve(
         k.replaceAll("[^A-Za-z0-9._-]", "_").take(80) +
-          "-" + Integer.toHexString(k.hashCode))
+          "-" + Integer.toHexString(k.hashCode) +
+          "-" + java.lang.Long.toHexString(sourceFingerprint(k)))
       // pinned root: another process may have materialized this key
       // already — a parquet _SUCCESS marker means the table is whole
       if (!(pinnedRoot.isDefined &&

@@ -816,10 +816,18 @@ object Ext11Queries {
         |), sz AS (
         |  SELECT supp, CAST(COUNT(*) AS BIGINT) AS sz FROM edges
         |  GROUP BY supp
+        |), kept AS (
+        |  -- mirrors the Spark plan's maxCustDeg=72 wedge hub cut so
+        |  -- the parity gate tests identical semantics (round-8
+        |  -- ADVICE); denominators sz stay full-edge-set exact
+        |  SELECT cust FROM edges GROUP BY cust HAVING COUNT(*) <= 72
+        |), wedge AS (
+        |  SELECT e.cust, e.supp FROM edges e
+        |  JOIN kept k ON k.cust = e.cust
         |), common AS (
         |  SELECT a.supp AS id_a, b.supp AS id_b,
         |    CAST(COUNT(*) AS BIGINT) AS common
-        |  FROM edges a JOIN edges b
+        |  FROM wedge a JOIN wedge b
         |    ON b.cust = a.cust AND a.supp < b.supp
         |  GROUP BY a.supp, b.supp)
         |SELECT c.id_a, c.id_b, c.common,

@@ -95,13 +95,25 @@ object Ext79Queries {
 
   /** Materialize the dirty CSV once per JVM per dir: every 17th
     * event's line is malformed (non-numeric key and value fields), the
-    * rest are clean "user_id,event_type,vm" rows.
+    * rest are clean "user_id,event_type,vm" rows. The path is derived
+    * from the FULL sanitized dir string (round-8 ADVICE: two dirs with
+    * colliding 32-bit hashCodes must not overwrite each other's
+    * fixture while the cache map still points both at one path) and a
+    * shutdown hook deletes whatever this JVM wrote.
     */
   private def dirtyCsv(spark: SparkSession, dir: String): String =
     written.computeIfAbsent(s"dirty:$dir", _ => {
       val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft-dirty-${ProcessHandle.current().pid()}-" +
-          Integer.toHexString(dir.hashCode)).toString
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        try rm(new java.io.File(p))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       t(spark, dir, "events")
         .select(when(col("event_id") % 17 === 0,
           concat(lit("x"), col("user_id").cast("string"), lit(","),

@@ -103,6 +103,12 @@ object KeyedMerge {
     * follows SQL CASE semantics: the state row is kept. One
     * key-shuffled full-outer join — the same single pass as the
     * other apply sinks, so MERGE costs nothing extra at scale.
+    *
+    * PRECONDITION (same contract as applyUpsert/applyAggDelta): the
+    * batch must already be LWW-collapsed to ONE ROW PER KEY —
+    * duplicate keys multiply state rows through the full-outer join.
+    * CdcPipeline always applies `lww` before any apply sink; direct
+    * callers must do the same.
     */
   def applyMerge(state: DataFrame, batch: DataFrame, keys: Seq[String],
       updateWhen: Column): DataFrame = {
