@@ -196,7 +196,12 @@ class PlanSweepSpec extends AnyFunSuite {
     // tables with the non-equi self-exclusion (sim_cosine_topk shape)
     "sim_filtered_ann", "eval_knn_classify",
     // ev_eb_shrinkage: 1-row global-prior broadcast
-    "ev_eb_shrinkage")
+    "ev_eb_shrinkage",
+    // tok_wordpiece_score: 1-row letter-total broadcast (the
+    // text_pmi_collocations shape)
+    "tok_wordpiece_score",
+    // ev_inactivity_alarms: 1-row final-watermark broadcast
+    "ev_inactivity_alarms")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
