@@ -201,7 +201,10 @@ class PlanSweepSpec extends AnyFunSuite {
     // text_pmi_collocations shape)
     "tok_wordpiece_score",
     // ev_inactivity_alarms: 1-row final-watermark broadcast
-    "ev_inactivity_alarms")
+    "ev_inactivity_alarms",
+    // ts_spectral_peak: 4-row period spine broadcast (the
+    // ts_hadamard_energy shape)
+    "ts_spectral_peak")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
