@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Ext84Queries
+import org.scalatest.funsuite.AnyFunSuite
+
+class Ext84QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("exposure fairness: driver replay of the top-10 exposure " +
+      "shares; skews sum to ~0 and shares to ~1e6") {
+    val emb = Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val byId = emb.map(t => t._1 -> t._2).toMap
+    val labelOf = emb.map(t => t._1 -> t._3).toMap
+    // exact top-10 per probe, (sim desc, n_id) tie-break
+    val hits = (0L until 8L).flatMap { qid =>
+      val qv = byId(qid); val qn = math.sqrt(dot(qv, qv))
+      emb.filter(_._1 != qid).map { case (nid, nv, _) =>
+        (nid, r6(dot(qv, nv) / (qn * math.sqrt(dot(nv, nv)))))
+      }.sortBy { case (nid, s) => (-s, nid) }.take(10).zipWithIndex
+        .map { case ((nid, _), i) => (nid, i + 1) }
+    }
+    def disc(rank: Int): Long =
+      math.round(1e6 * math.log(2.0) / math.log(rank + 1.0))
+    val expByLabel = hits
+      .map { case (nid, rank) => labelOf(nid) -> disc(rank) }
+      .groupBy(_._1).map { case (l, xs) =>
+        l -> (xs.length.toLong, xs.map(_._2).sum) }
+    val expTot = expByLabel.values.map(_._2).sum
+    val corpus = emb.groupBy(_._3).map { case (l, xs) =>
+      l -> xs.length.toLong }
+    val nTot = corpus.values.sum
+    val got = Ext84Queries.exposureFairness(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSeq === corpus.keys.toSeq.sorted)
+    got.foreach { case (l, nC, cShare, nH, eShare, skew) =>
+      assert(nC === corpus(l))
+      assert(cShare === nC * 1000000L / nTot)
+      val (wH, wE) = expByLabel.getOrElse(l, (0L, 0L))
+      assert(nH === wH, s"n_hits($l)")
+      assert(eShare === wE * 1000000L / expTot, s"exp_share($l)")
+      assert(skew === eShare - cShare)
+    }
+    // shares are a partition of ~1e6 (floor-division slack < |labels|)
+    val cSum = got.map(_._3).sum
+    val eSum = got.map(_._5).sum
+    assert(cSum > 1000000L - got.length && cSum <= 1000000L)
+    assert(eSum > 1000000L - got.length && eSum <= 1000000L)
+    assert(got.map(_._6).sum === eSum - cSum)
+    // the audit is non-trivial on this corpus: some group deviates
+    assert(got.exists(_._6 != 0L))
+  }
+}

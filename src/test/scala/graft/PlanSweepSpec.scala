@@ -204,7 +204,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "ev_inactivity_alarms",
     // ts_spectral_peak: 4-row period spine broadcast (the
     // ts_hadamard_energy shape)
-    "ts_spectral_peak")
+    "ts_spectral_peak",
+    // eval_exposure_fairness: sim_cosine_topk's broadcast-probe
+    // non-equi pass + two 1-row total broadcasts
+    "eval_exposure_fairness")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
