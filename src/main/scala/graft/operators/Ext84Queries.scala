@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   *    ranking amplifies or suppresses a group beyond its base rate.
   *    The standard "exposure vs relevance" disparity readout of the
   *    fair-ranking literature, on the engine's own exact top-k.
+  *  - `ts_ljung_box`: the Ljung–Box portmanteau statistic over the
+  *    gap-FILLED hourly count series (missing hours are genuine
+  *    zeros, where `ts_acf` drops gapped pairs) — cumulative Q per
+  *    lag 1..10, the standard "is there ANY autocorrelation left"
+  *    diagnostic a forecasting residual check runs.
   */
 object Ext84Queries {
 
@@ -60,8 +65,69 @@ object Ext84Queries {
       .orderBy("label")
   }
 
+  // ---------------------------------------------------------------
+  // ts_ljung_box
+  // ---------------------------------------------------------------
+
+  /** Ljung–Box Q over the hourly event-count series, lags 1..10.
+    * The series is the CONTIGUOUS hour spine min..max with missing
+    * hours filled as 0 (a count series' gaps are data, not missing
+    * data — the deliberate contrast with `ts_acf`'s pair-dropping).
+    * The textbook estimator ρ̂ₖ = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σ(xₜ−x̄)² is
+    * computed n²-rescaled so numerator and denominator are exact
+    * BIGINTs (the ts_burst_days discipline); ρ̂ₖ takes the single
+    * rounded division onto the micro lattice, and Q accumulates in
+    * pure integer arithmetic: Q_micro = n(n+2)·Σₖ (ρ̂ₖ²div(n−k))
+    * div 1e6.
+    *
+    * 100 TB shape: the corpus collapses to the |hours|-bounded spine
+    * first; the 10 per-lag self-joins and the cumulative window all
+    * run on that bounded table; global moments broadcast as 1 row.
+    */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "events")
+      .select(expr("ts div 3600000000000").as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("cnt"))
+    val spine = counts.agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("hr"))
+    val series = spine.join(counts, Seq("hr"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val g = series.agg(count(lit(1)).as("n"), sum("cnt").as("s"),
+      sum(expr("cnt * cnt")).as("sxx"))
+    val lagged = (1 to 10).map { lg =>
+      series.select(col("hr"), col("cnt").as("x"))
+        .join(series.select((col("hr") - lg).as("hr"),
+          col("cnt").as("y")), "hr")
+        .groupBy()
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("x").as("sxh"), sum("y").as("sxt"),
+          sum(expr("x * y")).as("sxy"))
+        .select(lit(lg.toLong).as("lag"), col("n_pairs"), col("sxh"),
+          col("sxt"), col("sxy"))
+    }.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("lag")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    // 10-row lattice — bounded-domain global window
+    lagged.crossJoin(broadcast(g))
+      .withColumn("rho_micro", expr(
+        "cast(round(cast(n * n * sxy - n * s * (sxh + sxt)" +
+          " + n_pairs * s * s as double)" +
+          " / cast(n * n * sxx - n * s * s as double) * 1e6)" +
+          " as bigint)"))
+      .withColumn("term",
+        expr("(rho_micro * rho_micro) div (n - lag)"))
+      .withColumn("cum", sum("term").over(w))
+      .withColumn("q_micro", expr(
+        "(n * (n + 2) * cum) div 1000000"))
+      .select("lag", "n_pairs", "rho_micro", "q_micro")
+      .orderBy("lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_exposure_fairness" -> exposureFairness _,
+    "ts_ljung_box" -> ljungBox _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -115,5 +181,49 @@ object Ext84Queries {
         |CROSS JOIN n_tot t
         |CROSS JOIN exp_tot e
         |ORDER BY c.label""".stripMargin,
+    "ts_ljung_box" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1
+        |), bounds AS (
+        |  SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM c
+        |), spine AS (
+        |  SELECT unnest(generate_series(lo, hi)) AS hr FROM bounds
+        |), s AS (
+        |  SELECT sp.hr, COALESCE(c.cnt, 0) AS cnt
+        |  FROM spine sp LEFT JOIN c ON c.hr = sp.hr
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cnt) AS BIGINT) AS sm,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
+        |  FROM s
+        |), lags AS (
+        |  SELECT unnest(range(1, 11)) AS lag
+        |), p AS (
+        |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(a.cnt) AS BIGINT) AS sxh,
+        |    CAST(SUM(bb.cnt) AS BIGINT) AS sxt,
+        |    CAST(SUM(a.cnt * bb.cnt) AS BIGINT) AS sxy
+        |  FROM lags l
+        |  JOIN s a ON TRUE
+        |  JOIN s bb ON bb.hr = a.hr + l.lag
+        |  GROUP BY l.lag
+        |), r AS (
+        |  SELECT lag, n_pairs,
+        |    CAST(ROUND(CAST(g.n * g.n * sxy - g.n * g.sm * (sxh + sxt)
+        |      + n_pairs * g.sm * g.sm AS DOUBLE)
+        |      / CAST(g.n * g.n * g.sxx - g.n * g.sm * g.sm AS DOUBLE)
+        |      * 1e6) AS BIGINT) AS rho_micro,
+        |    g.n AS n
+        |  FROM p CROSS JOIN g
+        |), q AS (
+        |  SELECT lag, n_pairs, rho_micro, n,
+        |    CAST(SUM((rho_micro * rho_micro) // (n - lag)) OVER (
+        |      ORDER BY lag ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM r)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs, rho_micro,
+        |  CAST((n * (n + 2) * cum) // 1000000 AS BIGINT) AS q_micro
+        |FROM q ORDER BY lag""".stripMargin,
   )
 }

@@ -61,4 +61,42 @@ class Ext84QueriesSpec extends AnyFunSuite {
     // the audit is non-trivial on this corpus: some group deviates
     assert(got.exists(_._6 != 0L))
   }
+
+  test("ljung-box: driver replay of the gap-filled series, the " +
+      "n2-rescaled rho estimator and the cumulative Q") {
+    val counts = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(org.apache.spark.sql.functions.expr(
+        "ts div 3600000000000").as("hr"))
+      .groupBy("hr")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lo = counts.keys.min; val hi = counts.keys.max
+    val xs = (lo to hi).map(h => counts.getOrElse(h, 0L)).toArray
+    val n = xs.length.toLong
+    val s = xs.sum
+    val sxx = xs.map(x => x * x).sum
+    var cum = 0L
+    val want = (1 to 10).map { k =>
+      val pairs = (0 until (n - k).toInt)
+        .map(t => (xs(t), xs(t + k)))
+      val sxh = pairs.map(_._1).sum; val sxt = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val num = n * n * sxy - n * s * (sxh + sxt) + (n - k) * s * s
+      val den = n * n * sxx - n * s * s
+      val rho = math.round(num.toDouble / den.toDouble * 1e6)
+      cum += rho * rho / (n - k)
+      (k.toLong, n - k, rho, n * (n + 2) * cum / 1000000L)
+    }
+    val got = graft.operators.Ext84Queries
+      .ljungBox(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === want)
+    // Q must be nondecreasing (each term is a square)
+    assert(got.map(_._4).toSeq === got.map(_._4).sorted.toSeq)
+    // the fixture must contain genuine zero-filled hours, else the
+    // gap-fill contract is untested
+    assert(counts.size.toLong < n)
+  }
 }

@@ -207,7 +207,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "ts_spectral_peak",
     // eval_exposure_fairness: sim_cosine_topk's broadcast-probe
     // non-equi pass + two 1-row total broadcasts
-    "eval_exposure_fairness")
+    "eval_exposure_fairness",
+    // ts_ljung_box: 1-row global-moment broadcast
+    "ts_ljung_box")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
