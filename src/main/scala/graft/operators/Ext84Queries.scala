@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *    zeros, where `ts_acf` drops gapped pairs) — cumulative Q per
   *    lag 1..10, the standard "is there ANY autocorrelation left"
   *    diagnostic a forecasting residual check runs.
+  *  - `eval_fleiss_kappa`: multi-rater agreement across three
+  *    deterministic quality judges — the statistic an LLM-judge
+  *    ensemble is audited with (Cohen's kappa handles only two),
+  *    exact-integer end to end.
   */
 object Ext84Queries {
 
@@ -125,9 +129,65 @@ object Ext84Queries {
       .orderBy("lag")
   }
 
+  // ---------------------------------------------------------------
+  // eval_fleiss_kappa
+  // ---------------------------------------------------------------
+
+  /** Fleiss' kappa across three deterministic quality judges — the
+    * multi-rater agreement statistic an LLM-judge ensemble is audited
+    * with (Cohen's kappa, already in the catalog, only handles two).
+    * Judges (each a self-contained binary rule over a document):
+    * J1 length (n_chars ≥ 200), J2 lexical diversity (distinct
+    * words ≥ half of words), J3 stopword signal (≥ 2 hits of the 7-
+    * word EN stopword list). For m = 3 binary raters the per-item
+    * agreement Σnᵢⱼ(nᵢⱼ−1) is 6 (unanimous) or 2 (2-1 split), so
+    * P̄·6N = Σ of those integers exactly; P̄ₑ·9N² = S₁² + (3N−S₁)²
+    * exactly; κ_micro = (3N·A div 2 − B)·1e6 div (9N² − B) — pure
+    * integer arithmetic end to end.
+    *
+    * 100 TB shape: one corpus pass computes all three votes per doc
+    * (the tokenizer is shared), collapsing to a 1-row moment
+    * aggregate; kappa is arithmetic on that row.
+    */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("toks",
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .withColumn("j1",
+        when(col("n_chars") >= 200, 1L).otherwise(0L))
+      .withColumn("j2",
+        when(size(array_distinct(col("toks"))) * 2 >= size(col("toks")),
+          1L).otherwise(0L))
+      .withColumn("j3", when(
+        size(filter(col("toks"), x => x.isin(
+          TextAnalysis.enStopwords.map(lit): _*))) >= 2, 1L)
+        .otherwise(0L))
+      .withColumn("n1", col("j1") + col("j2") + col("j3"))
+      .withColumn("agree",
+        expr("n1 * (n1 - 1) + (3 - n1) * (2 - n1)"))
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum("j1").as("n_j1"), sum("j2").as("n_j2"),
+        sum("j3").as("n_j3"),
+        sum("n1").as("s1"), sum("agree").as("a"))
+      .withColumn("p_bar_micro", expr("(a * 1000000) div (6 * n_docs)"))
+      .withColumn("b", expr(
+        "s1 * s1 + (3 * n_docs - s1) * (3 * n_docs - s1)"))
+      .withColumn("p_e_micro",
+        expr("(b * 1000000) div (9 * n_docs * n_docs)"))
+      // kappa can be negative (below-chance agreement) — pmod-floor
+      // the division so Spark `div` (truncate) and DuckDB `//`
+      // (floor) take the same lattice point
+      .withColumn("kn", expr("((3 * n_docs * a) div 2 - b) * 1000000"))
+      .withColumn("kd", expr("greatest(9 * n_docs * n_docs - b, 1)"))
+      .withColumn("kappa_micro", expr("(kn - pmod(kn, kd)) div kd"))
+      .select("n_docs", "n_j1", "n_j2", "n_j3", "p_bar_micro",
+        "p_e_micro", "kappa_micro")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_exposure_fairness" -> exposureFairness _,
     "ts_ljung_box" -> ljungBox _,
+    "eval_fleiss_kappa" -> fleissKappa _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -225,5 +285,46 @@ object Ext84Queries {
         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs, rho_micro,
         |  CAST((n * (n + 2) * cum) // 1000000 AS BIGINT) AS q_micro
         |FROM q ORDER BY lag""".stripMargin,
+    "eval_fleiss_kappa" ->
+      """WITH v AS (
+        |  SELECT n_chars,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents
+        |), j AS (
+        |  SELECT
+        |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS j1,
+        |    CASE WHEN len(list_distinct(toks)) * 2 >= len(toks)
+        |      THEN 1 ELSE 0 END AS j2,
+        |    CASE WHEN len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','in','to','is'], x))) >= 2
+        |      THEN 1 ELSE 0 END AS j3
+        |  FROM v
+        |), r AS (
+        |  SELECT j1, j2, j3, j1 + j2 + j3 AS n1,
+        |    (j1 + j2 + j3) * (j1 + j2 + j3 - 1)
+        |      + (3 - j1 - j2 - j3) * (2 - j1 - j2 - j3) AS agree
+        |  FROM j
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(j1) AS BIGINT) AS n_j1,
+        |    CAST(SUM(j2) AS BIGINT) AS n_j2,
+        |    CAST(SUM(j3) AS BIGINT) AS n_j3,
+        |    CAST(SUM(n1) AS BIGINT) AS s1,
+        |    CAST(SUM(agree) AS BIGINT) AS a
+        |  FROM r
+        |), e AS (
+        |  SELECT *,
+        |    s1 * s1 + (3 * n_docs - s1) * (3 * n_docs - s1) AS b
+        |  FROM m
+        |), k AS (
+        |  SELECT *,
+        |    ((3 * n_docs * a) // 2 - b) * 1000000 AS kn,
+        |    GREATEST(9 * n_docs * n_docs - b, 1) AS kd
+        |  FROM e)
+        |SELECT n_docs, n_j1, n_j2, n_j3,
+        |  (a * 1000000) // (6 * n_docs) AS p_bar_micro,
+        |  (b * 1000000) // (9 * n_docs * n_docs) AS p_e_micro,
+        |  (kn - ((kn % kd) + kd) % kd) // kd AS kappa_micro
+        |FROM k""".stripMargin,
   )
 }

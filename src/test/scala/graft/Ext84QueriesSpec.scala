@@ -99,4 +99,41 @@ class Ext84QueriesSpec extends AnyFunSuite {
     // gap-fill contract is untested
     assert(counts.size.toLong < n)
   }
+
+  test("fleiss kappa: driver replay of the three judges and the " +
+      "exact-integer kappa; the judges genuinely disagree somewhere") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select("text", "n_chars").collect()
+      .map(r => (r.getString(0).toLowerCase, r.getLong(1)))
+    val stop = Set("the", "a", "of", "and", "in", "to", "is")
+    val votes = docs.map { case (txt, nChars) =>
+      val toks = "[a-z]+".r.findAllIn(txt).toSeq
+      val j1 = if (nChars >= 200) 1L else 0L
+      val j2 = if (toks.distinct.length * 2 >= toks.length) 1L else 0L
+      val j3 = if (toks.count(stop) >= 2) 1L else 0L
+      (j1, j2, j3)
+    }
+    val n = votes.length.toLong
+    val s1 = votes.map(v => v._1 + v._2 + v._3).sum
+    val a = votes.map { v =>
+      val n1 = v._1 + v._2 + v._3
+      n1 * (n1 - 1) + (3 - n1) * (2 - n1)
+    }.sum
+    val b = s1 * s1 + (3 * n - s1) * (3 * n - s1)
+    val kn = ((3 * n * a) / 2 - b) * 1000000L
+    val kd = math.max(9 * n * n - b, 1L)
+    val kappa = Math.floorDiv(kn, kd)
+    val r = graft.operators.Ext84Queries
+      .fleissKappa(spark, TestSpark.sfDir).collect()(0)
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === votes.map(_._1).sum)
+    assert(r.getLong(2) === votes.map(_._2).sum)
+    assert(r.getLong(3) === votes.map(_._3).sum)
+    assert(r.getLong(4) === a * 1000000L / (6 * n))
+    assert(r.getLong(5) === b * 1000000L / (9 * n * n))
+    assert(r.getLong(6) === kappa)
+    // the statistic is only meaningful if the panel splits somewhere
+    assert(votes.exists(v => Set(v._1, v._2, v._3).size > 1))
+    assert(r.getLong(4) >= r.getLong(5) - 1000000L)
+  }
 }
