@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   *    deterministic quality judges — the statistic an LLM-judge
   *    ensemble is audited with (Cohen's kappa handles only two),
   *    exact-integer end to end.
+  *  - `ts_pacf`: partial autocorrelation via Durbin–Levinson on the
+  *    same gap-filled rho estimator as `ts_ljung_box` — completes
+  *    the Box–Jenkins identification kit (acf / portmanteau / pacf).
   */
 object Ext84Queries {
 
@@ -88,7 +91,13 @@ object Ext84Queries {
     * first; the 10 per-lag self-joins and the cumulative window all
     * run on that bounded table; global moments broadcast as 1 row.
     */
-  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared by ts_ljung_box and ts_pacf: per-lag autocorrelation of
+    * the gap-filled hourly count series on the micro lattice, with
+    * the n²-rescaled exact-BIGINT moment construction. Returns one
+    * row per lag 1..maxLag: (lag, n_pairs, rho_micro, n).
+    */
+  private def rhoTable(spark: SparkSession, dir: String,
+      maxLag: Int): DataFrame = {
     val counts = t(spark, dir, "events")
       .select(expr("ts div 3600000000000").as("hr"))
       .groupBy("hr").agg(count(lit(1)).as("cnt"))
@@ -98,7 +107,7 @@ object Ext84Queries {
       .na.fill(0L, Seq("cnt"))
     val g = series.agg(count(lit(1)).as("n"), sum("cnt").as("s"),
       sum(expr("cnt * cnt")).as("sxx"))
-    val lagged = (1 to 10).map { lg =>
+    val lagged = (1 to maxLag).map { lg =>
       series.select(col("hr"), col("cnt").as("x"))
         .join(series.select((col("hr") - lg).as("hr"),
           col("cnt").as("y")), "hr")
@@ -109,23 +118,70 @@ object Ext84Queries {
         .select(lit(lg.toLong).as("lag"), col("n_pairs"), col("sxh"),
           col("sxt"), col("sxy"))
     }.reduce(_ unionAll _)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("lag")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, org.apache.spark.sql.expressions.Window
-        .currentRow)
-    // 10-row lattice — bounded-domain global window
     lagged.crossJoin(broadcast(g))
       .withColumn("rho_micro", expr(
         "cast(round(cast(n * n * sxy - n * s * (sxh + sxt)" +
           " + n_pairs * s * s as double)" +
           " / cast(n * n * sxx - n * s * s as double) * 1e6)" +
           " as bigint)"))
+      .select("lag", "n_pairs", "rho_micro", "n")
+  }
+
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("lag")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    // 10-row lattice — bounded-domain global window
+    rhoTable(spark, dir, 10)
       .withColumn("term",
         expr("(rho_micro * rho_micro) div (n - lag)"))
       .withColumn("cum", sum("term").over(w))
       .withColumn("q_micro", expr(
         "(n * (n + 2) * cum) div 1000000"))
       .select("lag", "n_pairs", "rho_micro", "q_micro")
+      .orderBy("lag")
+  }
+
+  // ---------------------------------------------------------------
+  // ts_pacf
+  // ---------------------------------------------------------------
+
+  /** Partial autocorrelation at lags 1..3 via Durbin–Levinson,
+    * completing the Box–Jenkins identification kit (`ts_acf` /
+    * `ts_ljung_box` / this): φ₁₁ = ρ₁; φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²);
+    * φ₃₃ = (ρ₃·1e6 − φ₂₁ρ₂ − φ₂₂ρ₁)/(1e12 − φ₂₁ρ₁ − φ₂₂ρ₂) with
+    * φ₂₁ = ρ₁(1−φ₂₂). Built on the SAME gap-filled rho estimator as
+    * ts_ljung_box ([[rhoTable]]); each φ is quantized ONCE to the
+    * micro lattice and the next level consumes the QUANTIZED value,
+    * so every division sees exact-integer inputs and engine parity
+    * is term-by-term. PACF cutting off after lag p is the standard
+    * AR(p) signature the trend/AR fits in the catalog assume.
+    *
+    * 100 TB shape: identical to ts_ljung_box — the corpus collapses
+    * to the hourly spine; everything after is arithmetic on ≤ 3 rows.
+    */
+  def pacf(spark: SparkSession, dir: String): DataFrame = {
+    val rhos = rhoTable(spark, dir, 3)
+      .groupBy()
+      .agg(max(when(col("lag") === 1, col("rho_micro"))).as("r1"),
+        max(when(col("lag") === 2, col("rho_micro"))).as("r2"),
+        max(when(col("lag") === 3, col("rho_micro"))).as("r3"))
+      .withColumn("f22", expr(
+        "cast(round(cast(r2 * 1000000 - r1 * r1 as double)" +
+          " / cast(1000000000000 - r1 * r1 as double) * 1e6)" +
+          " as bigint)"))
+      .withColumn("f21", expr(
+        "cast(round(cast(r1 * (1000000 - f22) as double) / 1e6)" +
+          " as bigint)"))
+      .withColumn("f33", expr(
+        "cast(round(cast(r3 * 1000000 - f21 * r2 - f22 * r1" +
+          " as double)" +
+          " / cast(1000000000000 - f21 * r1 - f22 * r2 as double)" +
+          " * 1e6) as bigint)"))
+    rhos.selectExpr(
+      "stack(3, 1L, r1, r1, 2L, r2, f22, 3L, r3, f33)" +
+        " as (lag, rho_micro, pacf_micro)")
       .orderBy("lag")
   }
 
@@ -188,6 +244,7 @@ object Ext84Queries {
     "eval_exposure_fairness" -> exposureFairness _,
     "ts_ljung_box" -> ljungBox _,
     "eval_fleiss_kappa" -> fleissKappa _,
+    "ts_pacf" -> pacf _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -326,5 +383,67 @@ object Ext84Queries {
         |  (b * 1000000) // (9 * n_docs * n_docs) AS p_e_micro,
         |  (kn - ((kn % kd) + kd) % kd) // kd AS kappa_micro
         |FROM k""".stripMargin,
+    "ts_pacf" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1
+        |), bounds AS (
+        |  SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM c
+        |), spine AS (
+        |  SELECT unnest(generate_series(lo, hi)) AS hr FROM bounds
+        |), s AS (
+        |  SELECT sp.hr, COALESCE(c.cnt, 0) AS cnt
+        |  FROM spine sp LEFT JOIN c ON c.hr = sp.hr
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cnt) AS BIGINT) AS sm,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
+        |  FROM s
+        |), lags AS (
+        |  SELECT unnest(range(1, 4)) AS lag
+        |), p AS (
+        |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(a.cnt) AS BIGINT) AS sxh,
+        |    CAST(SUM(bb.cnt) AS BIGINT) AS sxt,
+        |    CAST(SUM(a.cnt * bb.cnt) AS BIGINT) AS sxy
+        |  FROM lags l
+        |  JOIN s a ON TRUE
+        |  JOIN s bb ON bb.hr = a.hr + l.lag
+        |  GROUP BY l.lag
+        |), r AS (
+        |  SELECT lag,
+        |    CAST(ROUND(CAST(g.n * g.n * sxy - g.n * g.sm * (sxh + sxt)
+        |      + n_pairs * g.sm * g.sm AS DOUBLE)
+        |      / CAST(g.n * g.n * g.sxx - g.n * g.sm * g.sm AS DOUBLE)
+        |      * 1e6) AS BIGINT) AS rho_micro
+        |  FROM p CROSS JOIN g
+        |), piv AS (
+        |  SELECT MAX(CASE WHEN lag = 1 THEN rho_micro END) AS r1,
+        |    MAX(CASE WHEN lag = 2 THEN rho_micro END) AS r2,
+        |    MAX(CASE WHEN lag = 3 THEN rho_micro END) AS r3
+        |  FROM r
+        |), f AS (
+        |  SELECT *, CAST(ROUND(
+        |    CAST(r2 * 1000000 - r1 * r1 AS DOUBLE)
+        |    / CAST(1000000000000 - r1 * r1 AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS f22
+        |  FROM piv
+        |), f2 AS (
+        |  SELECT *, CAST(ROUND(
+        |    CAST(r1 * (1000000 - f22) AS DOUBLE) / 1e6) AS BIGINT)
+        |    AS f21
+        |  FROM f
+        |), f3 AS (
+        |  SELECT *, CAST(ROUND(
+        |    CAST(r3 * 1000000 - f21 * r2 - f22 * r1 AS DOUBLE)
+        |    / CAST(1000000000000 - f21 * r1 - f22 * r2 AS DOUBLE)
+        |    * 1e6) AS BIGINT) AS f33
+        |  FROM f2)
+        |SELECT CAST(1 AS BIGINT) AS lag, r1 AS rho_micro,
+        |  r1 AS pacf_micro FROM f3
+        |UNION ALL SELECT 2, r2, f22 FROM f3
+        |UNION ALL SELECT 3, r3, f33 FROM f3
+        |ORDER BY lag""".stripMargin,
   )
 }

@@ -136,4 +136,29 @@ class Ext84QueriesSpec extends AnyFunSuite {
     assert(votes.exists(v => Set(v._1, v._2, v._3).size > 1))
     assert(r.getLong(4) >= r.getLong(5) - 1000000L)
   }
+
+  test("pacf: Durbin-Levinson replay from the ljung-box rho values; " +
+      "lag-1 pacf equals rho1 by construction") {
+    val rhos = graft.operators.Ext84Queries
+      .ljungBox(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val (r1, r2, r3) = (rhos(1L), rhos(2L), rhos(3L))
+    val f22 = math.round(
+      (r2 * 1000000L - r1 * r1).toDouble /
+        (1000000000000L - r1 * r1).toDouble * 1e6)
+    val f21 = math.round((r1 * (1000000L - f22)).toDouble / 1e6)
+    val f33 = math.round(
+      (r3 * 1000000L - f21 * r2 - f22 * r1).toDouble /
+        (1000000000000L - f21 * r1 - f22 * r2).toDouble * 1e6)
+    val got = graft.operators.Ext84Queries
+      .pacf(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, r1, r1), (2L, r2, f22),
+      (3L, r3, f33)))
+    // all pacf values are genuine correlations
+    got.foreach { case (_, rho, p) =>
+      assert(math.abs(rho) <= 1000000L)
+      assert(math.abs(p) <= 1000000L)
+    }
+  }
 }

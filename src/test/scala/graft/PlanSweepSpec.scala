@@ -208,8 +208,9 @@ class PlanSweepSpec extends AnyFunSuite {
     // eval_exposure_fairness: sim_cosine_topk's broadcast-probe
     // non-equi pass + two 1-row total broadcasts
     "eval_exposure_fairness",
-    // ts_ljung_box: 1-row global-moment broadcast
-    "ts_ljung_box")
+    // ts_ljung_box / ts_pacf: 1-row global-moment broadcast (shared
+    // rhoTable helper)
+    "ts_ljung_box", "ts_pacf")
 
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
