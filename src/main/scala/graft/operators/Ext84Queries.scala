@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   *  - `ts_pacf`: partial autocorrelation via Durbin–Levinson on the
   *    same gap-filled rho estimator as `ts_ljung_box` — completes
   *    the Box–Jenkins identification kit (acf / portmanteau / pacf).
+  *  - `ts_perm_entropy`: order-3 permutation entropy of the hourly
+  *    series — the model-free complexity measure (ordinal-pattern
+  *    histogram entropy) the forecasting family lacks.
   */
 object Ext84Queries {
 
@@ -91,6 +94,20 @@ object Ext84Queries {
     * first; the 10 per-lag self-joins and the cumulative window all
     * run on that bounded table; global moments broadcast as 1 row.
     */
+  /** The gap-filled hourly count series (contiguous hour spine
+    * min..max, missing hours = 0) — the shared input of the ts_*
+    * diagnostics below.
+    */
+  private def hourlySeries(spark: SparkSession,
+      dir: String): DataFrame = {
+    val counts = t(spark, dir, "events")
+      .select(expr("ts div 3600000000000").as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("cnt"))
+    val spine = counts.agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("hr"))
+    spine.join(counts, Seq("hr"), "left").na.fill(0L, Seq("cnt"))
+  }
+
   /** Shared by ts_ljung_box and ts_pacf: per-lag autocorrelation of
     * the gap-filled hourly count series on the micro lattice, with
     * the n²-rescaled exact-BIGINT moment construction. Returns one
@@ -98,13 +115,7 @@ object Ext84Queries {
     */
   private def rhoTable(spark: SparkSession, dir: String,
       maxLag: Int): DataFrame = {
-    val counts = t(spark, dir, "events")
-      .select(expr("ts div 3600000000000").as("hr"))
-      .groupBy("hr").agg(count(lit(1)).as("cnt"))
-    val spine = counts.agg(min("hr").as("lo"), max("hr").as("hi"))
-      .select(explode(expr("sequence(lo, hi)")).as("hr"))
-    val series = spine.join(counts, Seq("hr"), "left")
-      .na.fill(0L, Seq("cnt"))
+    val series = hourlySeries(spark, dir)
     val g = series.agg(count(lit(1)).as("n"), sum("cnt").as("s"),
       sum(expr("cnt * cnt")).as("sxx"))
     val lagged = (1 to maxLag).map { lg =>
@@ -186,6 +197,58 @@ object Ext84Queries {
   }
 
   // ---------------------------------------------------------------
+  // ts_perm_entropy
+  // ---------------------------------------------------------------
+
+  /** Permutation entropy (order-3 ordinal patterns) of the hourly
+    * count series — the standard model-free complexity measure: map
+    * every consecutive triple to the permutation of its value ranks
+    * (ties broken by position, the textbook rule), histogram the 6
+    * patterns, and report the Shannon entropy of that distribution
+    * in micro-nats (quantize-each-ln-once). Low entropy = rigid
+    * periodic structure; max (ln 6 ≈ 1.79) = white noise — the
+    * series-complexity probe the forecasting family lacks.
+    *
+    * 100 TB shape: the corpus collapses to the hourly spine; the
+    * triple construction is two hr-keyed self-joins of that bounded
+    * table; the histogram is ≤ 6 rows.
+    */
+  def permEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val s = hourlySeries(spark, dir)
+    val tri = s.select(col("hr"), col("cnt").as("x0"))
+      .join(s.select((col("hr") - 1).as("hr"), col("cnt").as("x1")),
+        "hr")
+      .join(s.select((col("hr") - 2).as("hr"), col("cnt").as("x2")),
+        "hr")
+    // rank of x_i within the triple; earlier position wins ties
+    val pat = tri
+      .withColumn("r0", expr(
+        "(case when x1 < x0 then 1 else 0 end)" +
+          " + (case when x2 < x0 then 1 else 0 end)"))
+      .withColumn("r1", expr(
+        "(case when x0 <= x1 then 1 else 0 end)" +
+          " + (case when x2 < x1 then 1 else 0 end)"))
+      .withColumn("r2", expr(
+        "(case when x0 <= x2 then 1 else 0 end)" +
+          " + (case when x1 <= x2 then 1 else 0 end)"))
+      .withColumn("pattern",
+        expr("cast(r0 * 9 + r1 * 3 + r2 as bigint)"))
+    val g = pat.groupBy("pattern").agg(count(lit(1)).as("n"))
+      .withColumn("lnn_micro",
+        round(log(col("n").cast("double")) * 1e6).cast("long"))
+    // ≤ 6 rows — bounded-domain global windows
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    g.withColumn("n_tri", sum("n").over(wAll))
+      .withColumn("sum_nlnn", sum(expr("n * lnn_micro")).over(wAll))
+      .withColumn("share_micro", expr("(n * 1000000) div n_tri"))
+      .withColumn("h_micro",
+        round(log(col("n_tri").cast("double")) * 1e6).cast("long")
+          - expr("sum_nlnn div n_tri"))
+      .select("pattern", "n", "share_micro", "h_micro")
+      .orderBy("pattern")
+  }
+
+  // ---------------------------------------------------------------
   // eval_fleiss_kappa
   // ---------------------------------------------------------------
 
@@ -245,6 +308,7 @@ object Ext84Queries {
     "ts_ljung_box" -> ljungBox _,
     "eval_fleiss_kappa" -> fleissKappa _,
     "ts_pacf" -> pacf _,
+    "ts_perm_entropy" -> permEntropy _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -445,5 +509,46 @@ object Ext84Queries {
         |UNION ALL SELECT 2, r2, f22 FROM f3
         |UNION ALL SELECT 3, r3, f33 FROM f3
         |ORDER BY lag""".stripMargin,
+    "ts_perm_entropy" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1
+        |), bounds AS (
+        |  SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM c
+        |), spine AS (
+        |  SELECT unnest(generate_series(lo, hi)) AS hr FROM bounds
+        |), s AS (
+        |  SELECT sp.hr, COALESCE(c.cnt, 0) AS cnt
+        |  FROM spine sp LEFT JOIN c ON c.hr = sp.hr
+        |), tri AS (
+        |  SELECT a.cnt AS x0, b.cnt AS x1, d.cnt AS x2
+        |  FROM s a
+        |  JOIN s b ON b.hr = a.hr + 1
+        |  JOIN s d ON d.hr = a.hr + 2
+        |), pat AS (
+        |  SELECT CAST(
+        |    ((CASE WHEN x1 < x0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN x2 < x0 THEN 1 ELSE 0 END)) * 9
+        |    + ((CASE WHEN x0 <= x1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN x2 < x1 THEN 1 ELSE 0 END)) * 3
+        |    + (CASE WHEN x0 <= x2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN x1 <= x2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS pattern
+        |  FROM tri
+        |), g AS (
+        |  SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pat GROUP BY pattern
+        |), q AS (
+        |  SELECT pattern, n,
+        |    CAST(ROUND(ln(n) * 1e6) AS BIGINT) AS lnn_micro,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS n_tri,
+        |    CAST(SUM(n * CAST(ROUND(ln(n) * 1e6) AS BIGINT))
+        |      OVER () AS BIGINT) AS sum_nlnn
+        |  FROM g)
+        |SELECT pattern, n, (n * 1000000) // n_tri AS share_micro,
+        |  CAST(ROUND(ln(n_tri) * 1e6) AS BIGINT)
+        |    - sum_nlnn // n_tri AS h_micro
+        |FROM q ORDER BY pattern""".stripMargin,
   )
 }

@@ -161,4 +161,44 @@ class Ext84QueriesSpec extends AnyFunSuite {
       assert(math.abs(p) <= 1000000L)
     }
   }
+
+  test("permutation entropy: driver replay of the ordinal patterns " +
+      "and the quantized entropy; bounded by ln(6)") {
+    val counts = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(org.apache.spark.sql.functions.expr(
+        "ts div 3600000000000").as("hr"))
+      .groupBy("hr")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lo = counts.keys.min; val hi = counts.keys.max
+    val xs = (lo to hi).map(h => counts.getOrElse(h, 0L)).toArray
+    def rank(v: Array[Long], i: Int): Long =
+      v.indices.count(j => j != i &&
+        (v(j) < v(i) || (v(j) == v(i) && j < i))).toLong
+    val pats = xs.sliding(3).filter(_.length == 3).map { w =>
+      rank(w, 0) * 9 + rank(w, 1) * 3 + rank(w, 2)
+    }.toSeq
+    val hist = pats.groupBy(identity)
+      .map { case (p, v) => p -> v.length.toLong }
+    val nTri = pats.length.toLong
+    def lnq(x: Long) = math.round(math.log(x.toDouble) * 1e6)
+    val sumNlnn = hist.values.map(n => n * lnq(n)).sum
+    val h = lnq(nTri) - sumNlnn / nTri
+    val got = graft.operators.Ext84Queries
+      .permEntropy(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.map(_._1).toSeq === hist.keys.toSeq.sorted)
+    got.foreach { case (p, n, share, hm) =>
+      assert(n === hist(p))
+      assert(share === n * 1000000L / nTri)
+      assert(hm === h)
+    }
+    // entropy of a 6-symbol alphabet is bounded by ln 6
+    assert(h >= 0 && h <= math.round(math.log(6.0) * 1e6))
+    // the fixture exercises more than one pattern (else the measure
+    // demonstrates nothing)
+    assert(hist.size > 1)
+  }
 }

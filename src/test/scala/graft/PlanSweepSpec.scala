@@ -212,6 +212,9 @@ class PlanSweepSpec extends AnyFunSuite {
     // rhoTable helper)
     "ts_ljung_box", "ts_pacf")
 
+  // ts_perm_entropy has no cross join: the spine explode is a select
+  // on a 1-row aggregate, and the triple joins are hr-equi-keyed
+
   test("no unplanned cartesian/nested-loop join across all queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
