@@ -27,6 +27,9 @@ import org.apache.spark.sql.functions._
   *  - `ts_perm_entropy`: order-3 permutation entropy of the hourly
   *    series — the model-free complexity measure (ordinal-pattern
   *    histogram entropy) the forecasting family lacks.
+  *  - `embed_anisotropy`: mean consecutive-pair cosine + mean-vector
+  *    energy share — the standard embedding-space anisotropy audit
+  *    (whether to mean-center/whiten before cosine retrieval).
   */
 object Ext84Queries {
 
@@ -249,6 +252,62 @@ object Ext84Queries {
   }
 
   // ---------------------------------------------------------------
+  // embed_anisotropy
+  // ---------------------------------------------------------------
+
+  /** Embedding-space anisotropy audit — the two standard measures:
+    * (a) mean pairwise cosine over the deterministic consecutive-id
+    * pairing (isotropic space → ≈ 0; the "narrow cone" pathology →
+    * large positive), each pair's cosine quantized ONCE to the micro
+    * lattice so the mean is an order-free integer sum with the
+    * pmod-floor division (cosines are signed); (b) the mean-vector
+    * energy share ‖μ‖²/E[‖x‖²] = Σ_d S1_d² / (n·Σ_d S2_d) from exact
+    * milli-lattice moments (one IEEE division). High values on either
+    * say "subtract the mean / whiten before cosine retrieval" — the
+    * audit behind embed_corr_pairs' remediation.
+    *
+    * 100 TB shape: one corpus explode to the milli lattice feeds a
+    * 64-row marginal aggregate and one vec_id+1 equi self-join; both
+    * collapse to a 1-row report.
+    */
+  def anisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val el = t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding"))
+        .as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        expr("cast(round(x * 1000) as bigint)").as("xm"))
+    val marg = el.groupBy("dim")
+      .agg(sum("xm").as("s1"), sum(expr("xm * xm")).as("s2"))
+      .agg(sum(expr("s1 * s1")).as("sum_s1sq"),
+        sum("s2").as("sum_s2"))
+    val nv = el.select("vec_id").distinct().agg(count(lit(1)).as("n"))
+    val a = el.select(col("vec_id"), col("dim"), col("xm").as("xa"))
+    val b = el.select((col("vec_id") - 1).as("vec_id"), col("dim"),
+      col("xm").as("xb"))
+    val cosm = a.join(b, Seq("vec_id", "dim"))
+      .groupBy("vec_id")
+      .agg(sum(expr("xa * xb")).as("dot"),
+        sum(expr("xa * xa")).as("na2"),
+        sum(expr("xb * xb")).as("nb2"))
+      .withColumn("cos_micro", expr(
+        "cast(round(cast(dot as double)" +
+          " / (sqrt(cast(na2 as double)) * sqrt(cast(nb2 as double)))" +
+          " * 1e6) as bigint)"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("cos_micro").as("sum_cos"))
+    cosm.crossJoin(broadcast(marg)).crossJoin(broadcast(nv))
+      // signed mean — pmod-floor so truncate/floor engines agree
+      .withColumn("mean_pair_cos_micro",
+        expr("(sum_cos - pmod(sum_cos, n_pairs)) div n_pairs"))
+      .withColumn("anis_micro", expr(
+        "cast(round(cast(sum_s1sq as double)" +
+          " / (cast(n as double) * cast(sum_s2 as double)) * 1e6)" +
+          " as bigint)"))
+      .select(col("n").as("n_vecs"), col("n_pairs"),
+        col("mean_pair_cos_micro"), col("anis_micro"))
+  }
+
+  // ---------------------------------------------------------------
   // eval_fleiss_kappa
   // ---------------------------------------------------------------
 
@@ -309,6 +368,7 @@ object Ext84Queries {
     "eval_fleiss_kappa" -> fleissKappa _,
     "ts_pacf" -> pacf _,
     "ts_perm_entropy" -> permEntropy _,
+    "embed_anisotropy" -> anisotropy _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -550,5 +610,42 @@ object Ext84Queries {
         |  CAST(ROUND(ln(n_tri) * 1e6) AS BIGINT)
         |    - sum_nlnn // n_tri AS h_micro
         |FROM q ORDER BY pattern""".stripMargin,
+    "embed_anisotropy" ->
+      """WITH el AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1)
+        |      AS BIGINT) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+        |      AS BIGINT) AS xm
+        |  FROM embeddings
+        |), marg AS (
+        |  SELECT CAST(SUM(s1 * s1) AS BIGINT) AS sum_s1sq,
+        |    CAST(SUM(s2) AS BIGINT) AS sum_s2
+        |  FROM (
+        |    SELECT dim, CAST(SUM(xm) AS BIGINT) AS s1,
+        |      CAST(SUM(xm * xm) AS BIGINT) AS s2
+        |    FROM el GROUP BY dim)
+        |), nv AS (
+        |  SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM el
+        |), cos AS (
+        |  SELECT a.vec_id,
+        |    CAST(SUM(a.xm * b.xm) AS BIGINT) AS dot,
+        |    CAST(SUM(a.xm * a.xm) AS BIGINT) AS na2,
+        |    CAST(SUM(b.xm * b.xm) AS BIGINT) AS nb2
+        |  FROM el a JOIN el b ON b.vec_id = a.vec_id + 1
+        |    AND b.dim = a.dim
+        |  GROUP BY a.vec_id
+        |), cm AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CAST(ROUND(CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+        |      * 1e6) AS BIGINT)) AS BIGINT) AS sum_cos
+        |  FROM cos)
+        |SELECT nv.n AS n_vecs, cm.n_pairs,
+        |  (cm.sum_cos - ((cm.sum_cos % cm.n_pairs) + cm.n_pairs)
+        |    % cm.n_pairs) // cm.n_pairs AS mean_pair_cos_micro,
+        |  CAST(ROUND(CAST(m.sum_s1sq AS DOUBLE)
+        |    / (CAST(nv.n AS DOUBLE) * CAST(m.sum_s2 AS DOUBLE))
+        |    * 1e6) AS BIGINT) AS anis_micro
+        |FROM cm CROSS JOIN marg m CROSS JOIN nv""".stripMargin,
   )
 }

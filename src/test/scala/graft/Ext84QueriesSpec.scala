@@ -201,4 +201,40 @@ class Ext84QueriesSpec extends AnyFunSuite {
     // demonstrates nothing)
     assert(hist.size > 1)
   }
+
+  test("anisotropy: driver replay of the consecutive-pair cosines " +
+      "and the mean-vector energy share") {
+    val emb = Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(x =>
+          math.round(x.toDouble * 1000)))
+      .sortBy(_._1)
+    val n = emb.length.toLong
+    val d = emb.head._2.length
+    val sumS1sq = (0 until d).map { i =>
+      val s1 = emb.map(_._2(i)).sum; s1 * s1 }.sum
+    val sumS2 = emb.map(_._2.map(x => x * x).sum).sum
+    val byId = emb.toMap
+    val cosines = emb.map(_._1).filter(id => byId.contains(id + 1))
+      .map { id =>
+        val (a, b) = (byId(id), byId(id + 1))
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        math.round(dot.toDouble /
+          (math.sqrt(a.map(x => x * x).sum.toDouble) *
+            math.sqrt(b.map(x => x * x).sum.toDouble)) * 1e6)
+      }
+    val r = graft.operators.Ext84Queries
+      .anisotropy(spark, TestSpark.sfDir).collect()(0)
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === cosines.length.toLong)
+    assert(r.getLong(2) ===
+      Math.floorDiv(cosines.sum, cosines.length.toLong))
+    assert(r.getLong(3) === math.round(
+      sumS1sq.toDouble / (n.toDouble * sumS2.toDouble) * 1e6))
+    // a synthetic clustered corpus is measurably anisotropic but not
+    // degenerate
+    assert(r.getLong(3) > 0 && r.getLong(3) < 1000000L)
+    assert(math.abs(r.getLong(2)) < 1000000L)
+  }
 }

@@ -210,7 +210,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "eval_exposure_fairness",
     // ts_ljung_box / ts_pacf: 1-row global-moment broadcast (shared
     // rhoTable helper)
-    "ts_ljung_box", "ts_pacf")
+    "ts_ljung_box", "ts_pacf",
+    // embed_anisotropy: two 1-row moment broadcasts
+    "embed_anisotropy")
 
   // ts_perm_entropy has no cross join: the spine explode is a select
   // on a 1-row aggregate, and the triple joins are hr-equi-keyed
