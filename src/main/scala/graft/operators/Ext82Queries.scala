@@ -104,6 +104,13 @@ object Ext82Queries {
     * arithmetic over that ≤ C(5,2)-row table (joins broadcast by
     * size). At a million "types" (e.g. model variants) the pair
     * table is still the collapsed aggregate, never the event log.
+    *
+    * Headroom bound: `contrib = n_ab·1e12` is exact BIGINT only
+    * while n_ab (duels per unordered type pair) stays below ~9.2·10⁶
+    * — beyond that Spark wraps silently where DuckDB errors.
+    * Ext82QueriesSpec asserts 10× headroom at 1000× the test fixture
+    * (= 10× sf1); at production duel volumes shard the duel count by
+    * time window before the MM step.
     */
   def bradleyTerry(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("event_id")

@@ -133,11 +133,16 @@ object Ext84Queries {
           col("sxt"), col("sxy"))
     }.reduce(_ unionAll _)
     lagged.crossJoin(broadcast(g))
+      // greatest(denom, 1): n²·sxx − n·s² ≥ 0 by Cauchy–Schwarz and
+      // is 0 only for a CONSTANT series (where the numerator is also
+      // exactly 0, so rho lands at 0) — without the guard Spark casts
+      // the Inf/NaN to NULL while DuckDB errors on CAST(inf AS BIGINT),
+      // a parity/crash divergence on degenerate data
       .withColumn("rho_micro", expr(
         "cast(round(cast(n * n * sxy - n * s * (sxh + sxt)" +
           " + n_pairs * s * s as double)" +
-          " / cast(n * n * sxx - n * s * s as double) * 1e6)" +
-          " as bigint)"))
+          " / cast(greatest(n * n * sxx - n * s * s, 1) as double)" +
+          " * 1e6) as bigint)"))
       .select("lag", "n_pairs", "rho_micro", "n")
   }
 
@@ -181,18 +186,24 @@ object Ext84Queries {
       .agg(max(when(col("lag") === 1, col("rho_micro"))).as("r1"),
         max(when(col("lag") === 2, col("rho_micro"))).as("r2"),
         max(when(col("lag") === 3, col("rho_micro"))).as("r3"))
+      // Durbin–Levinson denominators are prediction-error-variance
+      // ratios, ≥ 0 for a genuine autocorrelation sequence and 0 only
+      // when the process is deterministic (|ρ₁| = 1 for f22; the f33
+      // analog) — greatest(…, 1) pins that degenerate case to a finite
+      // lattice point identically on both engines instead of
+      // NULL-vs-CAST-error divergence
       .withColumn("f22", expr(
         "cast(round(cast(r2 * 1000000 - r1 * r1 as double)" +
-          " / cast(1000000000000 - r1 * r1 as double) * 1e6)" +
-          " as bigint)"))
+          " / cast(greatest(1000000000000 - r1 * r1, 1) as double)" +
+          " * 1e6) as bigint)"))
       .withColumn("f21", expr(
         "cast(round(cast(r1 * (1000000 - f22) as double) / 1e6)" +
           " as bigint)"))
       .withColumn("f33", expr(
         "cast(round(cast(r3 * 1000000 - f21 * r2 - f22 * r1" +
           " as double)" +
-          " / cast(1000000000000 - f21 * r1 - f22 * r2 as double)" +
-          " * 1e6) as bigint)"))
+          " / cast(greatest(1000000000000 - f21 * r1 - f22 * r2, 1)" +
+          " as double) * 1e6) as bigint)"))
     rhos.selectExpr(
       "stack(3, 1L, r1, r1, 2L, r2, f22, 3L, r3, f33)" +
         " as (lag, rho_micro, pacf_micro)")
@@ -319,9 +330,15 @@ object Ext84Queries {
     * words ≥ half of words), J3 stopword signal (≥ 2 hits of the 7-
     * word EN stopword list). For m = 3 binary raters the per-item
     * agreement Σnᵢⱼ(nᵢⱼ−1) is 6 (unanimous) or 2 (2-1 split), so
-    * P̄·6N = Σ of those integers exactly; P̄ₑ·9N² = S₁² + (3N−S₁)²
-    * exactly; κ_micro = (3N·A div 2 − B)·1e6 div (9N² − B) — pure
-    * integer arithmetic end to end.
+    * P̄·6N = Σ of those integers exactly. P̄ₑ is computed on the
+    * quantized mean-vote-rate lattice q₁ = ⌊S₁·10⁶ / 3N⌋ (∈ [0, 10⁶]):
+    * P̄ₑ_micro = ⌊(q₁² + (10⁶−q₁)²) / 10⁶⌋, and κ_micro =
+    * pmod-floor((P̄−P̄ₑ)·10⁶ / (10⁶−P̄ₑ)) — every squared term is
+    * bounded by ~10¹² INDEPENDENT of N (the earlier exact
+    * S₁²+(3N−S₁)² form overflowed BIGINT near N ≈ 10⁶ docs, round-9
+    * ADVICE). Remaining N-scaled products A·10⁶ ≤ 6N·10⁶ and
+    * S₁·10⁶ ≤ 3N·10⁶ stay inside BIGINT to N ≈ 1.5·10¹² documents —
+    * genuinely 100 TB-safe.
     *
     * 100 TB shape: one corpus pass computes all three votes per doc
     * (the tokenizer is shared), collapsing to a 1-row moment
@@ -348,15 +365,14 @@ object Ext84Queries {
         sum("j3").as("n_j3"),
         sum("n1").as("s1"), sum("agree").as("a"))
       .withColumn("p_bar_micro", expr("(a * 1000000) div (6 * n_docs)"))
-      .withColumn("b", expr(
-        "s1 * s1 + (3 * n_docs - s1) * (3 * n_docs - s1)"))
-      .withColumn("p_e_micro",
-        expr("(b * 1000000) div (9 * n_docs * n_docs)"))
+      .withColumn("q1", expr("(s1 * 1000000) div (3 * n_docs)"))
+      .withColumn("p_e_micro", expr(
+        "(q1 * q1 + (1000000 - q1) * (1000000 - q1)) div 1000000"))
       // kappa can be negative (below-chance agreement) — pmod-floor
       // the division so Spark `div` (truncate) and DuckDB `//`
       // (floor) take the same lattice point
-      .withColumn("kn", expr("((3 * n_docs * a) div 2 - b) * 1000000"))
-      .withColumn("kd", expr("greatest(9 * n_docs * n_docs - b, 1)"))
+      .withColumn("kn", expr("(p_bar_micro - p_e_micro) * 1000000"))
+      .withColumn("kd", expr("greatest(1000000 - p_e_micro, 1)"))
       .withColumn("kappa_micro", expr("(kn - pmod(kn, kd)) div kd"))
       .select("n_docs", "n_j1", "n_j2", "n_j3", "p_bar_micro",
         "p_e_micro", "kappa_micro")
@@ -454,7 +470,8 @@ object Ext84Queries {
         |  SELECT lag, n_pairs,
         |    CAST(ROUND(CAST(g.n * g.n * sxy - g.n * g.sm * (sxh + sxt)
         |      + n_pairs * g.sm * g.sm AS DOUBLE)
-        |      / CAST(g.n * g.n * g.sxx - g.n * g.sm * g.sm AS DOUBLE)
+        |      / CAST(GREATEST(g.n * g.n * g.sxx - g.n * g.sm * g.sm, 1)
+        |        AS DOUBLE)
         |      * 1e6) AS BIGINT) AS rho_micro,
         |    g.n AS n
         |  FROM p CROSS JOIN g
@@ -495,16 +512,16 @@ object Ext84Queries {
         |  FROM r
         |), e AS (
         |  SELECT *,
-        |    s1 * s1 + (3 * n_docs - s1) * (3 * n_docs - s1) AS b
-        |  FROM m
+        |    (a * 1000000) // (6 * n_docs) AS p_bar_micro,
+        |    (q1 * q1 + (1000000 - q1) * (1000000 - q1)) // 1000000
+        |      AS p_e_micro
+        |  FROM (SELECT *, (s1 * 1000000) // (3 * n_docs) AS q1 FROM m)
         |), k AS (
         |  SELECT *,
-        |    ((3 * n_docs * a) // 2 - b) * 1000000 AS kn,
-        |    GREATEST(9 * n_docs * n_docs - b, 1) AS kd
+        |    (p_bar_micro - p_e_micro) * 1000000 AS kn,
+        |    GREATEST(1000000 - p_e_micro, 1) AS kd
         |  FROM e)
-        |SELECT n_docs, n_j1, n_j2, n_j3,
-        |  (a * 1000000) // (6 * n_docs) AS p_bar_micro,
-        |  (b * 1000000) // (9 * n_docs * n_docs) AS p_e_micro,
+        |SELECT n_docs, n_j1, n_j2, n_j3, p_bar_micro, p_e_micro,
         |  (kn - ((kn % kd) + kd) % kd) // kd AS kappa_micro
         |FROM k""".stripMargin,
     "ts_pacf" ->
@@ -539,7 +556,8 @@ object Ext84Queries {
         |  SELECT lag,
         |    CAST(ROUND(CAST(g.n * g.n * sxy - g.n * g.sm * (sxh + sxt)
         |      + n_pairs * g.sm * g.sm AS DOUBLE)
-        |      / CAST(g.n * g.n * g.sxx - g.n * g.sm * g.sm AS DOUBLE)
+        |      / CAST(GREATEST(g.n * g.n * g.sxx - g.n * g.sm * g.sm, 1)
+        |        AS DOUBLE)
         |      * 1e6) AS BIGINT) AS rho_micro
         |  FROM p CROSS JOIN g
         |), piv AS (
@@ -550,8 +568,8 @@ object Ext84Queries {
         |), f AS (
         |  SELECT *, CAST(ROUND(
         |    CAST(r2 * 1000000 - r1 * r1 AS DOUBLE)
-        |    / CAST(1000000000000 - r1 * r1 AS DOUBLE) * 1e6)
-        |    AS BIGINT) AS f22
+        |    / CAST(GREATEST(1000000000000 - r1 * r1, 1) AS DOUBLE)
+        |    * 1e6) AS BIGINT) AS f22
         |  FROM piv
         |), f2 AS (
         |  SELECT *, CAST(ROUND(
@@ -561,7 +579,8 @@ object Ext84Queries {
         |), f3 AS (
         |  SELECT *, CAST(ROUND(
         |    CAST(r3 * 1000000 - f21 * r2 - f22 * r1 AS DOUBLE)
-        |    / CAST(1000000000000 - f21 * r1 - f22 * r2 AS DOUBLE)
+        |    / CAST(GREATEST(1000000000000 - f21 * r1 - f22 * r2, 1)
+        |      AS DOUBLE)
         |    * 1e6) AS BIGINT) AS f33
         |  FROM f2)
         |SELECT CAST(1 AS BIGINT) AS lag, r1 AS rho_micro,

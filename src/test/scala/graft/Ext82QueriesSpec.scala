@@ -102,6 +102,16 @@ class Ext82QueriesSpec extends AnyFunSuite {
     }
     // ordering: p2 desc, type asc
     assert(got.sortBy(r => (-r._5, r._1)).toSeq === got.toSeq)
+    // contrib-lattice headroom (r9 ADVICE): contrib = n_ab·1e12 is
+    // exact-BIGINT only while n_ab < ~9.2e6 duels per type pair
+    // (Spark wraps silently, DuckDB errors — a parity divergence).
+    // n_ab scales linearly with events and sf1 is 1000× this
+    // fixture; require 10× headroom on top of that, the same
+    // discipline as the piecewise-trend determinant audit above.
+    val maxNab = pairs.map(_._3).max
+    assert(BigInt(maxNab) * 10000 * BigInt(1000000000000L) <
+      BigInt(Long.MaxValue),
+      s"n_ab·1e12 headroom exhausted: max n_ab=$maxNab")
   }
 
   test("span IoU: every row is the argmax over the parents' spans " +

@@ -119,9 +119,13 @@ class Ext84QueriesSpec extends AnyFunSuite {
       val n1 = v._1 + v._2 + v._3
       n1 * (n1 - 1) + (3 - n1) * (2 - n1)
     }.sum
-    val b = s1 * s1 + (3 * n - s1) * (3 * n - s1)
-    val kn = ((3 * n * a) / 2 - b) * 1000000L
-    val kd = math.max(9 * n * n - b, 1L)
+    // N-independent lattice (r9 ADVICE): P̄ₑ from the quantized mean
+    // vote rate q1, never from the 9N²-sized moment products
+    val pBar = a * 1000000L / (6 * n)
+    val q1 = s1 * 1000000L / (3 * n)
+    val pE = (q1 * q1 + (1000000L - q1) * (1000000L - q1)) / 1000000L
+    val kn = (pBar - pE) * 1000000L
+    val kd = math.max(1000000L - pE, 1L)
     val kappa = Math.floorDiv(kn, kd)
     val r = graft.operators.Ext84Queries
       .fleissKappa(spark, TestSpark.sfDir).collect()(0)
@@ -129,8 +133,8 @@ class Ext84QueriesSpec extends AnyFunSuite {
     assert(r.getLong(1) === votes.map(_._1).sum)
     assert(r.getLong(2) === votes.map(_._2).sum)
     assert(r.getLong(3) === votes.map(_._3).sum)
-    assert(r.getLong(4) === a * 1000000L / (6 * n))
-    assert(r.getLong(5) === b * 1000000L / (9 * n * n))
+    assert(r.getLong(4) === pBar)
+    assert(r.getLong(5) === pE)
     assert(r.getLong(6) === kappa)
     // the statistic is only meaningful if the panel splits somewhere
     assert(votes.exists(v => Set(v._1, v._2, v._3).size > 1))
@@ -145,11 +149,12 @@ class Ext84QueriesSpec extends AnyFunSuite {
     val (r1, r2, r3) = (rhos(1L), rhos(2L), rhos(3L))
     val f22 = math.round(
       (r2 * 1000000L - r1 * r1).toDouble /
-        (1000000000000L - r1 * r1).toDouble * 1e6)
+        math.max(1000000000000L - r1 * r1, 1L).toDouble * 1e6)
     val f21 = math.round((r1 * (1000000L - f22)).toDouble / 1e6)
     val f33 = math.round(
       (r3 * 1000000L - f21 * r2 - f22 * r1).toDouble /
-        (1000000000000L - f21 * r1 - f22 * r2).toDouble * 1e6)
+        math.max(1000000000000L - f21 * r1 - f22 * r2, 1L)
+          .toDouble * 1e6)
     val got = graft.operators.Ext84Queries
       .pacf(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev scratchpad — simulates the driver smoke-check (plain session,
   * no graft-specific configs, calls SparkEntry.entry, expects rows>0).
+  * Lives in TEST scope by design (r9 verdict hygiene note: src/main
+  * carries only engine code); run via `sbt "Test/runMain graft.Scratch"`.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {

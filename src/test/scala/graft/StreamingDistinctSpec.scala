@@ -94,14 +94,20 @@ class StreamingDistinctSpec extends AnyFunSuite with StopStreamsAfterAll {
       val ckpt = Files.createTempDirectory("dist-bad-ck").toString
       Seq(SupportDelta("g9", 5L, 1L, -1))
         .toDS().coalesce(1).write.mode("append").parquet(dir)
-      val ex = intercept[org.apache.spark.sql.streaming
-        .StreamingQueryException] {
-        runOnce(dir, ckpt,
-          Files.createTempDirectory("dist-bad-out").toString)
-      }
-      assert(ex.getMessage.contains("negative")
-        || Option(ex.getCause).exists(c =>
-          String.valueOf(c.getMessage).contains("negative")))
+      // the failure is INTENTIONAL — quiet Spark's task/stream ERROR
+      // logging for its duration so a post-run log grep stays clean
+      // (r9 verdict hygiene note); the assertion below is the signal
+      spark.sparkContext.setLogLevel("FATAL")
+      try {
+        val ex = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+          runOnce(dir, ckpt,
+            Files.createTempDirectory("dist-bad-out").toString)
+        }
+        assert(ex.getMessage.contains("negative")
+          || Option(ex.getCause).exists(c =>
+            String.valueOf(c.getMessage).contains("negative")))
+      } finally spark.sparkContext.setLogLevel("WARN")
     }
   }
 }

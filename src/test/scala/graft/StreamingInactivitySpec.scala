@@ -32,17 +32,34 @@ class StreamingInactivitySpec extends AnyFunSuite
     df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
+  // Stage boundaries as FULL-timestamp quantiles, NOT dayofmonth
+  // (r9 ADVICE: day-of-month staging is only chronological while the
+  // corpus spans a single month — a wider generator would interleave
+  // months, the watermark would drop late files, and the stream-vs-
+  // twin assertion would fail confusingly). relativeError=0 makes
+  // approxQuantile exact, so the cuts are deterministic.
+  private def tsCuts(n: Int): Seq[Long] =
+    ev.select(unix_millis(col("et")).cast("double").as("ms"))
+      .stat.approxQuantile("ms",
+        (1 until n).map(_.toDouble / n).toArray, 0.0)
+      .map(_.toLong).toSeq
+
+  private def timeSlice(lo: Option[Long], hi: Option[Long]) = {
+    val ms = unix_millis(col("et"))
+    lo.map(ms > _).getOrElse(lit(true)) &&
+      hi.map(ms <= _).getOrElse(lit(true))
+  }
+
   test("timer-driven inactivity alarms == the batch twin; terminal " +
       "runs suppressed; both closure paths exercised") {
     val dir = Files.createTempDirectory("inact-ev").toString
     // chronological thirds — the watermark must ratchet forward
-    def third(i: Int) = {
-      val d = dayofmonth(col("et"))
-      if (i == 0) d <= 10 else if (i == 1) d > 10 && d <= 20
-      else d > 20
-    }
-    (0 until 3).foreach { i =>
-      ev.filter(third(i)).coalesce(1).write.mode("append").parquet(dir)
+    val cs = tsCuts(3)
+    val thirds = Seq(timeSlice(None, Some(cs(0))),
+      timeSlice(Some(cs(0)), Some(cs(1))),
+      timeSlice(Some(cs(1)), None))
+    thirds.foreach { p =>
+      ev.filter(p).coalesce(1).write.mode("append").parquet(dir)
     }
     val src = spark.readStream
       .schema(spark.read.parquet(dir).schema)
@@ -83,11 +100,11 @@ class StreamingInactivitySpec extends AnyFunSuite
     val out = Files.createTempDirectory("inact2-out").toString
     // explicit chronological files: a run-length operator can't
     // tolerate watermark drops from out-of-order staging
-    def stage(lo: Int, hi: Int): Unit =
-      ev.filter(dayofmonth(col("et")) > lo
-          && dayofmonth(col("et")) <= hi)
+    val cs = tsCuts(4)
+    def stage(lo: Option[Long], hi: Option[Long]): Unit =
+      ev.filter(timeSlice(lo, hi))
         .coalesce(1).write.mode("append").parquet(dir)
-    stage(0, 8); stage(8, 15)
+    stage(None, Some(cs(0))); stage(Some(cs(0)), Some(cs(1)))
     def run(): Unit = {
       val src = spark.readStream
         .schema(spark.read.parquet(dir).schema)
@@ -100,7 +117,7 @@ class StreamingInactivitySpec extends AnyFunSuite
       q.awaitTermination(180000)
     }
     run() // phase 1, then the query terminates (the "kill")
-    stage(15, 22); stage(22, 31)
+    stage(Some(cs(1)), Some(cs(2))); stage(Some(cs(2)), None)
     run() // SAME checkpoint: resume with live timers + buffered runs
     val got = norm(spark.read.parquet(out))
     assert(got === batchTwin,
