@@ -122,6 +122,10 @@ class PlanSweepSpec extends AnyFunSuite {
     // eval_multiprobe_recall: the exact ground-truth leg IS
     // sim_cosine_topk's broadcast-anchor BNLJ (8-query probe table)
     "eval_multiprobe_recall",
+    // sim_ann_nlist_curve: the same sim_cosine_topk ground-truth leg
+    // per curve point, plus a 1-row x 1-row cross stitching the
+    // recall aggregate to the probed-candidate-mass aggregate
+    "sim_ann_nlist_curve",
     // ev_survival_km: 1-row horizon broadcast into per-user durations
     "ev_survival_km",
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
