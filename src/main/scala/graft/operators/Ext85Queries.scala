@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   *    references) — rides `eval_bleu`'s clipped-precision machinery
   *    but with a corpus-level top-2 clip table instead of a pair
   *    join, so it never enumerates doc pairs at all.
+  *  - `eval_distinct_n`: distinct-n diversity per source (Li et al.
+  *    2016) — the cheap verbatim-repetition companion to self-BLEU.
   */
 object Ext85Queries {
 
@@ -238,10 +240,59 @@ object Ext85Queries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------
+  // eval_distinct_n
+  // ---------------------------------------------------------------
+
+  /** Distinct-n diversity per source (Li et al. 2016): distinct
+    * n-grams over total n-grams for n = 1, 2, 3 — the cheap diversity
+    * companion to `eval_self_bleu` (distinct-n catches verbatim
+    * repetition; self-BLEU catches cross-document similarity). Pure
+    * keyed aggregates on the micro lattice.
+    *
+    * 100 TB shape: three (source, gram)-keyed count-distinct
+    * aggregates over the corpus token stream — linear, no joins
+    * beyond the final 1-row-per-source stitch.
+    */
+  def distinctN(spark: SparkSession, dir: String): DataFrame = {
+    val tk = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(TextAnalysis.tokens(col("text"))))
+      .select(col("doc_id"), col("source"), col("pos"),
+        lower(col("col")).as("tok"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    def gramStats(n: Int, out: String): DataFrame = {
+      val g =
+        if (n == 1) tk.select(col("source"), col("tok").as("g"))
+        else {
+          val withNext = (1 until n).foldLeft(tk) { (df, i) =>
+            df.withColumn(s"t$i", lead("tok", i).over(wd))
+          }
+          withNext.filter((1 until n).map(i =>
+              col(s"t$i").isNotNull).reduce(_ && _))
+            .select(col("source"),
+              concat_ws(" ", col("tok") +:
+                (1 until n).map(i => col(s"t$i")): _*).as("g"))
+        }
+      g.groupBy("source")
+        .agg(countDistinct(col("g")).as(s"u$out"),
+          count(lit(1)).as(s"t$out"))
+        .withColumn(s"d${out}_micro",
+          expr(s"u$out * 1000000 div t$out"))
+    }
+    gramStats(1, "1")
+      .join(gramStats(2, "2"), Seq("source"))
+      .join(gramStats(3, "3"), Seq("source"))
+      .select("source", "u1", "t1", "d1_micro", "u2", "t2",
+        "d2_micro", "u3", "t3", "d3_micro")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_betweenness_sampled" -> betweennessSampled _,
     "sim_ann_nlist_curve" -> annNlistCurve _,
     "eval_self_bleu" -> selfBleu _,
+    "eval_distinct_n" -> distinctN _,
   )
 
   /** One curve point of the sim_ann_nlist_curve oracle: the full
@@ -352,6 +403,43 @@ FROM agg g CROSS JOIN qsz s
     "sim_ann_nlist_curve" ->
       (Seq(4, 8, 16, 32).map(nlistPointSql)
         .mkString("", "\nUNION ALL\n", "\nORDER BY n_cells")),
+    "eval_distinct_n" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    generate_subscripts(
+        |      string_split_regex(trim(text), '\s+'), 1) AS pos,
+        |    lower(unnest(string_split_regex(trim(text), '\s+')))
+        |      AS tok
+        |  FROM documents
+        |), g1 AS (
+        |  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS u1,
+        |    CAST(COUNT(*) AS BIGINT) AS t1
+        |  FROM tk GROUP BY source
+        |), b AS (
+        |  SELECT a.source, a.tok || ' ' || x.tok AS g
+        |  FROM tk a JOIN tk x
+        |    ON x.doc_id = a.doc_id AND x.pos = a.pos + 1
+        |), g2 AS (
+        |  SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS u2,
+        |    CAST(COUNT(*) AS BIGINT) AS t2
+        |  FROM b GROUP BY source
+        |), tr AS (
+        |  SELECT a.source,
+        |    a.tok || ' ' || x.tok || ' ' || y.tok AS g
+        |  FROM tk a
+        |  JOIN tk x ON x.doc_id = a.doc_id AND x.pos = a.pos + 1
+        |  JOIN tk y ON y.doc_id = a.doc_id AND y.pos = a.pos + 2
+        |), g3 AS (
+        |  SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS u3,
+        |    CAST(COUNT(*) AS BIGINT) AS t3
+        |  FROM tr GROUP BY source)
+        |SELECT g1.source, u1, t1, (u1 * 1000000) // t1 AS d1_micro,
+        |  u2, t2, (u2 * 1000000) // t2 AS d2_micro,
+        |  u3, t3, (u3 * 1000000) // t3 AS d3_micro
+        |FROM g1
+        |JOIN g2 ON g2.source = g1.source
+        |JOIN g3 ON g3.source = g1.source
+        |ORDER BY g1.source""".stripMargin,
     "eval_self_bleu" ->
       """WITH tk AS (
         |  SELECT doc_id, source,

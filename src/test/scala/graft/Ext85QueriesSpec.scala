@@ -110,6 +110,40 @@ class Ext85QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("distinct-n: exact gram-set replay per source; " +
+      "diversity falls as n grows on repetitive synthetic text") {
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def stats(n: Int): Map[String, (Long, Long)] =
+      docs.flatMap { case (src, txt) =>
+        val toks = txt.trim.split("\\s+").toSeq.map(_.toLowerCase)
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(g => (src, g.mkString(" "))).toSeq
+      }.groupBy(_._1).map { case (src, gs) =>
+        src -> (gs.map(_._2).distinct.length.toLong,
+          gs.length.toLong)
+      }
+    val s1 = stats(1); val s2 = stats(2); val s3 = stats(3)
+    val got = graft.operators.Ext85Queries
+      .distinctN(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, u1, t1, d1, u2, t2, d2, u3, t3, d3) =>
+      assert((u1, t1) === s1(src), s"uni($src)")
+      assert((u2, t2) === s2(src), s"bi($src)")
+      assert((u3, t3) === s3(src), s"tri($src)")
+      assert(d1 === u1 * 1000000L / t1)
+      assert(d2 === u2 * 1000000L / t2)
+      assert(d3 === u3 * 1000000L / t3)
+      // longer grams are strictly more distinctive on any corpus
+      // with repetition: d1 <= d2 <= d3 (ties possible)
+      assert(d1 <= d2 && d2 <= d3, s"monotonicity($src)")
+    }
+  }
+
   test("self-bleu: full clip-table replay per source") {
     val docs = Tables.t(spark, TestSpark.sfDir, "documents")
       .select("doc_id", "source", "text").collect()
