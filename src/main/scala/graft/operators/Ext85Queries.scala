@@ -288,11 +288,44 @@ object Ext85Queries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------
+  // ev_dynamic_rules
+  // ---------------------------------------------------------------
+
+  /** Batch twin of [[graft.streaming.StreamingDynamicRules]]: alerts
+    * under dynamic per-key thresholds. The control channel is every
+    * event with event_id % 10 == 0 (its vm becomes the key's new
+    * threshold at seq = event_id); the data channel is everything
+    * else; a data row alerts iff it exceeds the LATEST rule at or
+    * before its seq — a textbook backward as-of join
+    * ([[AsOf.asofJoin]]: union + one-shuffle carry, no range join),
+    * inner on rule existence (pre-first-rule rows never alert).
+    *
+    * 100 TB shape: one key-shuffled as-of pass; the control channel
+    * is |keys|-ish-bounded next to the event log by construction.
+    */
+  def dynamicRules(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"))
+    val ctrl = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("event_id").as("rule_seq"),
+        col("vm").as("threshold"))
+    val data = ev.filter(col("event_id") % 10 =!= 0)
+    AsOf.asofJoin(data, ctrl, Seq("user_id"), "event_id", "rule_seq",
+        Seq("rule_seq", "threshold"))
+      .filter(col("threshold").isNotNull
+        && col("vm") > col("threshold"))
+      .select("user_id", "event_id", "vm", "rule_seq", "threshold")
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_betweenness_sampled" -> betweennessSampled _,
     "sim_ann_nlist_curve" -> annNlistCurve _,
     "eval_self_bleu" -> selfBleu _,
     "eval_distinct_n" -> distinctN _,
+    "ev_dynamic_rules" -> dynamicRules _,
   )
 
   /** One curve point of the sim_ann_nlist_curve oracle: the full
@@ -403,6 +436,26 @@ FROM agg g CROSS JOIN qsz s
     "sim_ann_nlist_curve" ->
       (Seq(4, 8, 16, 32).map(nlistPointSql)
         .mkString("", "\nUNION ALL\n", "\nORDER BY n_cells")),
+    "ev_dynamic_rules" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(value * 1000) AS BIGINT) AS vm
+        |  FROM events
+        |), ctrl AS (
+        |  SELECT user_id, event_id AS rule_seq, vm AS threshold
+        |  FROM ev WHERE event_id % 10 = 0
+        |), d AS (
+        |  SELECT * FROM ev WHERE event_id % 10 <> 0
+        |), j AS MATERIALIZED (
+        |  -- MATERIALIZED: DuckDB otherwise pushes the vm > threshold
+        |  -- filter into the ASOF join and errors on the second
+        |  -- inequality
+        |  SELECT d.user_id, d.event_id, d.vm, c.rule_seq, c.threshold
+        |  FROM d ASOF JOIN ctrl c
+        |    ON d.user_id = c.user_id AND d.event_id >= c.rule_seq)
+        |SELECT user_id, event_id, vm, rule_seq, threshold
+        |FROM j WHERE vm > threshold
+        |ORDER BY user_id, event_id""".stripMargin,
     "eval_distinct_n" ->
       """WITH tk AS (
         |  SELECT doc_id, source,
