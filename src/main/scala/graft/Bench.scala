@@ -560,8 +560,12 @@ object Bench {
     // q32 joined the list in round 7: 27.9 s warm in-suite vs 3.8 s
     // isolated at sf1 — the same aged-JVM inflation signature on a
     // 6M-row triple-join (semi + anti over lineitem)
+    // graph_jaccard_neighbors joined in round 10: it now has a
+    // committed quiet band (docs/SF1_QUIET_BANDS.json) and its in-run
+    // readings must be fresh-child numbers comparable to it
     val pinnedFirst = Seq("graph_link_predict", "sketch_cms",
-      "embed_kmeans_clusters", "q32_only_late_supplier")
+      "embed_kmeans_clusters", "q32_only_late_supplier",
+      "graph_jaccard_neighbors")
       .filter(SparkEntry.queries.contains)
     val sf1Probes: Seq[String] = pinnedFirst ++
       SparkEntry.queries.keys.toSeq

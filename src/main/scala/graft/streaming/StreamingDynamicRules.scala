@@ -3,6 +3,13 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming._
 
+/** Latest rule per key: LWW by `seq`. TOP-LEVEL by necessity — the
+  * ValueState row encoder's generated code cannot reference a case
+  * class nested inside an object (Janino compile failure + interpreted
+  * fallback; StatefulCounters.CounterState set the precedent).
+  */
+case class DynamicRuleState(seq: Long, threshold: Long)
+
 /** Dynamic per-key rules over a control/data channel union — the 21st
   * streaming module, and the first whose INPUT is heterogeneous: one
   * stream carries data rows to score, the other carries rule updates
@@ -43,16 +50,14 @@ object StreamingDynamicRules {
   case class Alert(key: Long, seq: Long, vm: Long, ruleSeq: Long,
     threshold: Long)
 
-  private case class RuleState(seq: Long, threshold: Long)
-
   class RulesProcessor
       extends StatefulProcessor[Long, RuleRow, Alert] {
-    @transient private var rule: ValueState[RuleState] = _
+    @transient private var rule: ValueState[DynamicRuleState] = _
 
     override def init(outputMode: OutputMode,
         timeMode: TimeMode): Unit =
-      rule = getHandle.getValueState[RuleState]("rule",
-        Encoders.product[RuleState], TTLConfig.NONE)
+      rule = getHandle.getValueState[DynamicRuleState]("rule",
+        Encoders.product[DynamicRuleState], TTLConfig.NONE)
 
     override def handleInputRows(key: Long,
         rows: Iterator[RuleRow],
@@ -64,7 +69,7 @@ object StreamingDynamicRules {
           // LWW by seq: a redelivered or reordered stale rule update
           // never regresses the live threshold
           if (!rule.exists() || r.seq > rule.get().seq)
-            rule.update(RuleState(r.seq, r.vm))
+            rule.update(DynamicRuleState(r.seq, r.vm))
           None
         } else {
           val cur = if (rule.exists()) Option(rule.get()) else None
