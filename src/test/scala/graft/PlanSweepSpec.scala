@@ -126,6 +126,13 @@ class PlanSweepSpec extends AnyFunSuite {
     // per curve point, plus a 1-row x 1-row cross stitching the
     // recall aggregate to the probed-candidate-mass aggregate
     "sim_ann_nlist_curve",
+    // ev_cuped: 1-row hour-midpoint broadcast into the event scan
+    // (the ts_locf_fill shape) + the 2-row arm frame x 1-row pooled
+    // moments
+    "ev_cuped",
+    // graph_eff_diameter: 1-row node-universe broadcast into the
+    // <=8-row per-pivot reach frame
+    "graph_eff_diameter",
     // ev_survival_km: 1-row horizon broadcast into per-user durations
     "ev_survival_km",
     // ev_bandit_replay: 1-row target-arm broadcast riding into the
