@@ -176,12 +176,126 @@ object Ext86Queries {
       .orderBy("depth")
   }
 
+  // ---------------------------------------------------------------
+  // eval_krippendorff
+  // ---------------------------------------------------------------
+
+  /** Krippendorff's alpha (binary, nominal) over the same three
+    * deterministic quality judges as `eval_fleiss_kappa`, but WITH
+    * MISSING RATINGS — the case Fleiss cannot handle and the normal
+    * state of an LLM-judge ensemble (judges time out, abstain, or
+    * get filtered). Judge j abstains on doc d iff
+    * (doc_id + j) % 7 == 0; units with fewer than 2 remaining
+    * ratings are excluded (the standard rule).
+    *
+    * α = 1 − Do/De with Do = (1/n··)Σᵤ 2·n_u1·n_u0/(m_u−1) and
+    * De = 2·n₁·n₀/(n··(n··−1)). With m_u ∈ {2,3} the per-unit term
+    * (2·n_u1·n_u0) div (m_u−1) is EXACT (m=3 ⇒ n_u1·n_u0 even;
+    * m=2 ⇒ divisor 1), so T = Σᵤ … is an exact BIGINT. Everything
+    * after runs on N-INDEPENDENT micro lattices (the fleiss round-9
+    * lesson applied from the start): do = ⌊T·10⁶/n··⌋ ≤ 2·10⁶,
+    * p₁ = ⌊n₁·10⁶/n··⌋, de = ⌊2p₁(10⁶−p₁)/10⁶⌋,
+    * a = ⌊do·10⁶/de⌋ ≤ 2·10¹², corr = ⌊(n··−1)·10⁶/n··⌋, and
+    * α_micro = 10⁶ − ⌊a·corr/10¹²⌋ — the largest product a·corr is
+    * ≤ 2·10¹⁸ for ANY corpus size; every division has non-negative
+    * operands (div == //).
+    *
+    * 100 TB shape: one corpus pass computes all three votes, one
+    * keyed aggregate collapses to per-unit (n1, m), one 1-row moment
+    * aggregate; alpha is arithmetic on that row.
+    */
+  def krippendorff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("toks",
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .withColumn("j1",
+        when(col("n_chars") >= 200, 1L).otherwise(0L))
+      .withColumn("j2",
+        when(size(array_distinct(col("toks"))) * 2 >= size(col("toks")),
+          1L).otherwise(0L))
+      .withColumn("j3", when(
+        size(filter(col("toks"), x => x.isin(
+          TextAnalysis.enStopwords.map(lit): _*))) >= 2, 1L)
+        .otherwise(0L))
+    // missingness: judge j abstains iff (doc_id + j) % 7 == 0
+    val units = docs.select(col("doc_id"),
+        explode(array(
+          struct(lit(1L).as("j"), col("j1").as("vote")),
+          struct(lit(2L).as("j"), col("j2").as("vote")),
+          struct(lit(3L).as("j"), col("j3").as("vote")))).as("r"))
+      .filter(pmod(col("doc_id") + col("r.j"), lit(7)) =!= 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("m"), sum("r.vote").as("n1u"))
+      .filter(col("m") >= 2)
+      .withColumn("t_u", expr("(2 * n1u * (m - n1u)) div (m - 1)"))
+    units.agg(count(lit(1)).as("n_units"),
+        sum("m").as("n_dot"), sum("n1u").as("n_pos"),
+        sum("t_u").as("t"))
+      .withColumn("do_micro", expr("(t * 1000000) div n_dot"))
+      .withColumn("p1", expr("(n_pos * 1000000) div n_dot"))
+      .withColumn("de_micro", expr(
+        "greatest((2 * p1 * (1000000 - p1)) div 1000000, 1)"))
+      .withColumn("a", expr("(do_micro * 1000000) div de_micro"))
+      .withColumn("corr", expr("((n_dot - 1) * 1000000) div n_dot"))
+      .withColumn("alpha_micro",
+        expr("1000000 - (a * corr) div 1000000000000"))
+      .select("n_units", "n_dot", "n_pos", "do_micro", "de_micro",
+        "alpha_micro")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_cuped" -> cuped _,
     "graph_eff_diameter" -> effDiameter _,
+    "eval_krippendorff" -> krippendorff _,
   )
 
   val oracle: Map[String, String] = Map(
+    "eval_krippendorff" ->
+      """WITH v AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents
+        |), j AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS j1,
+        |    CASE WHEN len(list_distinct(toks)) * 2 >= len(toks)
+        |      THEN 1 ELSE 0 END AS j2,
+        |    CASE WHEN len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','in','to','is'], x))) >= 2
+        |      THEN 1 ELSE 0 END AS j3
+        |  FROM v
+        |), r AS (
+        |  SELECT doc_id, 1 AS jj, j1 AS vote FROM j
+        |  UNION ALL SELECT doc_id, 2, j2 FROM j
+        |  UNION ALL SELECT doc_id, 3, j3 FROM j
+        |), kept AS (
+        |  SELECT * FROM r WHERE ((doc_id + jj) % 7 + 7) % 7 <> 0
+        |), u AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(vote) AS BIGINT) AS n1u
+        |  FROM kept GROUP BY doc_id HAVING COUNT(*) >= 2
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(m) AS BIGINT) AS n_dot,
+        |    CAST(SUM(n1u) AS BIGINT) AS n_pos,
+        |    CAST(SUM((2 * n1u * (m - n1u)) // (m - 1)) AS BIGINT) AS t
+        |  FROM u
+        |), f AS (
+        |  SELECT *, (t * 1000000) // n_dot AS do_micro,
+        |    (n_pos * 1000000) // n_dot AS p1
+        |  FROM agg
+        |), g AS (
+        |  SELECT *,
+        |    GREATEST((2 * p1 * (1000000 - p1)) // 1000000, 1)
+        |      AS de_micro
+        |  FROM f
+        |), h AS (
+        |  SELECT *, (do_micro * 1000000) // de_micro AS a,
+        |    ((n_dot - 1) * 1000000) // n_dot AS corr
+        |  FROM g)
+        |SELECT n_units, n_dot, n_pos, do_micro, de_micro,
+        |  1000000 - (a * corr) // 1000000000000 AS alpha_micro
+        |FROM h""".stripMargin,
     "ev_cuped" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,

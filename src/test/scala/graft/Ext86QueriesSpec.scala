@@ -75,6 +75,51 @@ class Ext86QueriesSpec extends AnyFunSuite {
       "pooled CUPED variance exceeded raw — theta is not the OLS slope")
   }
 
+  test("krippendorff: exact replay incl. the missing-ratings rule; " +
+      "the fixture genuinely exercises both unit sizes") {
+    val stop = Set("the", "a", "of", "and", "in", "to", "is")
+    val docs = Tables.t(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase,
+        r.getLong(2)))
+    val units = docs.flatMap { case (id, txt, nChars) =>
+      val toks = "[a-z]+".r.findAllIn(txt).toSeq
+      val votes = Seq(
+        1L -> (if (nChars >= 200) 1L else 0L),
+        2L -> (if (toks.distinct.length * 2 >= toks.length) 1L
+          else 0L),
+        3L -> (if (toks.count(stop) >= 2) 1L else 0L))
+      val kept = votes.filter { case (j, _) => (id + j) % 7 != 0 }
+      if (kept.size < 2) None
+      else Some((kept.size.toLong, kept.map(_._2).sum))
+    }
+    val nDot = units.map(_._1).sum
+    val nPos = units.map(_._2).sum
+    val t = units.map { case (m, n1) =>
+      (2 * n1 * (m - n1)) / (m - 1) }.sum
+    val doM = t * 1000000L / nDot
+    val p1 = nPos * 1000000L / nDot
+    val deM = math.max((2 * p1 * (1000000L - p1)) / 1000000L, 1L)
+    val a = doM * 1000000L / deM
+    val corr = (nDot - 1) * 1000000L / nDot
+    val alpha = 1000000L - a * corr / 1000000000000L
+    val r = graft.operators.Ext86Queries
+      .krippendorff(spark, TestSpark.sfDir).collect()(0)
+    assert(r.getLong(0) === units.size.toLong)
+    assert(r.getLong(1) === nDot)
+    assert(r.getLong(2) === nPos)
+    assert(r.getLong(3) === doM)
+    assert(r.getLong(4) === deM)
+    assert(r.getLong(5) === alpha)
+    // the missingness rule must genuinely bite: both m=2 and m=3
+    // units exist, and at least one doc lost a rating
+    assert(units.exists(_._1 == 2L) && units.exists(_._1 == 3L))
+    assert(nDot < 3L * docs.length)
+    // per-unit exactness precondition: (2 n1 n0) div (m-1) is exact
+    units.foreach { case (m, n1) =>
+      assert((2 * n1 * (m - n1)) % (m - 1) === 0L) }
+  }
+
   test("effective diameter: exact BFS reach replay; cumulative reach " +
       "is monotone in depth") {
     val edges = NearDupGraph.simhashPairs5(spark, TestSpark.sfDir)
