@@ -40,7 +40,11 @@ object Ext78Queries {
         explode(TextAnalysis.tokens(col("text"))).as("tok0"))
       .select(col("doc_id"), lower(col("tok0")).as("tok"))
       .cache() // cluster-term counts + corpus df share it
-    val ctf = toks.join(broadcast(labels), "doc_id")
+    // no broadcast hint: labels is one row per doc in ANY near-dup
+    // cluster — a corpus-fraction-sized side at web scale, not a
+    // broadcastable one. A key-hash shuffle join (or whatever AQE
+    // picks at runtime) is the scale-safe default.
+    val ctf = toks.join(labels, "doc_id")
       .groupBy("cluster", "tok").agg(count(lit(1)).as("ctf"))
     val dfreq = toks.select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))

@@ -64,14 +64,21 @@ object Ext86Queries {
       sum(expr("x * x")).as("sxx_a"),
       sum(expr("y * y")).as("syy_a"),
       sum(expr("x * y")).as("sxy_a"))
-    // θ, means and variances as closed forms over the exact integer
-    // moments — identical expression text in the oracle; var(X) > 0
-    // whenever two users differ in pre-period activity (guarded by
-    // greatest against the all-identical degenerate corpus)
+    // θ, means and variances as closed forms over the moment sums —
+    // identical expression text in the oracle. Each SUM is an exact
+    // BIGINT (<1e17 headroom), but the n·sxy-style PRODUCTS scale
+    // ~N² and would wrap Long far below the 100 TB shape (Spark
+    // wraps silently, DuckDB raises — the fleiss overflow class), so
+    // every sum is cast to double BEFORE the products: θ lives in
+    // double-land anyway and the n-scaled identity needs no exact
+    // products. var(X) > 0 whenever two users differ in pre-period
+    // activity (greatest guards the all-identical degenerate corpus).
     arms.crossJoin(broadcast(pooled))
       .withColumn("theta", expr(
-        "cast(n * sxy - sx * sy as double)" +
-          " / cast(greatest(n * sxx - sx * sx, 1) as double)"))
+        "(cast(n as double) * cast(sxy as double)" +
+          " - cast(sx as double) * cast(sy as double))" +
+          " / greatest(cast(n as double) * cast(sxx as double)" +
+          " - cast(sx as double) * cast(sx as double), 1.0d)"))
       .withColumn("xbar", expr("cast(sx as double) / cast(n as double)"))
       .withColumn("mean_y", expr(
         "cast(sy_a as double) / cast(n_a as double)"))
@@ -161,12 +168,17 @@ object Ext86Queries {
       cum.crossJoin(broadcast(uni)) // ≤8 rows × 1 row
         .withColumn("frac_micro",
           expr("reached * 1000000 div (n_nodes - 1)"))
+        .withColumn("depth", lit(depth.toLong))
+        // grouped (not global) aggregate: an empty pair graph then
+        // yields ZERO rows, matching the oracle's GROUP BY depth —
+        // a global agg would emit a 1-row (n_pivots=0, NULL) shape
+        // the oracle never produces on degenerate corpora
+        .groupBy("depth")
         .agg(count(lit(1)).as("n_pivots"),
           max("n_nodes").as("n_nodes"),
           sum("reached").as("sum_reached"),
           expr("sum(frac_micro) div count(1)")
             .as("mean_reach_micro"))
-        .withColumn("depth", lit(depth.toLong))
         .select("depth", "n_pivots", "n_nodes", "sum_reached",
           "mean_reach_micro")
     }
@@ -327,9 +339,11 @@ object Ext86Queries {
         |  FROM xy GROUP BY arm
         |), f AS (
         |  SELECT *,
-        |    CAST(n * sxy - sx * sy AS DOUBLE)
-        |      / CAST(GREATEST(n * sxx - sx * sx, 1) AS DOUBLE)
-        |      AS theta,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / GREATEST(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+        |      CAST(1 AS DOUBLE)) AS theta,
         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
         |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_y
         |  FROM arms CROSS JOIN pooled

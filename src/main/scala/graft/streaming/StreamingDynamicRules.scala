@@ -36,7 +36,15 @@ case class DynamicRuleState(seq: Long, threshold: Long)
   * 100 TB shape: the union is two narrow scans; the only shuffle is
   * the key partitioning both channels already need; rule cardinality
   * is |keys|, so the control channel is by construction tiny next to
-  * the data channel.
+  * the data channel. TRANSIENT buffering caveat: handleInputRows
+  * materializes and sorts each key's rows WITHIN one micro-batch to
+  * apply them in seq order, so per-batch memory for a hot key is
+  * O(that key's rows in the trigger), not O(1) — persistent state
+  * stays one rule per key, but trigger sizing is the backpressure
+  * valve: bound `maxOffsetsPerTrigger`/`maxBytesPerTrigger` (the O1
+  * admission caps) so a hot key's per-trigger slice fits in executor
+  * memory. An unbounded trigger over a pathological single-key burst
+  * is the one shape this module does not spill.
   */
 object StreamingDynamicRules {
 

@@ -75,6 +75,27 @@ class Ext86QueriesSpec extends AnyFunSuite {
       "pooled CUPED variance exceeded raw — theta is not the OLS slope")
   }
 
+  test("eff diameter: an empty near-dup graph yields ZERO rows " +
+      "(grouped agg), matching the oracle's GROUP BY depth shape") {
+    // controlled corpus of mutually-alien documents: simhash
+    // distance far above maxHamming=5, so the pair graph is empty —
+    // the degenerate shape where a GLOBAL agg would emit 3 rows of
+    // (n_pivots=0, NULL) the DuckDB oracle never produces
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-effdiam").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "uno dos tres cuatro cinco seis siete ocho nueve"),
+      (2L, "zebra quokka wombat numbat dingo bilby kookaburra"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(NearDupGraph.simhashPairs5(spark, dir).isEmpty,
+      "fixture must produce an EMPTY pair graph")
+    assert(Ext86Queries.effDiameter(spark, dir).isEmpty,
+      "empty graph must yield zero depth rows, not a null-filled agg")
+  }
+
   test("krippendorff: exact replay incl. the missing-ratings rule; " +
       "the fixture genuinely exercises both unit sizes") {
     val stop = Set("the", "a", "of", "and", "in", "to", "is")
