@@ -101,7 +101,7 @@ object Ext84Queries {
     * min..max, missing hours = 0) — the shared input of the ts_*
     * diagnostics below.
     */
-  private def hourlySeries(spark: SparkSession,
+  private[graft] def hourlySeries(spark: SparkSession,
       dir: String): DataFrame = {
     val counts = t(spark, dir, "events")
       .select(expr("ts div 3600000000000").as("hr"))
