@@ -320,10 +320,42 @@ object Ext87Queries {
       .orderBy("q_id", "rank")
   }
 
+  // ---------------------------------------------------------------
+  // ev_wm_coalesce
+  // ---------------------------------------------------------------
+
+  /** Batch twin of
+    * [[graft.streaming.StreamingWatermarkCoalesce]]: one consolidated
+    * row per (key, hourly epoch with activity), carrying the key's
+    * CUMULATIVE count/sum at that epoch's close — the output a
+    * watermark-coalescing sink sees instead of per-event rows. A
+    * keyed per-epoch aggregate plus one running-sum window; the
+    * streaming spec proves the timer-driven stream emits exactly
+    * these rows for every epoch the final watermark closes.
+    *
+    * 100 TB shape: one keyed shuffle collapses the event log to
+    * |key, active-epoch| before the window; the window partitions by
+    * key, so no global sort.
+    */
+  def wmCoalesce(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"),
+        expr("ts div 3600000000000").as("epoch"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"))
+    val per = ev.groupBy("user_id", "epoch")
+      .agg(count(lit(1)).as("cnt"), sum("vm").as("s"))
+    val w = Window.partitionBy("user_id").orderBy("epoch")
+    per.select(col("user_id"), col("epoch"),
+        sum("cnt").over(w).as("cum_cnt"),
+        sum("s").over(w).as("cum_sum"))
+      .orderBy("user_id", "epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_hurst" -> hurst _,
     "graph_core_decomposition" -> coreDecomposition _,
-    "sim_ann_opq" -> simAnnOpq _)
+    "sim_ann_opq" -> simAnnOpq _,
+    "ev_wm_coalesce" -> wmCoalesce _)
 
   /** The h-index stage, unrolled once per iteration in the oracle —
     * prev must be the name of the previous coreness CTE.
@@ -338,6 +370,22 @@ object Ext87Queries {
        |  GROUP BY u)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ev_wm_coalesce" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS epoch,
+        |    CAST(ROUND(value * 1000) AS BIGINT) AS vm
+        |  FROM events
+        |), per AS (
+        |  SELECT user_id, epoch, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(vm) AS BIGINT) AS s
+        |  FROM ev GROUP BY user_id, epoch
+        |)
+        |SELECT user_id, epoch,
+        |  CAST(SUM(cnt) OVER (PARTITION BY user_id ORDER BY epoch)
+        |    AS BIGINT) AS cum_cnt,
+        |  CAST(SUM(s) OVER (PARTITION BY user_id ORDER BY epoch)
+        |    AS BIGINT) AS cum_sum
+        |FROM per ORDER BY user_id, epoch""".stripMargin,
     "ts_hurst" ->
       """WITH counts AS (
         |  SELECT epoch_us(ts) // 3600000000 AS hr,
