@@ -223,7 +223,13 @@ class PlanSweepSpec extends AnyFunSuite {
     // rhoTable helper)
     "ts_ljung_box", "ts_pacf",
     // embed_anisotropy: two 1-row moment broadcasts
-    "embed_anisotropy")
+    "embed_anisotropy",
+    // sim_ann_opq: 8-row broadcast query table with the non-equi
+    // self-exclusion (sim_cosine_topk's shape, like sim_ann_pq)
+    "sim_ann_opq",
+    // ts_hurst: 1-row total + 1-row regression-moment broadcasts
+    // over a 4-row window spine (the ts_ljung_box shape)
+    "ts_hurst")
 
   // ts_perm_entropy has no cross join: the spine explode is a select
   // on a 1-row aggregate, and the triple joins are hr-equi-keyed
