@@ -280,9 +280,16 @@ object Ext87Queries {
     */
   def simAnnOpq(spark: SparkSession, dir: String): DataFrame = {
     val nSub = 4; val k = 8; val topK = 5
+    // cache = a MATERIALIZATION BARRIER, not a reuse nicety: without
+    // it Spark inlines the 64²-term rotation HOF into every one of
+    // the 32 per-row centroid-distance expressions downstream
+    // (projection pipelining re-evaluates, it does not CSE across
+    // interpreted higher-order functions) — measured 7-9 s warm vs
+    // ~1 s with the rotated rows materialized once
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id").cast("long").as("vec_id"),
         hadamardRot(col("embedding"), 64).as("rvec"))
+      .cache()
     // lattice ints ≤ 6.4e7 pass through fitSample's double transport
     // exactly (< 2^53)
     val sample = Similarity
