@@ -358,11 +358,97 @@ object Ext87Queries {
       .orderBy("user_id", "epoch")
   }
 
+  // ---------------------------------------------------------------
+  // ev_msprt
+  // ---------------------------------------------------------------
+
+  /** Always-valid sequential A/B monitor — the mixture SPRT (Robbins
+    * 1970; Johari et al. KDD'17 "Peeking at A/B tests"): a normal-
+    * mixture likelihood ratio over the running mean difference that
+    * stays a valid test at EVERY day boundary, so an experimenter can
+    * peek daily without alpha inflation — the missing piece next to
+    * the fixed-horizon readouts (ev_cuped, eval_ab_qte). Per day d on
+    * the `user_id % 2` split:
+    *
+    *   Λ_d = sqrt(V/(V+τ²)) · exp(τ²Δ²/(2V(V+τ²))),  τ² = 1
+    *
+    * with Δ the cumulative mean difference and V = σ̂²(1/n₀+1/n₁)
+    * from cumulative pooled variance. Emitted as ln Λ on the micro
+    * lattice plus the running max (= −ln of the always-valid
+    * p-value, floored at 0) — monotone transforms of (Λ, p), no
+    * second exp.
+    *
+    * Parity contract: per-day-per-arm counts/sums/sumsqs are exact
+    * BIGINTs cumulated by integer windows over the bounded day spine;
+    * each sum is cast to double BEFORE any product (the CUPED
+    * overflow lesson); ln is the single libm call per day row,
+    * quantized ONCE to micro; the running max then runs on integers.
+    * Degenerate guard: GREATEST(σ̂², 1e-9) pins the all-identical
+    * corpus to a finite lattice point on both engines.
+    *
+    * 100 TB shape: one (day, arm-conditional) keyed aggregate
+    * collapses the event log to the |days|-bounded spine; cumulative
+    * windows and the LR arithmetic run on that bounded table (the
+    * ts_* convention — the unpartitioned window is over ≤ |days|
+    * rows).
+    */
+  def msprt(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"),
+        (col("user_id") % 2).as("arm"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"))
+    val daily = ev.groupBy("day").agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("arm") === 0, col("vm")).otherwise(0L)).as("d0"),
+      sum(when(col("arm") === 0, expr("vm * vm")).otherwise(0L))
+        .as("e0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("arm") === 1, col("vm")).otherwise(0L)).as("d1"),
+      sum(when(col("arm") === 1, expr("vm * vm")).otherwise(0L))
+        .as("e1"))
+    val w = Window.orderBy("day") // bounded: ≤ |days| rows
+    val cum = daily.select(col("day"),
+      sum("c0").over(w).as("n0"), sum("d0").over(w).as("s0"),
+      sum("e0").over(w).as("q0"),
+      sum("c1").over(w).as("n1"), sum("d1").over(w).as("s1"),
+      sum("e1").over(w).as("q1"))
+      .filter(col("n0") >= 2 && col("n1") >= 2)
+    val lam = cum
+      // every moment to double BEFORE products/ratios (CUPED lesson)
+      .withColumn("delta", expr(
+        "cast(s1 as double) / cast(n1 as double)" +
+          " - cast(s0 as double) / cast(n0 as double)"))
+      .withColumn("sig2", expr(
+        "greatest(((cast(q0 as double)" +
+          " - cast(s0 as double) * cast(s0 as double)" +
+          " / cast(n0 as double))" +
+          " + (cast(q1 as double)" +
+          " - cast(s1 as double) * cast(s1 as double)" +
+          " / cast(n1 as double)))" +
+          " / cast(n0 + n1 - 2 as double), 1e-9)"))
+      .withColumn("v", expr(
+        "sig2 * (1.0d / cast(n0 as double)" +
+          " + 1.0d / cast(n1 as double))"))
+      // the single libm call per day row, quantized once
+      .withColumn("lnlam_micro", expr(
+        "cast(round((0.5d * ln(v / (v + 1.0d))" +
+          " + delta * delta / (2.0d * v * (v + 1.0d))) * 1e6)" +
+          " as bigint)"))
+    lam.select(col("day"), col("n0"), col("n1"), col("lnlam_micro"),
+        greatest(lit(0L),
+          max("lnlam_micro").over(
+            Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding,
+                Window.currentRow))).as("nlp_micro"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_hurst" -> hurst _,
     "graph_core_decomposition" -> coreDecomposition _,
     "sim_ann_opq" -> simAnnOpq _,
-    "ev_wm_coalesce" -> wmCoalesce _)
+    "ev_wm_coalesce" -> wmCoalesce _,
+    "ev_msprt" -> msprt _)
 
   /** The h-index stage, unrolled once per iteration in the oracle —
     * prev must be the name of the previous coreness CTE.
@@ -377,6 +463,64 @@ object Ext87Queries {
        |  GROUP BY u)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ev_msprt" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    user_id % 2 AS arm,
+        |    CAST(ROUND(value * 1000) AS BIGINT) AS vm
+        |  FROM events
+        |), daily AS (
+        |  SELECT day,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c0,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT)
+        |      AS d0,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN vm * vm ELSE 0 END)
+        |      AS BIGINT) AS e0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN vm * vm ELSE 0 END)
+        |      AS BIGINT) AS e1
+        |  FROM ev GROUP BY day
+        |), cum AS (
+        |  SELECT day,
+        |    CAST(SUM(c0) OVER wd AS BIGINT) AS n0,
+        |    CAST(SUM(d0) OVER wd AS BIGINT) AS s0,
+        |    CAST(SUM(e0) OVER wd AS BIGINT) AS q0,
+        |    CAST(SUM(c1) OVER wd AS BIGINT) AS n1,
+        |    CAST(SUM(d1) OVER wd AS BIGINT) AS s1,
+        |    CAST(SUM(e1) OVER wd AS BIGINT) AS q1
+        |  FROM daily WINDOW wd AS (ORDER BY day)
+        |), f AS (
+        |  SELECT day, n0, n1,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS delta,
+        |    GREATEST(((CAST(q0 AS DOUBLE)
+        |      - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+        |      / CAST(n0 AS DOUBLE))
+        |      + (CAST(q1 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE)))
+        |      / CAST(n0 + n1 - 2 AS DOUBLE), 1e-9) AS sig2
+        |  FROM cum WHERE n0 >= 2 AND n1 >= 2
+        |), g AS (
+        |  SELECT day, n0, n1,
+        |    sig2 * (1.0 / CAST(n0 AS DOUBLE)
+        |      + 1.0 / CAST(n1 AS DOUBLE)) AS v, delta
+        |  FROM f
+        |), h AS (
+        |  SELECT day, n0, n1,
+        |    CAST(ROUND((0.5 * ln(v / (v + 1.0))
+        |      + delta * delta / (2.0 * v * (v + 1.0))) * 1e6)
+        |      AS BIGINT) AS lnlam_micro
+        |  FROM g)
+        |SELECT day, n0, n1, lnlam_micro,
+        |  GREATEST(0, CAST(MAX(lnlam_micro) OVER
+        |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND CURRENT ROW) AS BIGINT)) AS nlp_micro
+        |FROM h ORDER BY day""".stripMargin,
     "ev_wm_coalesce" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS epoch,
