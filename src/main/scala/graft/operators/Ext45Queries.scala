@@ -43,19 +43,21 @@ object Ext45Queries {
 
   /** Write once per JVM per (format, dir); return the path. */
   private def materialize(spark: SparkSession, dir: String,
-      fmt: String): String =
+      fmt: String, opts: Map[String, String] = Map.empty): String =
     written.computeIfAbsent(s"$fmt:$dir", _ => {
       val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft-rt-${ProcessHandle.current().pid()}-$fmt-" +
           Integer.toHexString(dir.hashCode)).toString
-      src(spark, dir).write.mode("overwrite").format(fmt).save(p)
+      src(spark, dir).write.mode("overwrite").format(fmt)
+        .options(opts).save(p)
       p
     })
 
   private def roundtrip(spark: SparkSession, dir: String,
-      fmt: String): DataFrame = {
-    val path = materialize(spark, dir, fmt)
-    val back = spark.read.schema(rtSchema).format(fmt).load(path)
+      fmt: String, opts: Map[String, String] = Map.empty): DataFrame = {
+    val path = materialize(spark, dir, fmt, opts)
+    val back = spark.read.schema(rtSchema).format(fmt).options(opts)
+      .load(path)
     back.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum("vm").as("s_milli"),
@@ -74,10 +76,23 @@ object Ext45Queries {
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame =
     roundtrip(spark, dir, "orc")
 
+  /** Spark 4's NATIVE XML data source (no external connector) — the
+    * reference's own config interchange format, round-tripped as
+    * data: write with an explicit rowTag, read back with the same
+    * explicit schema + rowTag (XML schema inference is a full extra
+    * pass, same rationale as the CSV/JSON rule). Like CSV/JSON, XML
+    * is an ingest-only format at 100 TB — scanned once, converted to
+    * columnar — and this query is that ingest leg's losslessness
+    * proof.
+    */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, "xml", Map("rowTag" -> "row"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> csvRoundtrip _,
     "src_jsonl_roundtrip" -> jsonlRoundtrip _,
     "src_orc_roundtrip" -> orcRoundtrip _,
+    "src_xml_roundtrip" -> xmlRoundtrip _,
   )
 
   // the oracle reads the PARQUET source directly: hash equality
@@ -98,5 +113,6 @@ object Ext45Queries {
     "src_csv_roundtrip" -> aggSql,
     "src_jsonl_roundtrip" -> aggSql,
     "src_orc_roundtrip" -> aggSql,
+    "src_xml_roundtrip" -> aggSql,
   )
 }

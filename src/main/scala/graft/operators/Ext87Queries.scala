@@ -392,7 +392,12 @@ object Ext87Queries {
     * ts_* convention — the unpartitioned window is over ≤ |days|
     * rows).
     */
-  def msprt(spark: SparkSession, dir: String): DataFrame = {
+  /** Cumulative per-arm moments over the bounded day spine — the
+    * shared input of ev_msprt and ev_power_mde (exact BIGINTs
+    * throughout; rows before both arms reach n ≥ 2 are dropped).
+    */
+  private def cumArmMoments(spark: SparkSession,
+      dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
       .select(expr("ts div 86400000000000").as("day"),
         (col("user_id") % 2).as("arm"),
@@ -407,25 +412,35 @@ object Ext87Queries {
       sum(when(col("arm") === 1, expr("vm * vm")).otherwise(0L))
         .as("e1"))
     val w = Window.orderBy("day") // bounded: ≤ |days| rows
-    val cum = daily.select(col("day"),
+    daily.select(col("day"),
       sum("c0").over(w).as("n0"), sum("d0").over(w).as("s0"),
       sum("e0").over(w).as("q0"),
       sum("c1").over(w).as("n1"), sum("d1").over(w).as("s1"),
       sum("e1").over(w).as("q1"))
       .filter(col("n0") >= 2 && col("n1") >= 2)
-    val lam = cum
+  }
+
+  /** Pooled-variance SQL expression over the cumulative moments —
+    * identical text in Spark and the oracle (modulo `//` vs `div`
+    * nothing: all doubles), every sum cast to double BEFORE products
+    * (the CUPED lesson).
+    */
+  private val Sig2Expr =
+    "greatest(((cast(q0 as double)" +
+      " - cast(s0 as double) * cast(s0 as double)" +
+      " / cast(n0 as double))" +
+      " + (cast(q1 as double)" +
+      " - cast(s1 as double) * cast(s1 as double)" +
+      " / cast(n1 as double)))" +
+      " / cast(n0 + n1 - 2 as double), 1e-9)"
+
+  def msprt(spark: SparkSession, dir: String): DataFrame = {
+    val lam = cumArmMoments(spark, dir)
       // every moment to double BEFORE products/ratios (CUPED lesson)
       .withColumn("delta", expr(
         "cast(s1 as double) / cast(n1 as double)" +
           " - cast(s0 as double) / cast(n0 as double)"))
-      .withColumn("sig2", expr(
-        "greatest(((cast(q0 as double)" +
-          " - cast(s0 as double) * cast(s0 as double)" +
-          " / cast(n0 as double))" +
-          " + (cast(q1 as double)" +
-          " - cast(s1 as double) * cast(s1 as double)" +
-          " / cast(n1 as double)))" +
-          " / cast(n0 + n1 - 2 as double), 1e-9)"))
+      .withColumn("sig2", expr(Sig2Expr))
       .withColumn("v", expr(
         "sig2 * (1.0d / cast(n0 as double)" +
           " + 1.0d / cast(n1 as double))"))
@@ -443,12 +458,45 @@ object Ext87Queries {
       .orderBy("day")
   }
 
+  // ---------------------------------------------------------------
+  // ev_power_mde
+  // ---------------------------------------------------------------
+
+  /** Fixed-horizon experiment sizing, day by day: the minimum
+    * detectable effect at α=0.05 two-sided / 80% power,
+    * MDE_d = (z₀.₉₇₅ + z₀.₈)·√V_d with V_d = σ̂²(1/n₀+1/n₁) from the
+    * same cumulative moment spine as ev_msprt — the "how much longer
+    * must this test run" readout next to the always-valid monitor.
+    * The z constants are data-independent literals; √ is IEEE
+    * CORRECTLY-ROUNDED (unlike ln), so the single micro quantization
+    * per output column is deterministic cross-engine by spec, not
+    * merely measure-one. Reported per day: arm sizes, pooled variance
+    * and MDE on the micro lattice.
+    *
+    * 100 TB shape: identical to ev_msprt — one keyed day-spine
+    * collapse, then scalar arithmetic on ≤ |days| rows.
+    */
+  def powerMde(spark: SparkSession, dir: String): DataFrame =
+    // 2.801585 = z_{0.975} + z_{0.8}, spelled as ONE literal so the
+    // oracle's text is bit-identical (not a sum of two literals)
+    cumArmMoments(spark, dir)
+      .withColumn("sig2", expr(Sig2Expr))
+      .withColumn("sig2_micro",
+        expr("cast(round(sig2 * 1e6) as bigint)"))
+      .withColumn("mde_micro", expr(
+        "cast(round(2.801585d * sqrt(sig2" +
+          " * (1.0d / cast(n0 as double)" +
+          " + 1.0d / cast(n1 as double))) * 1e6) as bigint)"))
+      .select("day", "n0", "n1", "sig2_micro", "mde_micro")
+      .orderBy("day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_hurst" -> hurst _,
     "graph_core_decomposition" -> coreDecomposition _,
     "sim_ann_opq" -> simAnnOpq _,
     "ev_wm_coalesce" -> wmCoalesce _,
-    "ev_msprt" -> msprt _)
+    "ev_msprt" -> msprt _,
+    "ev_power_mde" -> powerMde _)
 
   /** The h-index stage, unrolled once per iteration in the oracle —
     * prev must be the name of the previous coreness CTE.
@@ -462,49 +510,75 @@ object Ext87Queries {
        |    FROM edges e JOIN $prev c ON c.u = e.v) z
        |  GROUP BY u)""".stripMargin
 
+  /** The shared daily→cumulative CTE chain of the ev_msprt /
+    * ev_power_mde oracles (exact-BIGINT moments over the day spine,
+    * n ≥ 2 per arm).
+    */
+  private val CumMomentsCte =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    user_id % 2 AS arm,
+      |    CAST(ROUND(value * 1000) AS BIGINT) AS vm
+      |  FROM events
+      |), daily AS (
+      |  SELECT day,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c0,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT)
+      |      AS d0,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN vm * vm ELSE 0 END)
+      |      AS BIGINT) AS e0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c1,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT)
+      |      AS d1,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN vm * vm ELSE 0 END)
+      |      AS BIGINT) AS e1
+      |  FROM ev GROUP BY day
+      |), cum AS (
+      |  SELECT day,
+      |    CAST(SUM(c0) OVER wd AS BIGINT) AS n0,
+      |    CAST(SUM(d0) OVER wd AS BIGINT) AS s0,
+      |    CAST(SUM(e0) OVER wd AS BIGINT) AS q0,
+      |    CAST(SUM(c1) OVER wd AS BIGINT) AS n1,
+      |    CAST(SUM(d1) OVER wd AS BIGINT) AS s1,
+      |    CAST(SUM(e1) OVER wd AS BIGINT) AS q1
+      |  FROM daily WINDOW wd AS (ORDER BY day)
+      |), base AS (
+      |  SELECT * FROM cum WHERE n0 >= 2 AND n1 >= 2
+      |)""".stripMargin
+
+  private val Sig2SqlExpr =
+    """GREATEST(((CAST(q0 AS DOUBLE)
+      |      - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+      |      / CAST(n0 AS DOUBLE))
+      |      + (CAST(q1 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / CAST(n1 AS DOUBLE)))
+      |      / CAST(n0 + n1 - 2 AS DOUBLE), 1e-9)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ev_power_mde" ->
+      (CumMomentsCte +
+        s""", f AS (
+        |  SELECT day, n0, n1, $Sig2SqlExpr AS sig2
+        |  FROM base
+        |)
+        |SELECT day, n0, n1,
+        |  CAST(ROUND(sig2 * 1e6) AS BIGINT) AS sig2_micro,
+        |  CAST(ROUND(2.801585 * sqrt(sig2
+        |    * (1.0 / CAST(n0 AS DOUBLE)
+        |    + 1.0 / CAST(n1 AS DOUBLE))) * 1e6) AS BIGINT)
+        |    AS mde_micro
+        |FROM f ORDER BY day""").stripMargin,
     "ev_msprt" ->
-      """WITH ev AS (
-        |  SELECT epoch_us(ts) // 86400000000 AS day,
-        |    user_id % 2 AS arm,
-        |    CAST(ROUND(value * 1000) AS BIGINT) AS vm
-        |  FROM events
-        |), daily AS (
-        |  SELECT day,
-        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS c0,
-        |    CAST(SUM(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT)
-        |      AS d0,
-        |    CAST(SUM(CASE WHEN arm = 0 THEN vm * vm ELSE 0 END)
-        |      AS BIGINT) AS e0,
-        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS c1,
-        |    CAST(SUM(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT)
-        |      AS d1,
-        |    CAST(SUM(CASE WHEN arm = 1 THEN vm * vm ELSE 0 END)
-        |      AS BIGINT) AS e1
-        |  FROM ev GROUP BY day
-        |), cum AS (
-        |  SELECT day,
-        |    CAST(SUM(c0) OVER wd AS BIGINT) AS n0,
-        |    CAST(SUM(d0) OVER wd AS BIGINT) AS s0,
-        |    CAST(SUM(e0) OVER wd AS BIGINT) AS q0,
-        |    CAST(SUM(c1) OVER wd AS BIGINT) AS n1,
-        |    CAST(SUM(d1) OVER wd AS BIGINT) AS s1,
-        |    CAST(SUM(e1) OVER wd AS BIGINT) AS q1
-        |  FROM daily WINDOW wd AS (ORDER BY day)
-        |), f AS (
+      (CumMomentsCte +
+      s""", f AS (
         |  SELECT day, n0, n1,
         |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
         |      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS delta,
-        |    GREATEST(((CAST(q0 AS DOUBLE)
-        |      - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
-        |      / CAST(n0 AS DOUBLE))
-        |      + (CAST(q1 AS DOUBLE)
-        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-        |      / CAST(n1 AS DOUBLE)))
-        |      / CAST(n0 + n1 - 2 AS DOUBLE), 1e-9) AS sig2
-        |  FROM cum WHERE n0 >= 2 AND n1 >= 2
+        |    $Sig2SqlExpr AS sig2
+        |  FROM base
         |), g AS (
         |  SELECT day, n0, n1,
         |    sig2 * (1.0 / CAST(n0 AS DOUBLE)
@@ -520,7 +594,7 @@ object Ext87Queries {
         |  GREATEST(0, CAST(MAX(lnlam_micro) OVER
         |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
         |     AND CURRENT ROW) AS BIGINT)) AS nlp_micro
-        |FROM h ORDER BY day""".stripMargin,
+        |FROM h ORDER BY day""").stripMargin,
     "ev_wm_coalesce" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS epoch,

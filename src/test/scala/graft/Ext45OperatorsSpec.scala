@@ -43,6 +43,11 @@ class Ext45OperatorsSpec extends AnyFunSuite {
     check(Ext45Queries.jsonlRoundtrip(spark, TestSpark.sfDir))
   }
 
+  test("xml roundtrip (Spark 4 native source) is lossless vs the " +
+    "parquet source") {
+    check(Ext45Queries.xmlRoundtrip(spark, TestSpark.sfDir))
+  }
+
   test("orc roundtrip is lossless vs the parquet source, and the " +
     "orc scan prunes columns") {
     check(Ext45Queries.orcRoundtrip(spark, TestSpark.sfDir))

@@ -62,6 +62,39 @@ class Ext87MsprtSpec extends AnyFunSuite {
     assert(got.nonEmpty, "dead fixture: no day reached n>=2 per arm")
   }
 
+  test("power_mde: exact per-day replay; MDE shrinks as the " +
+      "experiment accumulates users (1/sqrt(n) law on this corpus)") {
+    val ev = Tables.t(spark, TestSpark.sfDir, "events")
+      .select(expr("ts div 86400000000000").as("day"),
+        (col("user_id") % 2).as("arm"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDay = ev.groupBy(_._1).toSeq.sortBy(_._1)
+    var (n0, s0, q0, n1, s1, q1) = (0L, 0L, 0L, 0L, 0L, 0L)
+    val expect = byDay.flatMap { case (day, rows) =>
+      rows.foreach { case (_, arm, vm) =>
+        if (arm == 0) { n0 += 1; s0 += vm; q0 += vm * vm }
+        else { n1 += 1; s1 += vm; q1 += vm * vm }
+      }
+      if (n0 >= 2 && n1 >= 2) {
+        val sig2 = math.max(
+          ((q0.toDouble - s0.toDouble * s0.toDouble / n0.toDouble)
+            + (q1.toDouble - s1.toDouble * s1.toDouble / n1.toDouble))
+            / (n0 + n1 - 2).toDouble, 1e-9)
+        val mde = math.round(2.801585 * math.sqrt(
+          sig2 * (1.0 / n0.toDouble + 1.0 / n1.toDouble)) * 1e6)
+        Some((day, n0, n1, math.round(sig2 * 1e6), mde))
+      } else None
+    }
+    val got = operators.Ext87Queries.powerMde(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expect)
+    assert(got.nonEmpty && got.forall(_._5 > 0L))
+    assert(got.last._5 < got.head._5,
+      "MDE should shrink as users accumulate on a stationary corpus")
+  }
+
   test("a genuine effect accumulates evidence: shifted arm drives " +
       "nlp up; a null corpus stays near zero") {
     import spark.implicits._
