@@ -490,13 +490,60 @@ object Ext87Queries {
       .select("day", "n0", "n1", "sig2_micro", "mde_micro")
       .orderBy("day")
 
+  // ---------------------------------------------------------------
+  // ev_srm
+  // ---------------------------------------------------------------
+
+  /** Sample-ratio-mismatch guardrail — the first check every
+    * experimentation platform runs before trusting a readout. The
+    * unit is the RANDOMIZATION unit (users), not events: per-event
+    * counts legitimately imbalance under heavy-user skew (the sf0.001
+    * corpus flags at event level with χ²=15 on a perfectly fair
+    * user_id % 2 split — the classic SRM false alarm this distinction
+    * exists to avoid). Each user enters at their FIRST event day;
+    * per day d, χ² = (u₀−u₁)²/(u₀+u₁) over cumulative enrolled
+    * users against one degree of freedom, flagged past the 0.05
+    * critical value (3.841, a data-independent literal). The χ²
+    * numerator/denominator are exact BIGINTs, micro-rounded once,
+    * and the flag compares on the integer lattice (3_841_000) — no
+    * float comparison anywhere.
+    *
+    * 100 TB shape: one keyed user collapse (min day), one
+    * |days|-bounded cumulative spine — the same shape as the other
+    * ev_ sequential audits. The diff is cast to double BEFORE
+    * squaring (the CUPED overflow class).
+    */
+  def srm(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = t(spark, dir, "events")
+      .select(col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      .groupBy("user_id").agg(min("day").as("fday"))
+      .withColumn("arm", col("user_id") % 2)
+    val daily = firstDay.groupBy("fday").agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("a0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("a1"))
+    val w = Window.orderBy("fday") // bounded: ≤ |days| rows
+    daily.select(col("fday").as("day"),
+        sum("a0").over(w).as("u0"), sum("a1").over(w).as("u1"))
+      .filter(col("u0") + col("u1") >= 2)
+      .withColumn("chi2_micro", expr(
+        "cast(round(cast(u0 - u1 as double)" +
+          " * cast(u0 - u1 as double)" +
+          " / cast(u0 + u1 as double) * 1e6) as bigint)"))
+      .withColumn("srm_flag",
+        (col("chi2_micro") > 3841000L).cast("int"))
+      .select("day", "u0", "u1", "chi2_micro", "srm_flag")
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_hurst" -> hurst _,
     "graph_core_decomposition" -> coreDecomposition _,
     "sim_ann_opq" -> simAnnOpq _,
     "ev_wm_coalesce" -> wmCoalesce _,
     "ev_msprt" -> msprt _,
-    "ev_power_mde" -> powerMde _)
+    "ev_power_mde" -> powerMde _,
+    "ev_srm" -> srm _)
 
   /** The h-index stage, unrolled once per iteration in the oracle —
     * prev must be the name of the previous coreness CTE.
@@ -558,6 +605,34 @@ object Ext87Queries {
       |      / CAST(n0 + n1 - 2 AS DOUBLE), 1e-9)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ev_srm" ->
+      """WITH fd AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    MIN(epoch_us(ts) // 86400000000) AS fday
+        |  FROM events GROUP BY user_id
+        |), daily AS (
+        |  SELECT fday,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a1
+        |  FROM fd GROUP BY fday
+        |), cum AS (
+        |  SELECT fday AS day,
+        |    CAST(SUM(a0) OVER (ORDER BY fday) AS BIGINT) AS u0,
+        |    CAST(SUM(a1) OVER (ORDER BY fday) AS BIGINT) AS u1
+        |  FROM daily
+        |), f AS (
+        |  SELECT day, u0, u1,
+        |    CAST(ROUND(CAST(u0 - u1 AS DOUBLE)
+        |      * CAST(u0 - u1 AS DOUBLE)
+        |      / CAST(u0 + u1 AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS chi2_micro
+        |  FROM cum WHERE u0 + u1 >= 2)
+        |SELECT day, u0, u1, chi2_micro,
+        |  CAST(CASE WHEN chi2_micro > 3841000 THEN 1 ELSE 0 END
+        |    AS INT) AS srm_flag
+        |FROM f ORDER BY day""".stripMargin,
     "ev_power_mde" ->
       (CumMomentsCte +
         s""", f AS (

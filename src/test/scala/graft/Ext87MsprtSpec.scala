@@ -95,6 +95,39 @@ class Ext87MsprtSpec extends AnyFunSuite {
       "MDE should shrink as users accumulate on a stationary corpus")
   }
 
+  test("srm: chi-square replay; a broken 90/10 assignment flags, " +
+      "the balanced corpus does not") {
+    import spark.implicits._
+    val dayNs = 86400000000000L
+    // broken assignment: 90% of users land in arm 0
+    val rows = (0 until 1000).map { i =>
+      val uid = if (i % 10 == 0) 1L + 2 * i else 2L * i // 10% odd
+      (uid, (i % 10).toLong * dayNs + 3600000000000L, 0.1 + i % 3)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("srm-broken").toString
+    rows.toDF("user_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val broken = operators.Ext87Queries.srm(spark, dir).collect()
+    assert(broken.last.getInt(4) === 1,
+      "a 90/10 split must flag sample-ratio mismatch")
+    // user-level replay of the final row: 900 even / 100 odd users
+    assert((broken.last.getLong(1), broken.last.getLong(2))
+      === ((900L, 100L)))
+    val (u0, u1) = (broken.last.getLong(1), broken.last.getLong(2))
+    val want = math.round((u0 - u1).toDouble * (u0 - u1).toDouble
+      / (u0 + u1).toDouble * 1e6)
+    assert(broken.last.getLong(3) === want)
+    // the real corpus's user_id % 2 split is fair at the USER level
+    // and must NOT flag — even though its EVENT-level counts flag
+    // χ²=15 under heavy-user skew (the false alarm the
+    // randomization-unit definition exists to avoid)
+    val real = operators.Ext87Queries.srm(spark, TestSpark.sfDir)
+      .collect()
+    assert(real.nonEmpty && real.last.getInt(4) === 0,
+      "balanced corpus flagged SRM — critical value misapplied")
+  }
+
   test("a genuine effect accumulates evidence: shifted arm drives " +
       "nlp up; a null corpus stays near zero") {
     import spark.implicits._
