@@ -80,6 +80,16 @@ object Bench {
       .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
 
+  /** Stream-throughput floor under which the best-of-2 reading earns
+    * ONE extra (post-GC) cycle. Provenance: identical code read
+    * 34-45k rows/s across quiet r9-r11 recordings while single
+    * contended cycles dipped to 28-29.5k, so a sub-30k best-of-2 is
+    * far more likely host state than plan. The value is host-derived,
+    * not universal — which is why the headline records "runs_stream"
+    * (2|3) and BENCH_DETAIL keeps every cycle in stream_cycles_rps.
+    */
+  private val StreamRetryFloorRps = 30000.0
+
   def main(args: Array[String]): Unit = {
     val benchStart = System.nanoTime()
     // TOTAL wall-clock budget for the whole bench (suite + throughput
@@ -461,8 +471,15 @@ object Bench {
         streamCycleRps += r
         r
       }
+      // The retry is one-sided by design (it exists to give a
+      // transient-host LOW reading a second chance, never to shave a
+      // high one), which biases the committed max upward versus a
+      // strict max-of-2 — so the headline discloses how many cycles
+      // fed the max via "runs_stream" (2|3) and every cycle lands in
+      // stream_cycles_rps, letting round-over-round comparators
+      // normalize (round-11 ADVICE).
       val base = Seq(measured(), measured()).max
-      if (base >= 30000.0) base
+      if (base >= StreamRetryFloorRps) base
       else { System.gc(); math.max(base, measured()) }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] stream section failed: ${e.getMessage}")
@@ -530,7 +547,7 @@ object Bench {
     // step-changed by method rather than by plan.
     val nTimed = queryResults.count(_._2 >= 0)
     def headlineLine(sf1Head: String, partial: Boolean): String =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${queryResults.size},"n_timed":$nTimed,"n_deferred":$deferred,"n_suite_child":${suiteChildRec.size},"derived_build_sec":${fmt(derivedBuildSec)},"runs_headline":2,"record_other":"warm2nd|child_warm"${if (partial) ",\"partial\":true" else ""},"noise_sum_sec":${fmt(noiseSum)},"gc_sum_sec":${fmt(gcSum)}$sf1Head,"queries":$qs,"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"value":${fmt(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${queryResults.size},"n_timed":$nTimed,"n_deferred":$deferred,"n_suite_child":${suiteChildRec.size},"derived_build_sec":${fmt(derivedBuildSec)},"runs_headline":2,"runs_stream":${streamCycleRps.size},"record_other":"warm2nd|child_warm"${if (partial) ",\"partial\":true" else ""},"noise_sum_sec":${fmt(noiseSum)},"gc_sum_sec":${fmt(gcSum)}$sf1Head,"queries":$qs,"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"value":${fmt(total)}}"""
     // File fallback for the stdout contract (round-8 verdict ask #1):
     // the driver can read BENCH_HEADLINE.json even if a wrapper ever
     // mangles stdout again. Written at the early flush (partial:true)
@@ -645,6 +662,14 @@ object Bench {
       if (sf1Exists) math.min(300.0, sf1Budget * 0.4) else 0.0
     val sf1Start = System.nanoTime()
     val probedNow = scala.collection.mutable.ListBuffer.empty[String]
+    // The warm-only shortcut below rests on the premise that THIS JVM
+    // already JIT/codegen-warmed the entry's plan in the main suite.
+    // Record the premise instead of assuming it (round-11 ADVICE):
+    // suite completions recorded via a fresh child JVM are excluded —
+    // the parent process never ran those plans, so nothing transferred.
+    val suiteWarmed: Set[String] =
+      queryResults.filter(_._2 >= 0).map(_._1).toSet --
+        suiteChildRec
     // the budget is charged WALL-CLOCK — a probe that fails after ten
     // minutes must count against the cap exactly like a slow success,
     // or failures could run the section away with the bench slot
@@ -718,7 +743,11 @@ object Bench {
               // round-over-round on an unchanged plan, so re-paying
               // it halved coverage for no information. Never-probed
               // entries (new queries) keep the full cold+warm pair.
-              if (hist.contains(name)) {
+              // The shortcut fires only when its premise holds in
+              // THIS JVM (suiteWarmed): an entry that errored or was
+              // rotation-deferred in the suite — or a path that skips
+              // the suite entirely — keeps the full cold+warm pair.
+              if (hist.contains(name) && suiteWarmed(name)) {
                 val warm = once()
                 if (warm > 0) sf1Total += warm
                 if (warm >= 0) probedNow += name
@@ -728,7 +757,10 @@ object Bench {
                 val warm = if (cold < 0) -1.0 else once()
                 if (warm > 0) sf1Total += warm
                 if (cold > 0) sf1ColdTotal += cold
-                probedNow += name
+                // stamp only on success — same retry policy as the
+                // warm-only branch (round-11 ADVICE: a failed probe
+                // must stay at the front of the next rotation)
+                if (warm >= 0) probedNow += name
                 s"""{"cold":${fmt(cold)},"warm":${fmt(warm)}}"""
               }
             }
@@ -798,7 +830,7 @@ object Bench {
     if (!throughputOnly)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","n_queries":${queryResults.size},"n_entries":${results.size},"n_timed":$nTimed,"n_deferred":$deferred,"suite_child_jvm":${suiteChildRec.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_sec":${fmt(total)},"derived_build_sec":${fmt(derivedBuildSec)},"runs_headline":2,"record_other":"warm2nd|child_warm","noise_sum_sec":${fmt(noiseSum)},"gc_sum_sec":${fmt(gcSum)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"stream_cycles_rps":${streamCycleRps.map(r => r.toLong.toString).mkString("[", ",", "]")},"scaling":$scaling,"sf1_probe":$sf1,"sf1_warm_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)},"noise":$noiseDetail,"gc":$gcDetail,"queries":$detail}""".getBytes("UTF-8"))
+      s"""{"sf":"$sfDir","n_queries":${queryResults.size},"n_entries":${results.size},"n_timed":$nTimed,"n_deferred":$deferred,"suite_child_jvm":${suiteChildRec.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_sec":${fmt(total)},"derived_build_sec":${fmt(derivedBuildSec)},"runs_headline":2,"runs_stream":${streamCycleRps.size},"record_other":"warm2nd|child_warm","noise_sum_sec":${fmt(noiseSum)},"gc_sum_sec":${fmt(gcSum)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"cdc_rows_per_sec":${rps.toLong},"cdc_stream_rows_per_sec":${streamRps.toLong},"stream_cycles_rps":${streamCycleRps.map(r => r.toLong.toString).mkString("[", ",", "]")},"scaling":$scaling,"sf1_probe":$sf1,"sf1_warm_total_sec":${fmt(sf1Total)},"sf1_cold_total_sec":${fmt(sf1ColdTotal)},"noise":$noiseDetail,"gc":$gcDetail,"queries":$detail}""".getBytes("UTF-8"))
     catch { case NonFatal(e) =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // sf1_total_sec = sum of WARM probe seconds (steady-state shape);

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 /** Round-4 batch 4: evaluation + time-series + mixing operators — the
   * measurement stages a curation pipeline runs BEFORE trusting its
   * model-driven filters (reference analog: the monitoring surface,
-  * App.java:41-44, generalized from pipeline health to model health).
+  * Application.java:40-47, generalized from pipeline health to model
+  * health).
   *
   *  - `eval_langid_prf` / `eval_cohen_kappa`: per-class precision/
   *    recall/F1 and chance-corrected agreement for the language-ID

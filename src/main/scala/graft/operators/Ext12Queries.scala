@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 /** Round-4 batch 5: robust statistics + audit operators — the
   * distribution-shaped checks a curation pipeline runs on numeric
   * columns before trusting them (reference analog: the validation
-  * stage, YqlValidator.java:30-52, generalized from schema checks to
+  * stage, CdcMsgParser.java:160-221, generalized from schema checks to
   * distributional checks).
   *
   *  - `q58_weighted_median`: exact weighted median (cumulative-weight

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * unigram KL divergence (the distribution-shift number a corpus
   * mixer reads before weighting sources; reference analog: the
   * monitoring surface generalized from pipeline health to data
-  * health, App.java:41-44).
+  * health, Application.java:40-47).
   */
 object Ext74Queries {
 

@@ -344,8 +344,13 @@ object Ext84Queries {
     * (the tokenizer is shared), collapsing to a 1-row moment
     * aggregate; kappa is arithmetic on that row.
     */
-  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+  /** The three deterministic binary judges over `documents` — shared
+    * by `eval_fleiss_kappa` and `eval_cochran_q` (Ext88Queries) so
+    * the two agreement statistics audit the SAME rater panel.
+    */
+  private[graft] def judgeVotes(spark: SparkSession,
+      dir: String): DataFrame =
+    t(spark, dir, "documents")
       .withColumn("toks",
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
       .withColumn("j1",
@@ -358,6 +363,9 @@ object Ext84Queries {
           TextAnalysis.enStopwords.map(lit): _*))) >= 2, 1L)
         .otherwise(0L))
       .withColumn("n1", col("j1") + col("j2") + col("j3"))
+
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val docs = judgeVotes(spark, dir)
       .withColumn("agree",
         expr("n1 * (n1 - 1) + (3 - n1) * (2 - n1)"))
     docs.agg(count(lit(1)).as("n_docs"),

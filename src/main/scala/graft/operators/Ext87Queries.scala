@@ -152,7 +152,9 @@ object Ext87Queries {
       .distinct().cache()
     val deg = edges.groupBy("u").agg(count(lit(1)).as("val")).cache()
     var cur = deg
+    var prev = deg
     for (_ <- 1 to CoreIters) {
+      prev = cur
       // neighbor values of u = cur value of each v adjacent to u;
       // h-index = max(least(rank, value)) over values sorted desc
       // (tie order among equal values cannot change the max)
@@ -165,6 +167,22 @@ object Ext87Queries {
         .agg(max(least(col("rn"), col("val"))).as("val"))
         .cache()
     }
+    // Convergence tripwire (round-11 ADVICE): the spec proves the
+    // fixpoint on the driver corpus only; on a larger graph a fixed
+    // CoreIters could silently return an unconverged upper bound
+    // that BOTH engines agree on (parity is structural, so the
+    // oracle diff cannot catch it). One keyed join of the last two
+    // iterates — both cached, ~|V| rows — decides it at runtime.
+    // Shout, don't fail: the value is still a monotone upper bound
+    // and the oracle still matches hash-exactly.
+    val unconverged = prev.select(col("u"), col("val").as("pv"))
+      .join(cur, "u").filter(col("val") =!= col("pv")).count()
+    if (unconverged > 0)
+      System.err.println(s"[graft] coreDecomposition: h-index NOT " +
+        s"converged after $CoreIters iterations ($unconverged nodes " +
+        "still decreasing) — coreness is an upper bound on this " +
+        "graph; raise CoreIters (and the oracle's unrolled stage " +
+        "count) together to keep parity")
     deg.select(col("u").as("node"), col("val").as("deg"))
       .join(cur.select(col("u").as("node"),
         col("val").as("coreness")), "node")
@@ -278,8 +296,12 @@ object Ext87Queries {
     * the flat-PQ scale path — literal codebooks, code scan, per-query
     * top-k window.
     */
-  def simAnnOpq(spark: SparkSession, dir: String): DataFrame = {
-    val nSub = 4; val k = 8; val topK = 5
+  def simAnnOpq(spark: SparkSession, dir: String): DataFrame =
+    opqAdcTopK(spark, dir, topK = 5)
+
+  private def opqAdcTopK(spark: SparkSession, dir: String,
+      topK: Int): DataFrame = {
+    val nSub = 4; val k = 8
     // cache = a MATERIALIZATION BARRIER, not a reuse nicety: without
     // it Spark inlines the 64²-term rotation HOF into every one of
     // the 32 per-row centroid-distance expressions downstream
@@ -324,6 +346,41 @@ object Ext87Queries {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("n_id"), col("adist"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** OPQ shortlist + exact re-rank — the full production retrieval
+    * shape for the rotated family, composed exactly as
+    * `Pq.rerankTopK` (Pq.scala:170) composes flat PQ: the integer
+    * ADC scan above nominates 20 candidates per query, then ONLY
+    * those pairs pay an exact float cosine against the RAW (unrotated)
+    * vectors — a broadcast-hash fetch of |queries|·20 rows, never the
+    * corpus. Because the Hadamard rotation is orthonormal, the ADC
+    * shortlist estimates the same L2 geometry the cosine re-ranks,
+    * so recall loss is bought back at candidate-set cost independent
+    * of corpus size — the 100 TB contract of every rerank entry.
+    */
+  def simAnnRerankOpq(spark: SparkSession, dir: String): DataFrame = {
+    val shortlist = 20; val topK = 5
+    val cand = opqAdcTopK(spark, dir, shortlist)
+      .select(col("q_id"), col("n_id"))
+    val emb = t(spark, dir, "embeddings")
+    val c = emb.select(col("vec_id").cast("long").as("n_id"),
+      col("embedding").as("n_vec"))
+      .withColumn("n_nrm", Similarity.norm(col("n_vec")))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").as("q_vec"))
+      .withColumn("q_nrm", Similarity.norm(col("q_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    cand.join(c, "n_id").join(broadcast(q), "q_id")
+      .withColumn("sim", round(
+        Similarity.dot(col("q_vec"), col("n_vec"))
+          / (col("q_nrm") * col("n_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
       .orderBy("q_id", "rank")
   }
 
@@ -540,6 +597,7 @@ object Ext87Queries {
     "ts_hurst" -> hurst _,
     "graph_core_decomposition" -> coreDecomposition _,
     "sim_ann_opq" -> simAnnOpq _,
+    "sim_ann_rerank_opq" -> simAnnRerankOpq _,
     "ev_wm_coalesce" -> wmCoalesce _,
     "ev_msprt" -> msprt _,
     "ev_power_mde" -> powerMde _,
@@ -603,6 +661,97 @@ object Ext87Queries {
       |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
       |      / CAST(n1 AS DOUBLE)))
       |      / CAST(n0 + n1 - 2 AS DOUBLE), 1e-9)""".stripMargin
+
+  /** The OPQ oracle's shared CTE chain — exact-integer Hadamard
+    * rotation, lattice codebook fit, corpus codes, and the ADC
+    * `approx` pair distances. The plain top-5 entry and the
+    * re-ranked variant both append tails to this base.
+    */
+  private val OpqOracleBase: String =
+    """WITH rx AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+        |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings
+        |), rot AS MATERIALIZED (
+        |  -- exact-integer Walsh–Hadamard: sign = parity of
+        |  -- popcount(i & j); order-free BIGINT sum, NO division —
+        |  -- everything downstream stays on the y' integer lattice
+        |  SELECT r.vec_id, d.i,
+        |    CAST(SUM(CASE WHEN
+        |        bit_count(CAST(d.i AS INTEGER) & CAST(r.j AS INTEGER))
+        |          % 2 = 0
+        |        THEN r.xq ELSE -r.xq END) AS BIGINT) AS x
+        |  FROM rx r
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) d
+        |  GROUP BY r.vec_id, d.i
+        |), ee AS MATERIALIZED (
+        |  SELECT vec_id, i // 16 AS m, i % 16 AS j, x FROM rot
+        |), ef AS MATERIALIZED (
+        |  SELECT * FROM ee WHERE
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5('ivfs:' || vec_id), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5('ivfs:' || vec_id), 2, 1)) - 1)) % 2 = 0
+        |), seeds AS (
+        |  SELECT vec_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+        |      AS cell
+        |  FROM (SELECT DISTINCT vec_id FROM ef ORDER BY vec_id
+        |        LIMIT 8)
+        |), cent0 AS MATERIALIZED (
+        |  SELECT e.m, s.cell, e.j, e.x AS v
+        |  FROM seeds s JOIN ef e ON e.vec_id = s.vec_id
+        |), d1 AS (
+        |  -- exact BIGINT lattice² distance, no rounding anywhere
+        |  SELECT f.vec_id, f.m, c.cell,
+        |    CAST(SUM((f.x - c.v) * (f.x - c.v)) AS BIGINT) AS dm
+        |  FROM ef f JOIN cent0 c ON c.m = f.m AND c.j = f.j
+        |  GROUP BY f.vec_id, f.m, c.cell
+        |), asg1 AS (
+        |  SELECT vec_id, m, cell FROM (
+        |    SELECT vec_id, m, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |        ORDER BY dm, cell) AS rn
+        |    FROM d1) z WHERE rn = 1
+        |), cm1 AS (
+        |  -- centroid mean as HALF_UP integer division (away from
+        |  -- zero at .5) — the engine's halfUp mirrored verbatim
+        |  SELECT a.m, a.cell, e.j,
+        |    CASE WHEN CAST(SUM(e.x) AS BIGINT) >= 0
+        |      THEN (2 * CAST(SUM(e.x) AS BIGINT) + COUNT(*))
+        |        // (2 * COUNT(*))
+        |      ELSE -((-2 * CAST(SUM(e.x) AS BIGINT) + COUNT(*))
+        |        // (2 * COUNT(*)))
+        |    END AS v
+        |  FROM asg1 a
+        |  JOIN ef e ON e.vec_id = a.vec_id AND e.m = a.m
+        |  GROUP BY a.m, a.cell, e.j
+        |), cent1 AS MATERIALIZED (
+        |  SELECT * FROM cm1
+        |  UNION ALL
+        |  SELECT p.m, p.cell, p.j, p.v FROM cent0 p
+        |  WHERE NOT EXISTS (SELECT 1 FROM cm1 c
+        |    WHERE c.m = p.m AND c.cell = p.cell)
+        |), dall AS MATERIALIZED (
+        |  SELECT e.vec_id, e.m, c.cell,
+        |    CAST(SUM((e.x - c.v) * (e.x - c.v)) AS BIGINT) AS dm
+        |  FROM ee e JOIN cent1 c ON c.m = e.m AND c.j = e.j
+        |  GROUP BY e.vec_id, e.m, c.cell
+        |), codes AS (
+        |  SELECT vec_id, m, cell FROM (
+        |    SELECT vec_id, m, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |        ORDER BY dm, cell) AS rn
+        |    FROM dall) z WHERE rn = 1
+        |), approx AS (
+        |  SELECT qd.vec_id AS q_id, n.vec_id AS n_id,
+        |    CAST(SUM(qd.dm) AS BIGINT) AS adist
+        |  FROM codes n
+        |  JOIN dall qd ON qd.m = n.m AND qd.cell = n.cell
+        |    AND qd.vec_id < 8 AND qd.vec_id <> n.vec_id
+        |  GROUP BY qd.vec_id, n.vec_id
+        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ev_srm" ->
@@ -770,96 +919,47 @@ object Ext87Queries {
         |SELECT d.u AS node, d.val AS deg, c.val AS coreness
         |FROM c0 d JOIN c$CoreIters c ON c.u = d.u
         |ORDER BY node""").stripMargin,
-    "sim_ann_opq" ->
-      """WITH rx AS MATERIALIZED (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
-        |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6)
-        |      AS BIGINT) AS xq
-        |  FROM embeddings
-        |), rot AS MATERIALIZED (
-        |  -- exact-integer Walsh–Hadamard: sign = parity of
-        |  -- popcount(i & j); order-free BIGINT sum, NO division —
-        |  -- everything downstream stays on the y' integer lattice
-        |  SELECT r.vec_id, d.i,
-        |    CAST(SUM(CASE WHEN
-        |        bit_count(CAST(d.i AS INTEGER) & CAST(r.j AS INTEGER))
-        |          % 2 = 0
-        |        THEN r.xq ELSE -r.xq END) AS BIGINT) AS x
-        |  FROM rx r
-        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) d
-        |  GROUP BY r.vec_id, d.i
-        |), ee AS MATERIALIZED (
-        |  SELECT vec_id, i // 16 AS m, i % 16 AS j, x FROM rot
-        |), ef AS MATERIALIZED (
-        |  SELECT * FROM ee WHERE
-        |    ((strpos('0123456789abcdef',
-        |        substr(md5('ivfs:' || vec_id), 1, 1)) - 1) * 16
-        |     + (strpos('0123456789abcdef',
-        |        substr(md5('ivfs:' || vec_id), 2, 1)) - 1)) % 2 = 0
-        |), seeds AS (
-        |  SELECT vec_id,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
-        |      AS cell
-        |  FROM (SELECT DISTINCT vec_id FROM ef ORDER BY vec_id
-        |        LIMIT 8)
-        |), cent0 AS MATERIALIZED (
-        |  SELECT e.m, s.cell, e.j, e.x AS v
-        |  FROM seeds s JOIN ef e ON e.vec_id = s.vec_id
-        |), d1 AS (
-        |  -- exact BIGINT lattice² distance, no rounding anywhere
-        |  SELECT f.vec_id, f.m, c.cell,
-        |    CAST(SUM((f.x - c.v) * (f.x - c.v)) AS BIGINT) AS dm
-        |  FROM ef f JOIN cent0 c ON c.m = f.m AND c.j = f.j
-        |  GROUP BY f.vec_id, f.m, c.cell
-        |), asg1 AS (
-        |  SELECT vec_id, m, cell FROM (
-        |    SELECT vec_id, m, cell,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
-        |        ORDER BY dm, cell) AS rn
-        |    FROM d1) z WHERE rn = 1
-        |), cm1 AS (
-        |  -- centroid mean as HALF_UP integer division (away from
-        |  -- zero at .5) — the engine's halfUp mirrored verbatim
-        |  SELECT a.m, a.cell, e.j,
-        |    CASE WHEN CAST(SUM(e.x) AS BIGINT) >= 0
-        |      THEN (2 * CAST(SUM(e.x) AS BIGINT) + COUNT(*))
-        |        // (2 * COUNT(*))
-        |      ELSE -((-2 * CAST(SUM(e.x) AS BIGINT) + COUNT(*))
-        |        // (2 * COUNT(*)))
-        |    END AS v
-        |  FROM asg1 a
-        |  JOIN ef e ON e.vec_id = a.vec_id AND e.m = a.m
-        |  GROUP BY a.m, a.cell, e.j
-        |), cent1 AS MATERIALIZED (
-        |  SELECT * FROM cm1
-        |  UNION ALL
-        |  SELECT p.m, p.cell, p.j, p.v FROM cent0 p
-        |  WHERE NOT EXISTS (SELECT 1 FROM cm1 c
-        |    WHERE c.m = p.m AND c.cell = p.cell)
-        |), dall AS MATERIALIZED (
-        |  SELECT e.vec_id, e.m, c.cell,
-        |    CAST(SUM((e.x - c.v) * (e.x - c.v)) AS BIGINT) AS dm
-        |  FROM ee e JOIN cent1 c ON c.m = e.m AND c.j = e.j
-        |  GROUP BY e.vec_id, e.m, c.cell
-        |), codes AS (
-        |  SELECT vec_id, m, cell FROM (
-        |    SELECT vec_id, m, cell,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
-        |        ORDER BY dm, cell) AS rn
-        |    FROM dall) z WHERE rn = 1
-        |), approx AS (
-        |  SELECT qd.vec_id AS q_id, n.vec_id AS n_id,
-        |    CAST(SUM(qd.dm) AS BIGINT) AS adist
-        |  FROM codes n
-        |  JOIN dall qd ON qd.m = n.m AND qd.cell = n.cell
-        |    AND qd.vec_id < 8 AND qd.vec_id <> n.vec_id
-        |  GROUP BY qd.vec_id, n.vec_id
-        |), ranked AS (
+    "sim_ann_opq" -> (OpqOracleBase +
+      """, ranked AS (
         |  SELECT q_id, n_id, adist,
         |    ROW_NUMBER() OVER (PARTITION BY q_id
         |      ORDER BY adist, n_id) AS rank
         |  FROM approx)
         |SELECT q_id, n_id, adist, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin)
+        |ORDER BY q_id, rank""".stripMargin),
+    "sim_ann_rerank_opq" -> (OpqOracleBase +
+      """, raw AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), shortlist AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY adist, n_id) AS rnk
+        |    FROM approx) z WHERE rnk <= 20
+        |), nrms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM raw
+        |  GROUP BY vec_id
+        |), dots AS (
+        |  SELECT s.q_id, s.n_id, SUM(q.x * e.x) AS dot
+        |  FROM shortlist s
+        |  JOIN raw q ON q.vec_id = s.q_id
+        |  JOIN raw e ON e.vec_id = s.n_id AND e.i = q.i
+        |  GROUP BY s.q_id, s.n_id
+        |), cos AS (
+        |  SELECT d.q_id, d.n_id,
+        |    ROUND(d.dot / (nq.nrm * ne.nrm), 6) AS sim
+        |  FROM dots d
+        |  JOIN nrms nq ON nq.vec_id = d.q_id
+        |  JOIN nrms ne ON ne.vec_id = d.n_id
+        |), rr AS (
+        |  SELECT q_id, n_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, n_id) AS rank
+        |  FROM cos)
+        |SELECT q_id, n_id, sim, CAST(rank AS INT) AS rank
+        |FROM rr WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin))
 }
