@@ -199,8 +199,14 @@ object Bench {
     // (headline + gate families, ~160 bounded queries) is never
     // clipped. tailReserve covers the throughput + scaling sections
     // that run between the suite and the sf1 loop.
+    // 500 -> 350 in round 12: the warm-only sf1 coverage mode (r10
+    // ask #3) cut the per-probe cost roughly in half, so the same
+    // coverage (103 probes in r11/r12) no longer needs the full 500 s
+    // — and the 150 s returned to the suite deadline is what lets the
+    // rotating tier finish the whole catalog (n_deferred: 0, r11
+    // verdict ask #2) instead of deferring its tail.
     val sf1Reserve =
-      sys.env.getOrElse("SPARK_GRAFT_SF1_RESERVE", "500").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_SF1_RESERVE", "350").toDouble
     val tailReserve = 180.0
     val suiteDeadline = totalBudget - sf1Reserve - tailReserve
     // Always-run gate tier: the reference-surface families (TPC-H-ish
@@ -360,7 +366,19 @@ object Bench {
           val gcSec = (gcMillis - g0) / 1e3
           spark.catalog.clearCache()
           graft.operators.Ext9Queries.clearFitCache()
-          System.gc()
+          // The inter-entry full GC exists so heavy entries measure
+          // their PLAN, not the harness's ContextCleaner backlog
+          // (round-6 evidence: 3-9x inflation without it). A
+          // sub-0.3s entry neither leaves meaningful garbage nor
+          // suffers measurably from it, and ~250 of the catalog's
+          // entries are in that class — their inter-entry pauses were
+          // a large share of the suite's wall and a direct cause of
+          // the rotating tier's deadline deferrals (round-12: 54
+          // deferred at the 1120 s deadline while recorded query time
+          // was only 274 s).
+          // Recorded numbers are unchanged in method (warm2nd /
+          // min-of-2); only the between-entry pause is conditional.
+          if (best < 0 || best >= 0.3) System.gc()
           timedNow += name
           (name, best, noise, gcSec)
         }
@@ -658,8 +676,13 @@ object Bench {
     // the in-JVM rotation loop's deadline is sf1Budget minus this, so
     // the heavy entries (the ones whose quiet bands the judge reads)
     // are never the ones a budget clip starves
+    // 0.4 -> 0.5 in round 12: the r12-open run's pinned tail starved
+    // (jaccard/near-dups children killed on budget after the in-JVM
+    // rotation spent its slice) while the rotation itself needs far
+    // less than half the section under warm-only coverage mode —
+    // ~2.5 s per probe keeps 60+ probes inside the other half.
     val pinnedReserve =
-      if (sf1Exists) math.min(300.0, sf1Budget * 0.4) else 0.0
+      if (sf1Exists) math.min(300.0, sf1Budget * 0.5) else 0.0
     val sf1Start = System.nanoTime()
     val probedNow = scala.collection.mutable.ListBuffer.empty[String]
     // The warm-only shortcut below rests on the premise that THIS JVM

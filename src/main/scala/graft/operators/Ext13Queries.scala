@@ -46,7 +46,7 @@ object Ext13Queries {
     * ev_anomaly_zscore quantization convention): day index from the
     * corpus epoch, exact BIGINT sum per day.
     */
-  private def dailySeries(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def dailySeries(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .select(
         expr("datediff(timestamp_micros(ts div 1000), date'2024-01-01')")
@@ -920,7 +920,7 @@ object Ext13Queries {
     "text_zipf_fit" -> zipfFit _,
     "text_readability" -> readability _)
 
-  private val dailySql =
+  private[graft] val dailySql =
     """SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
       |    AS day,
       |  CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)

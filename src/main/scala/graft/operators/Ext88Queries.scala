@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-12 batch: the agreement-kit closer.
+/** Round-12 batch: the agreement-kit closer and the seasonal
+  * smoother the round-11 triage parked.
   *
   *  - `eval_cochran_q`: Cochran's Q — the k-judge PAIRED binary
   *    agreement test the krippendorff/fleiss family still lacked.
@@ -14,6 +15,12 @@ import org.apache.spark.sql.functions._
   *    Runs over the identical three-judge panel as
   *    `eval_fleiss_kappa` (Ext84Queries.judgeVotes) so the two
   *    statistics read the same ballots.
+  *  - `ts_holt_winters_seasonal`: additive triple-exponential
+  *    smoothing (level + trend + weekly seasonal) over the daily
+  *    series — the round-11 triage survivor, unblocked by carrying
+  *    the fold state as the output array itself (s_{t−7} is just
+  *    element_at(acc, -7)) instead of a rolling seasonal vector,
+  *    which keeps the expression depth at ~ts_holt levels.
   */
 object Ext88Queries {
 
@@ -63,10 +70,138 @@ object Ext88Queries {
       .select("n_docs", "g1", "g2", "g3", "n_splits", "q_micro",
         "q_flag")
 
+  // ---------------------------------------------------------------
+  // ts_holt_winters_seasonal
+  // ---------------------------------------------------------------
+
+  /** Additive Holt–Winters (triple-exponential) smoothing with
+    * α = β = γ = 1/2 and weekly period m = 7 over the daily
+    * event-value series (`Ext13Queries.dailySeries`, the ts_holt /
+    * ts_backtest_snaive lattice and lag-7 convention):
+    *
+    *   l_t = ⌊(y_t − s_{t−7} + l_{t−1} + b_{t−1}) / 2⌋
+    *   b_t = ⌊(l_t − l_{t−1} + b_{t−1}) / 2⌋
+    *   s_t = ⌊(y_t − l_t + s_{t−7}) / 2⌋
+    *
+    * seeded on the first 7 days: l = ⌊mean⌋, b = 0, s_i = y_i − l
+    * (so the seed block's one-step fit is exactly y_i). `forecast`
+    * is the one-step-ahead prediction l_{t−1} + b_{t−1} + s_{t−7} —
+    * the number a seasonal-aware anomaly monitor compares y_t
+    * against (ts_backtest_snaive without the "trend is zero"
+    * assumption, ts_holt without the "no seasonality" assumption).
+    *
+    * Expression-depth budget (the feasibility gate this entry was
+    * parked on in round 11): the fold state is the OUT ARRAY itself
+    * — l_{t−1}/b_{t−1} are element_at(acc, -1) fields and s_{t−7} is
+    * element_at(acc, -7).seasonal (the seed block primes the first
+    * seven) — so the only repeated subtree is the new level (5
+    * inline copies), versus the rolling-seasonal-vector formulation
+    * whose level/trend/seasonal-array updates each re-expand the
+    * full state transition. All divisions are pmod-floored; every
+    * value stays an exact BIGINT on the 1e-3 lattice, so parity
+    * with the oracle's nested-subquery recursive CTE is structural.
+    *
+    * 100 TB shape: identical to ts_holt — the corpus collapses to
+    * one row per day first; the inherently sequential recursion runs
+    * over the |days|-bounded packed array, never the corpus. For
+    * millions of independent series the same lambda runs per group
+    * after a groupBy-collect bounded by series length.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val packed = Ext13Queries.dailySeries(spark, dir)
+      .agg(array_sort(collect_list(struct(col("day"), col("v_day"))))
+        .as("s"))
+      // seed level: floor-mean of the first 7 days (non-negative
+      // sums here, but pmod-floor keeps the lattice rule uniform)
+      .withColumn("l0", expr(
+        """(aggregate(slice(s, 1, 7), cast(0 as bigint),
+          |   (a, e) -> a + e.v_day)
+          | - pmod(aggregate(slice(s, 1, 7), cast(0 as bigint),
+          |   (a, e) -> a + e.v_day), 7)) div 7""".stripMargin))
+    def fl2(z: String): String = s"(($z) - pmod($z, 2)) div 2"
+    val nl = fl2("x.v_day - element_at(acc, -7).seasonal" +
+      " + element_at(acc, -1).level + element_at(acc, -1).trend")
+    val step =
+      s"""aggregate(
+         |  slice(s, 8, greatest(size(s) - 7, 0)),
+         |  transform(slice(s, 1, 7), e -> named_struct(
+         |    'day', e.day, 'v_day', e.v_day,
+         |    'level', l0, 'trend', cast(0 as bigint),
+         |    'seasonal', e.v_day - l0, 'forecast', e.v_day)),
+         |  (acc, x) -> concat(acc, array(named_struct(
+         |    'day', x.day, 'v_day', x.v_day,
+         |    'level', $nl,
+         |    'trend', ${fl2(s"($nl) - element_at(acc, -1).level" +
+                  " + element_at(acc, -1).trend")},
+         |    'seasonal', ${fl2(s"x.v_day - ($nl)" +
+                  " + element_at(acc, -7).seasonal")},
+         |    'forecast', element_at(acc, -1).level
+         |      + element_at(acc, -1).trend
+         |      + element_at(acc, -7).seasonal))))""".stripMargin
+    packed.select(explode(expr(step)).as("h"))
+      .select(col("h.day").as("day"), col("h.v_day").as("v_day"),
+        col("h.level").as("level"), col("h.trend").as("trend"),
+        col("h.seasonal").as("seasonal"),
+        col("h.forecast").as("forecast"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "eval_cochran_q" -> cochranQ _)
+    "eval_cochran_q" -> cochranQ _,
+    "ts_holt_winters_seasonal" -> holtWinters _)
 
   val oracle: Map[String, String] = Map(
+    "ts_holt_winters_seasonal" ->
+      // the recursive member layers nl -> (t2, t3) -> outputs through
+      // nested subqueries so each state transition is written ONCE —
+      // the SQL mirror of the engine's out-array fold (`h` referenced
+      // exactly once, as the recursion requires)
+      (s"""WITH RECURSIVE d0 AS (${Ext13Queries.dailySql}),
+        |d AS (
+        |  SELECT CAST(day AS INT) AS day, v_day,
+        |    ROW_NUMBER() OVER (ORDER BY day) AS k
+        |  FROM d0),
+        |init AS (
+        |  SELECT (s7 - (((s7 % 7) + 7) % 7)) // 7 AS l0
+        |  FROM (SELECT CAST(SUM(v_day) AS BIGINT) AS s7 FROM d
+        |        WHERE k <= 7)),
+        |seed AS (
+        |  SELECT CAST(7 AS BIGINT) AS k, CAST(i.l0 AS BIGINT) AS level,
+        |    CAST(0 AS BIGINT) AS trend,
+        |    (SELECT list(v_day - i.l0 ORDER BY day) FROM d
+        |     WHERE k <= 7) AS sv,
+        |    CAST(NULL AS INT) AS day, CAST(NULL AS BIGINT) AS v_day,
+        |    CAST(NULL AS BIGINT) AS seasonal,
+        |    CAST(NULL AS BIGINT) AS forecast
+        |  FROM init i),
+        |h AS (
+        |  SELECT k, level, trend, sv, day, v_day, seasonal, forecast
+        |  FROM seed
+        |  UNION ALL
+        |  SELECT z.k, z.nl, (z.t2 - (((z.t2 % 2) + 2) % 2)) // 2,
+        |    z.sv[2:] || [(z.t3 - (((z.t3 % 2) + 2) % 2)) // 2],
+        |    z.day, z.v_day,
+        |    (z.t3 - (((z.t3 % 2) + 2) % 2)) // 2, z.f
+        |  FROM (
+        |    SELECT w.*, w.nl - w.level + w.trend AS t2,
+        |      w.v_day - w.nl + w.s7v AS t3
+        |    FROM (
+        |      SELECT v.*, (v.t1 - (((v.t1 % 2) + 2) % 2)) // 2 AS nl
+        |      FROM (
+        |        SELECT h.k + 1 AS k, d.day, d.v_day, h.level,
+        |          h.trend, h.sv, h.sv[1] AS s7v,
+        |          d.v_day - h.sv[1] + h.level + h.trend AS t1,
+        |          h.level + h.trend + h.sv[1] AS f
+        |        FROM h JOIN d ON d.k = h.k + 1) v) w) z
+        |)
+        |SELECT d.day, d.v_day, i.l0 AS level, CAST(0 AS BIGINT)
+        |    AS trend,
+        |  d.v_day - i.l0 AS seasonal, d.v_day AS forecast
+        |FROM d CROSS JOIN init i WHERE d.k <= 7
+        |UNION ALL
+        |SELECT day, v_day, level, trend, seasonal, forecast
+        |FROM h WHERE k > 7
+        |ORDER BY day""").stripMargin,
     "eval_cochran_q" ->
       """WITH v AS (
         |  SELECT n_chars,

@@ -37,6 +37,39 @@ class Ext88QueriesSpec extends AnyFunSuite {
     assert(splits > 0, "degenerate fixture: judges never split")
   }
 
+  test("holt winters: exact driver replay of the seeded seasonal " +
+      "recursion, and the forecast is the one-step-ahead prediction") {
+    val series = operators.Ext13Queries.dailySeries(spark, TestSpark.sfDir)
+      .orderBy("day").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(series.length >= 8, "fixture needs 8+ days")
+    def fl2(z: Long): Long = Math.floorDiv(z - Math.floorMod(z, 2), 2)
+    val l0 = Math.floorDiv(series.take(7).map(_._2).sum, 7)
+    // replay: state = (level, trend, rolling seasonal window)
+    var lv = l0; var tr = 0L
+    var sv = series.take(7).map(_._2 - l0).toVector
+    val expected = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, Long, Long, Long, Long, Long)]
+    series.take(7).foreach { case (d, y) =>
+      expected += ((d, y, l0, 0L, y - l0, y)) }
+    series.drop(7).foreach { case (d, y) =>
+      val s7 = sv.head
+      val f = lv + tr + s7
+      val nl = fl2(y - s7 + lv + tr)
+      val nb = fl2(nl - lv + tr)
+      val ns = fl2(y - nl + s7)
+      expected += ((d, y, nl, nb, ns, f))
+      lv = nl; tr = nb; sv = sv.tail :+ ns
+    }
+    val got = operators.Ext88Queries
+      .holtWinters(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expected.toSeq)
+    // the statistic must be non-degenerate: the seasonal state moves
+    assert(got.drop(7).map(_._5).distinct.length > 1)
+  }
+
   test("opq rerank: top-5 cosine re-rank of the 20-candidate OPQ " +
       "shortlist, exact against a driver-side replay") {
     val out = Ext87Queries.simAnnRerankOpq(spark, TestSpark.sfDir)
