@@ -227,6 +227,11 @@ class PlanSweepSpec extends AnyFunSuite {
     // sim_ann_opq: 8-row broadcast query table with the non-equi
     // self-exclusion (sim_cosine_topk's shape, like sim_ann_pq)
     "sim_ann_opq",
+    // sim_ann_rerank_opq: the same bounded OPQ ADC scan (8-row
+    // broadcast probe table, non-equi self-exclusion) feeding the
+    // equi-keyed exact-rerank tail — the shortlist join itself is
+    // keyed, only the inherited ADC pass crosses the probe table
+    "sim_ann_rerank_opq",
     // ts_hurst: 1-row total + 1-row regression-moment broadcasts
     // over a 4-row window spine (the ts_ljung_box shape)
     "ts_hurst")
