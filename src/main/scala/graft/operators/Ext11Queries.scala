@@ -537,15 +537,22 @@ object Ext11Queries {
     * graph_link_predict's maxDeg=64 (Ext14Queries).
     */
   def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    // NOT cached, deliberately: the reads of this subtree (sizes +
-    // both wedge sides) already share one physical exchange via
-    // ReuseExchange — measured: cache() changes nothing at sf0.1.
-    // The wedge self-join below is the real cost.
+    // cache(), revisited in round 12: the earlier "ReuseExchange
+    // shares the subtree" claim no longer holds — the formatted plan
+    // (plans/r12/graph_jaccard_neighbors_before.txt) shows 12 parquet
+    // scans / 15 exchanges with zero ReusedExchange nodes (the sizes,
+    // hub-cut and both wedge sides each re-run the orders⋈lineitem ⋈
+    // distinct chain under differently-aliased parents). One cached
+    // copy of the narrow (cust, supp) edge list is the lightweight
+    // proxy table of guide §2.4/§8. sf0.1 warm time is dominated by
+    // the ~12M-row wedge aggregate itself (unchanged, it IS the
+    // query's work), but the plan drops 10 scans and 2 wedge-side
+    // exchanges — the part that would not have scaled.
     val edges = t(spark, dir, "orders")
       .join(t(spark, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
+      .distinct().cache()
     val sz = edges.groupBy(col("supp")).agg(count(lit(1)).as("sz"))
     // degree table is |customers| rows of (key, count) — broadcast;
     // the semi-ish inner join keeps wedge inputs co-partitioned
@@ -553,10 +560,24 @@ object Ext11Queries {
       .agg(count(lit(1)).as("cdeg"))
       .filter(col("cdeg") <= lit(72)).select("cust")
     val wedgeEdges = edges.join(broadcast(keptCust), "cust")
-    val common = wedgeEdges.select(col("cust"), col("supp").as("id_a"))
-      .join(wedgeEdges.select(col("cust"), col("supp").as("id_b")),
-        Seq("cust"))
-      .filter(col("id_a") < col("id_b"))
+    // Wedge enumeration WITHOUT the self-join (round 12, guide §2.4):
+    // the old l⋈r shape shuffled the edge list twice more (both join
+    // sides exchange on cust, then sort for the merge) to produce
+    // exactly the pairs a per-customer sorted neighbor array yields
+    // in-stage. One groupBy(cust) shuffle builds the array (bounded
+    // by the ≤72 hub cut), two codegen'd explodes enumerate the
+    // ordered pairs, and the pair aggregate partial-combines map-side
+    // before its exchange — identical pair multiset (suppliers are
+    // distinct per customer and the array is sorted ascending, so
+    // a-before-rest == id_a < id_b), one exchange instead of three.
+    val nbrs = wedgeEdges.groupBy("cust")
+      .agg(sort_array(collect_list(col("supp"))).as("ns"))
+    val common = nbrs
+      .select(posexplode(col("ns")).as(Seq("i", "id_a")), col("ns"))
+      .select(col("id_a"),
+        explode(slice(col("ns"), col("i") + lit(2),
+          greatest(size(col("ns")) - col("i") - 1, lit(0))))
+          .as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
     common
@@ -578,7 +599,21 @@ object Ext11Queries {
     * partition-batched frame slicing as mm_frames; energy is exact
     * integers end-to-end.
     */
-  def energyFrames(spark: SparkSession, dir: String): DataFrame = {
+  def energyFrames(spark: SparkSession, dir: String): DataFrame =
+    energyFrameBase(spark, dir).orderBy("media_id", "frame_no")
+
+  /** The unordered (media_id, frame_no, energy, active) table every
+    * downstream mm_* consumer windows/aggregates over — split out in
+    * round 12 so consumers stop paying `energyFrames`' presentation
+    * orderBy (their windows/aggregates don't need it), and cached
+    * plan-keyed so a query composing several energy consumers
+    * (mm_span_iou = shot boundaries ⋈ VAD spans) decodes the media
+    * payload ONCE instead of once per leg (guide §8: decode once,
+    * decide on the small table). ~16 narrow rows per document; the
+    * harness' between-query clearCache releases it.
+    */
+  private[operators] def energyFrameBase(spark: SparkSession,
+      dir: String): DataFrame = {
     val media = Multimodal.attachMedia(
       t(spark, dir, "documents"), "doc_id", "text")
     Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
@@ -595,7 +630,7 @@ object Ext11Queries {
           "(acc, x) -> acc + cast(x as bigint)))"))
       .select(col("media_id"), col("frame_no"), col("energy"))
       .withColumn("active", col("energy") > 64L * 1500L)
-      .orderBy("media_id", "frame_no")
+      .cache()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -442,7 +442,7 @@ object Ext13Queries {
     */
   def vadSpans(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("media_id").orderBy("frame_no")
-    Ext11Queries.energyFrames(spark, dir)
+    Ext11Queries.energyFrameBase(spark, dir)
       .filter(col("active"))
       .withColumn("grp",
         expr("frame_no div 2") - row_number().over(w))

@@ -89,9 +89,22 @@ object Ext14Queries {
     * bounding per-item pair fan-out at maxDeg².
     */
   def linkPredictFromEdges(edges: DataFrame, maxDeg: Int): DataFrame = {
-    val deg = edges.groupBy("item").agg(count(lit(1)).as("dc"))
+    // cache() both the edge list and the pruned wedge input,
+    // deliberately (the graph_kcore pattern): the physical plan
+    // otherwise re-evaluates the caller's scan+distinct subtree FOUR
+    // times (degree aggregate + both wedge sides; formatted-plan
+    // evidence in plans/r12/graph_link_predict_before.txt — 4 parquet
+    // scans, 4 distinct exchanges, no ReusedExchange fired because
+    // the wedge sides sit under differently-aliased broadcast
+    // subtrees). Both tables are narrow id/count projections —
+    // exactly the "lightweight proxy" the optimization guide says to
+    // materialize once (§2.4/§8); CacheManager keys by canonicalized
+    // plan so repeated constructions share one entry and the bench's
+    // between-query clearCache releases it.
+    val e = edges.cache()
+    val deg = e.groupBy("item").agg(count(lit(1)).as("dc"))
       .filter(col("dc") <= maxDeg)
-    val kept = edges.join(deg, "item")
+    val kept = e.join(deg, "item").cache()
     val l = kept.select(col("item"), col("dc"), col("node").as("id_a"))
     val r = kept.select(col("item").as("item_b"), col("node").as("id_b"))
     l.join(r, col("item") === col("item_b"))
@@ -275,7 +288,7 @@ object Ext14Queries {
     */
   def shotBoundaries(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("media_id").orderBy("frame_no")
-    Ext11Queries.energyFrames(spark, dir)
+    Ext11Queries.energyFrameBase(spark, dir)
       .select("media_id", "frame_no", "energy")
       .withColumn("prev_e", lag("energy", 1).over(w))
       .withColumn("boundary",

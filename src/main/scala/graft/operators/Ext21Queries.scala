@@ -104,7 +104,7 @@ object Ext21Queries {
 
   def keyframes(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("media_id").orderBy("frame_no")
-    val seg = Ext11Queries.energyFrames(spark, dir)
+    val seg = Ext11Queries.energyFrameBase(spark, dir)
       .select("media_id", "frame_no", "energy")
       .withColumn("prev_e", lag("energy", 1).over(w))
       .withColumn("boundary",

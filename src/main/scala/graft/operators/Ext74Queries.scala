@@ -313,7 +313,7 @@ object Ext74Queries {
   def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("media_id").orderBy("frame_no")
-    val peaks = Ext11Queries.energyFrames(spark, dir)
+    val peaks = Ext11Queries.energyFrameBase(spark, dir)
       .withColumn("prev_e", lag("energy", 1).over(w))
       .withColumn("next_e", lead("energy", 1).over(w))
       .filter(col("prev_e").isNotNull && col("next_e").isNotNull &&

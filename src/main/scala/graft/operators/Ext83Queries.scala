@@ -155,11 +155,17 @@ object Ext83Queries {
     * as a 64-row broadcast; top-20 is TakeOrdered on 2016 rows.
     */
   def corrPairs(spark: SparkSession, dir: String): DataFrame = {
+    // cache(), round 12: the exploded element list feeds THREE
+    // consumers (marginal moments + both self-join sides) — uncached,
+    // each re-ran the explode+quantize scan (plan showed 3 scans).
+    // |corpus|·64 narrow rows, plan-keyed, released by the harness'
+    // between-query clearCache.
     val el = t(spark, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding"))
         .as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
         expr("cast(round(x * 1000) as bigint)").as("xm"))
+      .cache()
     val marg = el.groupBy("dim")
       .agg(count(lit(1)).as("n"), sum("xm").as("s1"),
         sum(expr("xm * xm")).as("s2"))

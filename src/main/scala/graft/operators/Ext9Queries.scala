@@ -73,9 +73,15 @@ object Ext9Queries {
   /** Drop memoized fits. Harnesses that time queries (Bench/QBench)
     * MUST call this wherever they clearCache(), or the timed pass
     * measures a memo hit; likewise after overwriting a data dir
-    * in-process (the key is the dir string only).
+    * in-process (the key is the dir string only). Also drops the
+    * quantizer fit-sample memo ([[Similarity.clearFitSampleCache]]) —
+    * ONE hook clears every per-process fit memo, so the existing
+    * harness call sites stay sufficient.
     */
-  def clearFitCache(): Unit = fitCache.clear()
+  def clearFitCache(): Unit = {
+    fitCache.clear()
+    Similarity.clearFitSampleCache()
+  }
 
   private def pcaFit(spark: SparkSession, dir: String): Array[BigInt] =
     fitCache.computeIfAbsent(dir, d => pcaFitUncached(spark, d))

@@ -220,6 +220,26 @@ object Similarity {
     m
   }
 
+  /** Per-process memo of the collected fit sample, keyed on the
+    * CANONICALIZED corpus plan + columns + mod (exprId-normalized, so
+    * every construction of the same logical corpus hits one entry).
+    * The sample depends on none of the quantizer parameters (nCells /
+    * iters / codebook shape), so a query that fits several quantizers
+    * over one corpus — sim_ann_nlist_curve pays 8 fits across its 4
+    * curve points — collapses to ONE count() + collect() scan pair
+    * (guide §1.2: remove repeated passes before tuning anything
+    * else). Entries are bounded by FitSampleCap (~32 MB worst case);
+    * no caller mutates the returned arrays (they slice/clone).
+    * Same staleness contract as Ext9Queries.fitCache (immutable input
+    * dirs within a process); the timing harnesses clear BOTH through
+    * the one [[Ext9Queries.clearFitCache]] hook so a timed query
+    * still pays its own fit.
+    */
+  private val sampleCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Array[Double])]]()
+
+  private[graft] def clearFitSampleCache(): Unit = sampleCache.clear()
+
   /** Collect the deterministic md5 hash sample (bucket % mod == 0)
     * as driver-side (id, double-vector) pairs sorted by id — the ONE
     * corpus scan every driver-side quantizer fit shares (IVF coarse,
@@ -230,8 +250,19 @@ object Similarity {
     * projection to count(1) over parquet row groups). `fitSampleMod
     * <= 1` means fit-on-everything by explicit contract (unit-scale
     * specs only — never the corpus-scale queries, which all pass 2).
+    * Memoized per (canonical corpus plan, cols, mod) — see
+    * [[sampleCache]].
     */
   private[operators] def fitSample(corpus: DataFrame, idCol: String,
+      vecCol: String, fitSampleMod: Int)
+      : Array[(Long, Array[Double])] = {
+    val key = corpus.queryExecution.analyzed.canonicalized.toString +
+      s"|$idCol|$vecCol|$fitSampleMod"
+    sampleCache.computeIfAbsent(key,
+      _ => fitSampleUncached(corpus, idCol, vecCol, fitSampleMod))
+  }
+
+  private def fitSampleUncached(corpus: DataFrame, idCol: String,
       vecCol: String, fitSampleMod: Int)
       : Array[(Long, Array[Double])] = {
     val all = corpus.select(col(idCol).cast("long").as("vec_id"),
