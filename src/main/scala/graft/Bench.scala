@@ -155,6 +155,7 @@ object Bench {
       ("derived:lshpairs", operators.NearDupGraph.lshPairs _),
       ("derived:cclabels", operators.NearDupGraph.ccLabels _),
       ("derived:simhashpairs", operators.NearDupGraph.simhashPairs5 _),
+      ("derived:ccsimhash", operators.NearDupGraph.simhashCcLabels _),
       ("derived:lpalabels", operators.Ext28Queries.lpaLabelTable _),
       ("derived:cdcparsed", operators.CdcQueries.parsedStored _),
       ("derived:cclabelsbase", operators.Ext41Queries.baseCcLabels _))

@@ -456,8 +456,9 @@ object Ext74Queries {
     */
   def clusterMedoid(spark: SparkSession, dir: String): DataFrame = {
     val pairs = NearDupGraph.simhashPairs5(spark, dir)
-    val labels = Dedup.connectedComponents(
-      pairs.select("id_a", "id_b"))
+    // stored simhash component labeling (round 12): shared with
+    // text_cluster_topics via NearDupGraph — see simhashCcLabels
+    val labels = NearDupGraph.simhashCcLabels(spark, dir)
     val sym = pairs
       .select(col("id_a").as("id"), col("hamming").as("w"))
       .unionByName(pairs.select(col("id_b").as("id"),

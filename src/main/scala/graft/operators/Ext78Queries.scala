@@ -31,9 +31,9 @@ object Ext78Queries {
     * 1-row corpus-size broadcast feeds the idf.
     */
   def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = NearDupGraph.simhashPairs5(spark, dir)
-    val labels = Dedup.connectedComponents(
-      pairs.select("id_a", "id_b"))
+    // stored simhash component labeling (round 12): shared with
+    // dedup_cluster_medoid via NearDupGraph — see simhashCcLabels
+    val labels = NearDupGraph.simhashCcLabels(spark, dir)
       .select(col("id").as("doc_id"), col("cluster"))
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"),

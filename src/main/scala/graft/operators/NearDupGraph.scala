@@ -60,4 +60,19 @@ object NearDupGraph {
     Derived.table(spark, s"simhashpairs_h5:$dir")(
       Dedup.simhashNearDups(docs(spark, dir), "doc_id", "text",
         maxHamming = 5))
+
+  /** Connected-component labels (id, cluster) of the SIMHASH pair
+    * graph — the same stored-labeling convention as [[ccLabels]],
+    * extended to the simhash edge set in round 12: both consumers
+    * (dedup_cluster_medoid, text_cluster_topics) were re-running the
+    * full large-star/small-star loop per execution (~2-3 s each at
+    * sf0.1, the dominant term of both plans), where the LSH-graph
+    * consumers have read a stored labeling since round 4. At 100 TB
+    * this is the second component labeling the dedup pipeline
+    * maintains, refreshed with the fingerprint index it labels.
+    */
+  def simhashCcLabels(spark: SparkSession, dir: String): DataFrame =
+    Derived.table(spark, s"ccsimhash_h5:$dir")(
+      Dedup.connectedComponents(
+        simhashPairs5(spark, dir).select("id_a", "id_b")))
 }
