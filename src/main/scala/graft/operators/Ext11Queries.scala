@@ -554,24 +554,23 @@ object Ext11Queries {
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .distinct().cache()
     val sz = edges.groupBy(col("supp")).agg(count(lit(1)).as("sz"))
-    // degree table is |customers| rows of (key, count) — broadcast;
-    // the semi-ish inner join keeps wedge inputs co-partitioned
-    val keptCust = edges.groupBy("cust")
-      .agg(count(lit(1)).as("cdeg"))
-      .filter(col("cdeg") <= lit(72)).select("cust")
-    val wedgeEdges = edges.join(broadcast(keptCust), "cust")
     // Wedge enumeration WITHOUT the self-join (round 12, guide §2.4):
     // the old l⋈r shape shuffled the edge list twice more (both join
     // sides exchange on cust, then sort for the merge) to produce
     // exactly the pairs a per-customer sorted neighbor array yields
-    // in-stage. One groupBy(cust) shuffle builds the array (bounded
-    // by the ≤72 hub cut), two codegen'd explodes enumerate the
-    // ordered pairs, and the pair aggregate partial-combines map-side
-    // before its exchange — identical pair multiset (suppliers are
-    // distinct per customer and the array is sorted ascending, so
-    // a-before-rest == id_a < id_b), one exchange instead of three.
-    val nbrs = wedgeEdges.groupBy("cust")
+    // in-stage. One groupBy(cust) shuffle builds the arrays; the ≤72
+    // hub cut is now a size(ns) filter ON the arrays (cdeg ==
+    // size(ns) by construction — edges are distinct), subsuming the
+    // old degree aggregate + broadcast join outright. Two codegen'd
+    // explodes enumerate the ordered pairs (suppliers are distinct
+    // per customer and the array sorts ascending, so a-before-rest
+    // == id_a < id_b), and the pair aggregate partial-combines
+    // map-side before its single exchange — one wedge exchange
+    // instead of three, no join. Jaccard denominators `sz` stay
+    // full-edge-set exact, computed from the cached edge list.
+    val nbrs = edges.groupBy("cust")
       .agg(sort_array(collect_list(col("supp"))).as("ns"))
+      .filter(size(col("ns")) <= 72)
     val common = nbrs
       .select(posexplode(col("ns")).as(Seq("i", "id_a")), col("ns"))
       .select(col("id_a"),

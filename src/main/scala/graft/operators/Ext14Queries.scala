@@ -89,29 +89,35 @@ object Ext14Queries {
     * bounding per-item pair fan-out at maxDeg².
     */
   def linkPredictFromEdges(edges: DataFrame, maxDeg: Int): DataFrame = {
-    // cache() both the edge list and the pruned wedge input,
-    // deliberately (the graph_kcore pattern): the physical plan
-    // otherwise re-evaluates the caller's scan+distinct subtree FOUR
-    // times (degree aggregate + both wedge sides; formatted-plan
-    // evidence in plans/r12/graph_link_predict_before.txt — 4 parquet
-    // scans, 4 distinct exchanges, no ReusedExchange fired because
-    // the wedge sides sit under differently-aliased broadcast
-    // subtrees). Both tables are narrow id/count projections —
-    // exactly the "lightweight proxy" the optimization guide says to
-    // materialize once (§2.4/§8); CacheManager keys by canonicalized
-    // plan so repeated constructions share one entry and the bench's
-    // between-query clearCache releases it.
-    val e = edges.cache()
-    val deg = e.groupBy("item").agg(count(lit(1)).as("dc"))
-      .filter(col("dc") <= maxDeg)
-    val kept = e.join(deg, "item").cache()
-    val l = kept.select(col("item"), col("dc"), col("node").as("id_a"))
-    val r = kept.select(col("item").as("item_b"), col("node").as("id_b"))
-    l.join(r, col("item") === col("item_b"))
-      .filter(col("id_a") < col("id_b"))
+    // Round-12 reshape (guide §2.4): the old form evaluated the
+    // caller's scan+distinct subtree FOUR times (degree aggregate +
+    // both wedge sides — plans/r12/graph_link_predict_before.txt: 4
+    // parquet scans, 20 Exchanges, zero ReusedExchange) and then
+    // self-joined the pruned edge list, a join whose build side is
+    // corpus-sized — local stats happened to broadcast it at test
+    // SFs, which is exactly the unbounded-side-broadcast shape the
+    // r10 audit removed from text_cluster_topics. The per-item
+    // sorted neighbor array subsumes all of it: ONE groupBy(item)
+    // exchange builds the arrays, the hub cut becomes a size()
+    // filter (dc == size(ns) by construction — edges are distinct),
+    // ordered pairs explode in-stage (sorted ascending ⇒ id_a <
+    // id_b), and the pair aggregate partial-combines map-side before
+    // its exchange. Two exchanges total, no join, no corpus-sized
+    // broadcast at any scale; fan-out stays bounded at C(maxDeg, 2)
+    // per item.
+    val nbrs = edges.groupBy("item")
+      .agg(sort_array(collect_list(col("node"))).as("ns"))
+      .filter(size(col("ns")) <= maxDeg)
+      .select(col("ns"), expr("1000000000 div size(ns)").as("ra1"))
+    nbrs
+      .select(posexplode(col("ns")).as(Seq("i", "id_a")), col("ns"),
+        col("ra1"))
+      .select(col("id_a"), col("ra1"),
+        explode(slice(col("ns"), col("i") + lit(2),
+          greatest(size(col("ns")) - col("i") - 1, lit(0))))
+          .as("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("common"),
-        sum(expr("1000000000 div dc")).as("ra_nano"))
+      .agg(count(lit(1)).as("common"), sum(col("ra1")).as("ra_nano"))
       .orderBy(col("ra_nano").desc, col("id_a"), col("id_b"))
       .limit(25)
   }
